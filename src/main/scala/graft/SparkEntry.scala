@@ -1,21 +1,30 @@
 package graft
 
+import graft.etl.{AuditLog, CatalogRegistry, Conform, SqlTransform}
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, SkewAgg}
+import graft.plans.RollingMinHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 has an entry in `queries`;
-  * SQL-expressible ones also have a DuckDB oracle in `oracleSql`. Aggregated
-  * money columns are cast to DECIMAL before summing so results are exact and
-  * order-independent (double sums would drift between Spark's and DuckDB's
-  * accumulation orders and break the driver's hash compare).
+  * SQL-expressible ones also have a DuckDB oracle in `oracleSql`.
+  *
+  * Cross-engine parity rules used throughout (see .claude/skills/verify):
+  * money/measure sums go through DECIMAL casts (exact, order-independent);
+  * every query has a deterministic ORDER BY with tie-breaks; computed
+  * integer columns are cast to long (DuckDB returns BIGINT); doubles are
+  * either bit-deterministic per-row arithmetic or rounded at 1e-6.
   */
 object SparkEntry {
 
-  /** Money/measure cast: exact, associative decimal accumulation. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def disc6(price: Column, discount: Column): Column =
+    (price * (lit(1.0) - discount)).cast(DecimalType(18, 6))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -23,7 +32,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- Relational / analytic core ------------------------------------
+
+    // ================= relational / analytic core =====================
+
     "q1_pricing_summary" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -32,10 +43,326 @@ object SparkEntry {
         .agg(
           sum(dec2($"l_quantity")).as("sum_qty"),
           sum(dec2($"l_extendedprice")).as("sum_base_price"),
-          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast(DecimalType(18, 6))).as("sum_disc_price"),
+          sum(disc6($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cut = lit("1998-06-01").cast(TimestampType)
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir).filter($"o_orderdate" < cut)
+      val l = Tables.lineitem(s, dir).filter($"l_shipdate" > cut)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+                $"o_orderdate" < lit("1997-01-01").cast(TimestampType))
+      val c = Tables.customer(s, dir)
+      // dims are tiny at any SF → broadcast; fact joins shuffle on keys
+      val sup = broadcast(Tables.supplier(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(n, $"s_nationkey" === $"n_nationkey")
+        .join(r, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+      Tables.customer(s, dir)
+        .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      // customers with no high-value order (NOT EXISTS)
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 450000)
+      Tables.customer(s, dir)
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+        .orderBy($"o_custkey", $"rk")
+    }),
+
+    "q_running_sum" -> ((s, dir) => {
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is not unique in this data — the full
+      // tie-break makes the running order total, hence deterministic
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey", $"l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          sum(dec2($"l_quantity")).over(w).as("running_qty"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .rollup(year($"o_orderdate").cast(LongType).as("o_year"), $"o_orderpriority")
+        .agg(sum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy($"o_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    "q_distinct_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      // HLL sketch counting — the 100 TB path where exact distinct would
+      // shuffle every key. No oracle: estimator internals are engine-specific.
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .withColumn("o_year", year($"o_orderdate").cast(LongType))
+        .groupBy($"o_year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2($"o_totalprice")))
+        .withColumnRenamed("F", "total_f")
+        .withColumnRenamed("O", "total_o")
+        .withColumnRenamed("P", "total_p")
+        .orderBy($"o_year")
+    }),
+
+    "q_skew_agg" -> ((s, dir) => {
+      import s.implicits._
+      SkewAgg.saltedSum(Tables.lineitem(s, dir),
+          Seq($"l_suppkey"), dec2($"l_quantity"), $"l_orderkey", "total_qty")
+        .orderBy($"l_suppkey")
+    }),
+
+    "q_events_windowed" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), sum(dec2($"value")).as("total_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
+    "q_events_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      Sessionize.summary(Tables.events(s, dir),
+          $"user_id", $"ts", $"event_id", $"value", gapMinutes = 30)
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // ================= reference ETL surface ==========================
+
+    "q_ingest_conform" -> ((s, dir) => {
+      import s.implicits._
+      // raw→conformed: null-col cast + year/month/day injection
+      // (etl_raw_to_conformed.py main()); CSV read path exercised in tests.
+      Conform.injectDatePartitions(
+          Conform.castNullColumns(Tables.orders(s, dir)), $"o_orderdate")
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_partition_inject" -> ((s, dir) => {
+      import s.implicits._
+      Conform.partitionPath(
+          Conform.injectDatePartitions(Tables.orders(s, dir), $"o_orderdate"))
+        .groupBy($"year", $"month", $"day", $"partition_path")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy($"year", $"month", $"day")
+    }),
+
+    "q_purpose_built_agg" -> ((s, dir) => {
+      import s.implicits._
+      // the taxi-SQL purpose-built shape (transformation-sql/*.sql):
+      // count + coalesce'd key + measure sums over date-part keys
+      Conform.injectDatePartitions(Tables.lineitem(s, dir), $"l_shipdate")
+        .groupBy(coalesce($"l_returnflag", lit("NA")).as("returnflag"),
+          $"l_linestatus", $"year", $"month")
+        .agg(
+          count(lit(1)).as("count_rec"),
+          sum(dec2($"l_quantity")).as("total_quantity"),
+          sum(dec2($"l_extendedprice")).as("total_price"),
+          sum(dec2($"l_discount")).as("total_discount"),
+          sum(dec2($"l_tax")).as("total_tax"))
+        .orderBy($"returnflag", $"l_linestatus", $"year", $"month")
+    }),
+
+    "q_sql_runner" -> ((s, dir) => {
+      // conformed→purpose-built: fetch SQL by table name, run via spark.sql
+      Tables.registerAll(s, dir)
+      SqlTransform.fromResource(s, "purpose_built_lineitem")
+    }),
+
+    "q_catalog_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val reg = new CatalogRegistry(s)
+      val conformed = Conform.injectDatePartitions(Tables.orders(s, dir), $"o_orderdate")
+      reg.upsert(conformed, "graft_lake", "orders_conformed",
+        location = s"$dir/orders.parquet")
+      reg.upsert(Tables.lineitem(s, dir), "graft_lake", "lineitem_raw",
+        location = s"$dir/lineitem.parquet", partitionKeys = Nil)
+      // second upsert of the same table bumps the version (Glue update_table)
+      reg.upsert(conformed, "graft_lake", "orders_conformed",
+        location = s"$dir/orders.parquet")
+      reg.toDF.orderBy($"table_name", $"ordinal")
+    }),
+
+    "q_audit_trail" -> ((s, dir) => {
+      import s.implicits._
+      AuditLog.latestState(Tables.events(s, dir),
+          $"user_id", $"event_type", $"ts", $"event_id")
+        .orderBy($"execution_id")
+    }),
+
+    // ================= deduplication ==================================
+
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactGroups(Tables.documents(s, dir), $"text", $"doc_id")
+        .orderBy($"keep_id")
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      // corpus-tuned: planted near-dups sit at word-2-shingle J>=0.8 while
+      // background pairs sit at ~0.02 — threshold 0.5 cleanly separates
+      Dedup.minhashLshPairs(Tables.documents(s, dir), $"text", $"doc_id",
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(Tables.documents(s, dir), $"text", $"doc_id",
+          maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val a = d.select($"doc_id".as("id_a"),
+        Dedup.charShingles($"text", 3).as("sh_a"))
+      val b = d.select($"doc_id".as("id_b"),
+        Dedup.charShingles($"text", 3).as("sh_b"))
+      // sorted-neighbor pass: compare each doc with its successor
+      a.join(b, $"id_b" === $"id_a" + 1)
+        .select($"id_a", $"id_b",
+          round(Dedup.jaccard($"sh_a", $"sh_b"), 6).as("jaccard"))
+        .orderBy($"id_a")
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          threshold = 0.3, sampleMod = 5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ================= similarity search ==============================
+
+    "q_ann_bruteforce" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.filter($"vec_id" < 10), e, k = 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.filter($"vec_id" < 10), e, k = 5, nPlanes = 6)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // ================= text analysis ==================================
+
+    "q_token_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          TextFns.whitespaceTokenCount($"text").as("n_ws"),
+          size(TextFns.tokens($"text")).cast(LongType).as("n_words"),
+          TextFns.bpePieceCount($"text").as("n_pieces"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextFns.tokens($"text")
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          length($"text").cast(LongType).as("n_chars"),
+          size(toks).cast(LongType).as("n_tokens"),
+          TextFns.punctRatio($"text").as("punct_ratio"),
+          TextFns.stopwordRatio(toks).as("stop_ratio"),
+          TextFns.meanWordLen(toks).as("mean_wlen"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          TextFns.langId(TextFns.tokens($"text")).as("pred_lang"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rolling_fingerprint", exprs => RollingMinHash(exprs.head), "scala_udf")
+      Tables.documents(s, dir)
+        .select($"doc_id", expr("rolling_fingerprint(text)").as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // ================= multimodal =====================================
+
+    "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.featurize(
+          Multimodal.asMedia(Tables.documents(s, dir), $"doc_id", $"text"))
+        .toDF()
+        .orderBy($"doc_id")
     }),
   )
 
@@ -52,5 +379,307 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
+        |ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS total_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS total_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS total_p
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_ingest_conform" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority,
+        |  CAST(year(o_orderdate) AS VARCHAR) AS year,
+        |  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS month,
+        |  lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') AS day
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_partition_inject" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) AS year,
+        |  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS month,
+        |  lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') AS day,
+        |  concat(CAST(year(o_orderdate) AS VARCHAR), '/',
+        |    lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0'), '/',
+        |    lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0')) AS partition_path,
+        |  count(*) AS n_rows
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY year, month, day""".stripMargin,
+
+    "q_purpose_built_agg" ->
+      """SELECT coalesce(l_returnflag, 'NA') AS returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS VARCHAR) AS year,
+        |  lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') AS month,
+        |  count(*) AS count_rec,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_quantity,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+        |  sum(CAST(l_discount AS DECIMAL(18,2))) AS total_discount,
+        |  sum(CAST(l_tax AS DECIMAL(18,2))) AS total_tax
+        |FROM lineitem
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY returnflag, l_linestatus, year, month""".stripMargin,
+
+    "q_sql_runner" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  count(*) AS cnt,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_audit_trail" ->
+      """SELECT user_id AS execution_id, event_type AS job_latest_status,
+        |  ts AS joblast_updated_timestamp, job_start_date, n_updates
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_updates,
+        |    min(ts) OVER (PARTITION BY user_id) AS job_start_date
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY execution_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        |c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM c
+        |WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM q, embeddings c
+        |  WHERE q.query_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, cosine, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that','for'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS mean_wlen
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that','for'))) AS h_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','los'))) AS h_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','zu','mit','nicht'))) AS h_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','un','une','est','que','pour','dans'))) AS h_fr
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN h_en + h_es + h_de + h_fr = 0 THEN 'und'
+        |       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+        |       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+        |       WHEN h_de >= h_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN NULL
+        |    ELSE CAST(list_min(list_transform(range(1, length(text) - 6),
+        |      i -> CAST(list_sum(list_transform(range(0, 8),
+        |        j -> ascii(substr(text, CAST(i + j AS INT), 1)) * (31.0 ** j))) AS BIGINT)))
+        |      AS BIGINT) END AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS fmt,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + (octet_length(encode(text)) * 7919) % 1024 AS width,
+        |  64 + (octet_length(encode(text)) * 104729) % 768 AS height,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 2 THEN 1 + octet_length(encode(text)) % 32
+        |    WHEN 1 THEN 1 + octet_length(encode(text)) % 16
+        |    ELSE 1 END AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

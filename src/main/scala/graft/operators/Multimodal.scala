@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column plumbing.
+  *
+  * Images/audio/video ride as opaque `binary` payload columns with typed
+  * metadata alongside. The Spark-side contract — schema, batch iteration
+  * via mapPartitions, deterministic output — is real and tested; the codec
+  * itself is STUBBED (no image/audio libraries in this container): see
+  * [[Multimodal.decodeStub]], clearly marked, which derives dimensions
+  * deterministically from the payload bytes so tests and oracles can pin
+  * the plumbing end-to-end.
+  *
+  * Scale notes: payloads never pass through a shuffle here — featurize is a
+  * narrow mapPartitions. Real decoders (JNI/FFmpeg/pillow-equivalent) slot
+  * into `decodeStub` per-partition, amortizing codec init across the
+  * partition's rows — the same batch shape `mapInPandas` gives a Python
+  * decoder.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, fmt: String, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long,
+                             width: Long, height: Long, n_frames: Long)
+
+  /** ==== STUB ====
+    * Deterministic fake decode: real deployments replace this with an
+    * actual codec. Output depends only on (payload length, fmt) so the
+    * pipeline stays reproducible and oracle-checkable. */
+  def decodeStub(payload: Array[Byte], fmt: String): (Long, Long, Long) = {
+    val n = payload.length.toLong
+    val width = 64L + (n * 7919L) % 1024L
+    val height = 64L + (n * 104729L) % 768L
+    val frames = fmt match {
+      case "video" => 1L + (n % 32L)
+      case "audio" => 1L + (n % 16L)
+      case _       => 1L
+    }
+    (width, height, frames)
+  }
+
+  /** Attach a binary payload column to a text table (the ingest shape a
+    * real pipeline gets from reading media files; here text bytes stand in
+    * for the blob). fmt cycles deterministically by id. */
+  def asMedia(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      element_at(typedlit(Seq("image", "audio", "video")), (id % 3 + 1).cast("int")).as("fmt"),
+      encode(text, "UTF-8").as("payload"))
+
+  /** Per-partition featurize: decode each payload, emit typed metadata.
+    * Narrow (no shuffle); codec init happens once per partition. */
+  def featurize(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition decoder setup would go here (STUB: none needed)
+      it.map { r =>
+        val (w, h, f) = decodeStub(r.payload, r.fmt)
+        MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature expressions for the dedup family.
+  *
+  * Both are row-local single-pass primitive loops exposed to whole-stage
+  * codegen through a static kernel (one virtual call per row, no
+  * per-element boxing). They replace interpreted higher-order-function
+  * pipelines: MinHash was 64 nested lambda folds per row; SimHash was an
+  * explode → 64-accumulator hash aggregate (a full shuffle of every
+  * token). At 100 TB neither shuffle nor per-token interpretation is
+  * acceptable; these keep signature computation entirely inside the scan
+  * stage.
+  */
+object SignatureKernels {
+
+  /** MinHash signature of pre-hashed shingles: slot i is
+    * min over h of (A_i * h + B_i) with odd multipliers (bijections mod
+    * 2^64 — Java arithmetic wraps, which is exactly the ring we want).
+    * Constants derive from splitmix64 so slots are independent. */
+  def minhash(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = splitmix64(2L * i + 1) | 1L
+      val b = splitmix64(0x9E3779B97F4A7C15L + i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = a * hashes.getLong(j) + b
+        if (v < min) min = v
+        j += 1
+      }
+      out(i) = if (n == 0) 0L else min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash of a token array: xxh64 each token's bytes, vote ±1
+    * per bit, take sign bits. */
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}
+
+/** array<long> shingle hashes → array<long> MinHash signature. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.minhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → 64-bit SimHash fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object Signatures {
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

