@@ -56,19 +56,36 @@ object Similarity {
       when(dotLit(emb, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** ANN top-k: same-bucket candidates (single-probe) under `nPlanes`
-    * hyperplanes. Smaller nPlanes → bigger buckets → higher recall. */
+  /** ANN top-k via multi-probe hyperplane LSH: each query searches its own
+    * sign-bucket plus every bucket within Hamming distance `probeRadius`
+    * (flipping 1–2 sign bits). Multi-probe trades a small constant probe
+    * fan-out for the recall that single-probe loses on weakly-correlated
+    * vectors — without adding more hash tables (i.e. without re-bucketing
+    * the 100 TB candidate side, which stays partitioned by one bucket id). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64, probeRadius: Int = 1): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    val flips: Seq[Column] = {
+      val base = Seq(col("bucket"))
+      val one = if (probeRadius >= 1)
+        (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+      else Nil
+      val two = if (probeRadius >= 2)
+        (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes } yield
+          col("bucket").bitwiseXOR(lit((1L << i) | (1L << j))))
+      else Nil
+      base ++ one ++ two
+    }
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      bucketOf(col("embedding"), planes).as("bucket"))
+        bucketOf(col("embedding"), planes).as("bucket"))
+      .withColumn("bucket", explode(array(flips: _*)))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       bucketOf(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         VectorFns.cosine6(col("q_emb"), col("c_emb")).as("cosine"))
+      .distinct() // a pair can surface through several probes
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

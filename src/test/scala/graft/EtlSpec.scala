@@ -1,0 +1,105 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class EtlSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val p = Paths.get(s"target/test-tmp/$name-${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  test("CSV ingest: header + inferSchema + DROPMALFORMED") {
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(s"$dir/in.csv"),
+      "id,amount,when\n1,10.5,2024-01-01\n2,20.25,2024-01-02\nbad-row-no-commas\n3,x,2024-01-03\n")
+    val df = CsvIngest.read(spark, s"$dir/in.csv")
+    // malformed rows dropped; schema inferred (id int, amount maybe string because of 'x')
+    assert(df.columns.toSeq == Seq("id", "amount", "when"))
+    assert(df.count() >= 2)
+  }
+
+  test("Conform: null columns cast to string, partitions injected zero-padded") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-03-07")).toDF("id", "d")
+      .withColumn("d", $"d".cast("timestamp"))
+      .withColumn("all_null", lit(null))
+    val out = Conform.injectDatePartitions(Conform.castNullColumns(df), $"d")
+    assert(out.schema("all_null").dataType.typeName == "string")
+    val r = out.select($"year", $"month", $"day").collect().head
+    assert(r.getString(0) == "2024" && r.getString(1) == "03" && r.getString(2) == "07")
+  }
+
+  test("Conform: catalog type normalization (decimal(10,0) → int)") {
+    import org.apache.spark.sql.types._
+    assert(Conform.normalizeType(DecimalType(10, 0)) == IntegerType)
+    assert(Conform.normalizeType(NullType) == StringType)
+    assert(Conform.normalizeType(DoubleType) == DoubleType)
+  }
+
+  test("PartitionedWriter: dynamic overwrite replaces only touched partitions") {
+    import spark.implicits._
+    val loc = tmpDir("pw")
+    val day1 = Seq((1L, "2024", "01", "01"), (2L, "2024", "01", "02"))
+      .toDF("id", "year", "month", "day")
+    PartitionedWriter.write(day1, loc)
+    // overwrite only day 02 with new content
+    val day2 = Seq((99L, "2024", "01", "02")).toDF("id", "year", "month", "day")
+    PartitionedWriter.write(day2, loc)
+    val back = spark.read.parquet(loc)
+    assert(back.filter($"day" === "01").count() == 1, "untouched partition survived")
+    val d2 = back.filter($"day" === "02").select($"id").collect().map(_.getLong(0))
+    assert(d2.toSeq == Seq(99L), "touched partition replaced")
+  }
+
+  test("CatalogRegistry: upsert registers view, normalizes types, bumps version") {
+    import spark.implicits._
+    val reg = new CatalogRegistry(spark)
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val m0 = reg.upsert(df, "db1", "t1", partitionKeys = Nil)
+    assert(m0.version == 0 && reg.tableExists("db1", "t1"))
+    val m1 = reg.upsert(df, "db1", "t1", partitionKeys = Nil)
+    assert(m1.version == 1)
+    assert(spark.sql("SELECT count(*) FROM t1").collect().head.getLong(0) == 1)
+    val cat = reg.toDF
+    assert(cat.filter($"table_name" === "t1" && $"table_version" === 1).count() == 2)
+  }
+
+  test("SqlTransform: resource SQL runs against registered views") {
+    Tables.registerAll(spark, sf)
+    val out = SqlTransform.fromResource(spark, "purpose_built_lineitem")
+    assert(out.columns.contains("total_qty") && out.count() > 0)
+  }
+
+  test("AuditLog: latest state per execution with correct update counts") {
+    import spark.implicits._
+    val log = Seq(
+      ("e1", "STARTED", "2024-01-01 10:00:00", 1L),
+      ("e1", "RUNNING", "2024-01-01 10:05:00", 2L),
+      ("e1", "SUCCEEDED", "2024-01-01 10:30:00", 3L),
+      ("e2", "STARTED", "2024-01-01 11:00:00", 4L),
+      ("e2", "FAILED", "2024-01-01 11:02:00", 5L))
+      .toDF("exec", "status", "ts", "seq")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val latest = AuditLog.latestState(log, $"exec", $"status", $"ts", $"seq")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(latest("e1") == ("SUCCEEDED", 3L))
+    assert(latest("e2") == ("FAILED", 2L))
+  }
+
+  test("Multimodal: featurize is deterministic over payload bytes") {
+    import spark.implicits._
+    val media = operators.Multimodal.asMedia(
+      Tables.documents(spark, sf).limit(10), $"doc_id", $"text")
+    val out = operators.Multimodal.featurize(media).collect()
+    assert(out.length == 10)
+    out.foreach { m =>
+      val (w, h, f) = operators.Multimodal.decodeStub(Array.fill(m.n_bytes.toInt)(0), m.fmt)
+      assert(m.width == w && m.height == h && m.n_frames == f)
+    }
+  }
+}

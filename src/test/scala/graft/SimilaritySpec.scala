@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  test("brute-force top-k returns exactly k ranked neighbors per query") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val topk = Similarity.bruteForceTopK(e.filter($"vec_id" < 5), e, k = 3)
+    val counts = topk.groupBy($"query_id").count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 3))
+    // ranks are 1..k and cosine non-increasing within a query
+    val byQuery = topk.orderBy($"query_id", $"rank").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      val cos = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-1 recall vs brute force is reasonable") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(q, e, k = 1)
+      .select($"query_id", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = Similarity.lshTopK(q, e, k = 1, nPlanes = 4, probeRadius = 0)
+      .select($"query_id", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = Similarity.lshTopK(q, e, k = 1, nPlanes = 4, probeRadius = 2)
+      .select($"query_id", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(m: Map[Long, Long]): Int =
+      exact.count { case (qid, cid) => m.get(qid).contains(cid) }
+    // multi-probe must materially beat single-probe and clear a floor
+    assert(recall(multi) > recall(single),
+      s"multi-probe (${recall(multi)}) should beat single-probe (${recall(single)})")
+    assert(recall(multi) >= exact.size / 5,
+      s"LSH top-1 recall too low: ${recall(multi)}/${exact.size}")
+  }
+
+  test("cosine expression matches a driver-side reference computation") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf).filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val Array((_, v0), (_, v1), _) = rows
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Seq((v0.toSeq, v1.toSeq)).toDF("a", "b")
+      .select(functions.VectorFns.cosine($"a", $"b")).collect().head.getDouble(0)
+    assert(got == ref(v0, v1), "codegen cosine must be bit-equal to the sequential loop")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts over a memory stream (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(10), 2, "view", 3.0))
+    val q = StreamOps.windowedCounts(in.toDF(), windowLen = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT event_type, n_events FROM wc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("click") == 2 && rows("view") == 1)
+  }
+
+  test("stateful sessionization closes sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    // batch 1: two events 5 min apart (one open session)
+    in.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: an event 2h later → closes the first session
+    in.addData(Event(3, Timestamp.valueOf("2024-01-01 12:30:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sess").as[SessionOut].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 7 && closed.head.n_events == 2)
+    assert(closed.head.total_value == 3.0)
+  }
+}
