@@ -189,6 +189,19 @@ object SparkEntry {
         .orderBy($"user_id", $"session_id")
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      // semi-structured payload parsing: schema-declared from_json over the
+      // events props column, then a typed aggregation
+      val payload = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, dir)
+        .select($"event_type", from_json($"props", payload).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // ================= reference ETL surface ==========================
 
     "q_ingest_conform" -> ((s, dir) => {
@@ -494,6 +507,15 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_ingest_conform" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

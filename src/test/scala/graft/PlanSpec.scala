@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan properties that matter at 100 TB: filters reaching the
+  * parquet scan, column pruning, broadcast joins on dimension tables,
+  * whole-stage codegen on the hot paths. These assert the plan SHAPE so a
+  * regression (e.g. a lost pushdown after a refactor) fails loudly. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Plan after execution — AQE only finalizes (and wraps codegen stages)
+    * once the query has actually run. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: ship-date filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("q1: scan reads only the needed columns") {
+    val p = plan("q1_pricing_summary")
+    // 7 of 16 lineitem columns; o_orderkey etc must not appear in ReadSchema
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_partkey") && !read.contains("l_comment"),
+      s"column pruning lost: $read")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+  }
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q_semi_join plans as a semi join (no row multiplication)") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("core aggregation runs inside whole-stage codegen") {
+    val p = finalPlan("q1_pricing_summary")
+    // codegen stages print as `*(n) HashAggregate...` in the plan string
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), s"no codegen span in:\n$p")
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast in:\n$p")
+  }
+
+  test("events scan prunes to the projected columns") {
+    val p = plan("q_events_windowed")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("props"), s"events scan reads unused props: $read")
+  }
+}
