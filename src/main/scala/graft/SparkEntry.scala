@@ -189,6 +189,57 @@ object SparkEntry {
         .orderBy($"user_id", $"session_id")
     }),
 
+    "q_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      // exact interpolated percentiles (rounded: interpolation arithmetic
+      // may differ in final ulps across engines)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      def custsIn(yr: Int) = Tables.orders(s, dir)
+        .filter(year($"o_orderdate") === yr)
+        .select($"o_custkey").distinct()
+      val y96 = custsIn(1996)
+      val y97 = custsIn(1997)
+      y96.intersect(y97).withColumn("tag", lit("both"))
+        .unionAll(y96.except(y97).withColumn("tag", lit("only_1996")))
+        .orderBy($"tag", $"o_custkey")
+    }),
+
+    "q_string_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          upper($"source").as("src_up"),
+          substring($"text", 1, 12).as("head12"),
+          reverse($"lang").as("lang_rev"),
+          length(concat($"source", lit("-"), $"lang")).cast(LongType).as("cat_len"),
+          lpad($"lang", 5, "_").as("lang_pad"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_date_parts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          year($"o_orderdate").cast(LongType).as("y"),
+          quarter($"o_orderdate").cast(LongType).as("q"),
+          month($"o_orderdate").cast(LongType).as("m"),
+          dayofmonth($"o_orderdate").cast(LongType).as("d"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          datediff($"o_orderdate", lit("1995-01-01").cast(TimestampType))
+            .cast(LongType).as("days_since_epoch95"))
+        .orderBy($"o_orderkey")
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       import s.implicits._
       // semi-structured payload parsing: schema-declared from_json over the
@@ -507,6 +558,49 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t1
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t2
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT doc_id,
+        |  upper(source) AS src_up,
+        |  substring(text, 1, 12) AS head12,
+        |  reverse(lang) AS lang_rev,
+        |  length(concat(source, '-', lang)) AS cat_len,
+        |  lpad(lang, 5, '_') AS lang_pad
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+        |    AS days_since_epoch95
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

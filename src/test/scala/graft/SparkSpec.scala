@@ -8,6 +8,7 @@ trait SparkSpec {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "target/test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
