@@ -361,6 +361,16 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // end-to-end near-dup removal: LSH pairs → connected components →
+      // one canonical representative per cluster
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), $"text", $"doc_id",
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      operators.DedupClusters.clusters(pairs, $"id_a", $"id_b")
+        .orderBy($"doc_id")
+    }),
+
     // ================= similarity search ==============================
 
     "q_ann_bruteforce" -> ((s, dir) => {

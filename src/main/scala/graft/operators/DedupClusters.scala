@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clustering: connected components over a pair list, by
+  * iterative minimum-label propagation.
+  *
+  * Input: undirected edges (id_a, id_b) from any of the Dedup candidate
+  * generators. Output: (doc_id, cluster_id) where cluster_id is the
+  * smallest doc id reachable through near-duplicate links — the canonical
+  * representative to keep.
+  *
+  * Scale notes: each iteration is one groupBy shuffle on the doc id;
+  * iteration count is the graph diameter, and near-dup graphs are
+  * overwhelmingly tiny cliques (diameter ~1-2), so `maxIter` of a few
+  * converges in practice. Each iteration's result is persisted and the
+  * previous one released — no lineage blow-up. This is the standard
+  * large-graph CC shape (Hash-Min); for adversarial diameters swap in
+  * large-star/small-star, which keeps the same per-iteration shuffle.
+  */
+object DedupClusters {
+
+  def clusters(pairs: DataFrame, idA: Column, idB: Column,
+               maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+    // symmetrize + self-loops so isolated link members keep themselves
+    val sym = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(edges.select(col("src"), col("src").as("dst")))
+      .unionAll(edges.select(col("dst").as("src"), col("dst").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    // label(v) starts as v, then repeatedly takes the min label among
+    // neighbors (including itself, via the self-loop)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
+        .filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** One row per cluster: representative, member count, member list
+    * (member list capped — at corpus scale use the exploded form). */
+  def clusterSummary(clustered: DataFrame): DataFrame =
+    clustered.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+}

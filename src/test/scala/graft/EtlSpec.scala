@@ -56,6 +56,23 @@ class EtlSpec extends AnyFunSuite with SparkSpec {
     assert(d2.toSeq == Seq(99L), "touched partition replaced")
   }
 
+  test("partitioned layout enables partition pruning at read time") {
+    import spark.implicits._
+    val loc = tmpDir("prune")
+    val conformed = Conform.injectDatePartitions(
+      Tables.orders(spark, sf), $"o_orderdate")
+    PartitionedWriter.write(conformed, loc)
+    val pruned = spark.read.parquet(loc).filter($"year" === "1996")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("isnotnull(year") || scan.contains("(year"),
+      s"no partition filter pushed: $scan")
+    // pruning means only 1996 files are listed, not the whole table
+    assert(pruned.count() ==
+      conformed.filter($"year" === "1996").count())
+  }
+
   test("CatalogRegistry: upsert registers view, normalizes types, bumps version") {
     import spark.implicits._
     val reg = new CatalogRegistry(spark)

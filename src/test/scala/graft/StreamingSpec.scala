@@ -30,6 +30,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows("click") == 2 && rows("view") == 1)
   }
 
+  test("streaming ETL: foreachBatch conforms and writes date partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.etl.{Conform, PartitionedWriter}
+    val loc = s"target/test-tmp/stream-etl-${System.nanoTime()}"
+    val in = MemoryStream[Event]
+    val q = in.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the reference's per-arrival glue job: conform + partitioned write
+        PartitionedWriter.write(
+          Conform.injectDatePartitions(batch, batch("ts")), loc)
+      }
+      .start()
+    in.addData(
+      Event(1, Timestamp.valueOf("2024-02-01 10:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-02-02 11:00:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(loc)
+    assert(back.count() == 2)
+    assert(back.select($"day").distinct().count() == 2)
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
