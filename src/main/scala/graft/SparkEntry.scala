@@ -104,11 +104,15 @@ object SparkEntry {
 
     "q_window_topk" -> ((s, dir) => {
       import s.implicits._
+      // graft's optimizer rule rewrites this window+filter into the bounded
+      // TopKPerGroup operator (partial per-partition top-k heaps instead of
+      // a full window sort) — results identical, oracle still applies
+      graft.plans.GraftExtensions.install(s)
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       Tables.orders(s, dir)
-        .withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 3)
-        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk".cast(LongType).as("rk"))
         .orderBy($"o_custkey", $"rk")
     }),
 
