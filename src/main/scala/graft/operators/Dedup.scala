@@ -87,15 +87,17 @@ object Dedup {
                       shingleK: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    // persisted: referenced by the band explode AND both candidate-pair
-    // shingle fetches — without it the shingle pipeline runs three times.
-    // (At scale this is the signature table you'd materialize anyway.)
-    val docs = df.select(id.as("doc_id"), wordShingles(text, shingleK).as("shingles"))
-      .withColumn("sh_hashes", shingleHashes(col("shingles")))
+    // Shingle SETS are carried as distinct 64-bit hashes (native kernel —
+    // no shingle strings ever materialize); Jaccard over hash sets equals
+    // Jaccard over shingle sets. Persisted: referenced by the band explode
+    // AND both candidate-pair fetches — without it the pipeline runs three
+    // times. (At scale this is the signature table you'd materialize
+    // anyway.) Eager count: the three consumers otherwise race to populate
+    // the cache (block-lock contention + duplicated compute).
+    val docs = df.select(id.as("doc_id"),
+        graft.plans.Signatures.shingleHashes(
+          graft.functions.TextFns.tokens(text), shingleK).as("sh_hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the cache eagerly: the banding stage and the two
-    // candidate-verify fetches otherwise race to populate it (block-lock
-    // contention + duplicated compute)
     docs.count()
     // Band rows carry ONLY (band, band_hash, doc_id) — never the shingle
     // arrays. The bands explode multiplies row count by `bands`; keeping
@@ -125,8 +127,8 @@ object Dedup {
     // Exact-verify fetch: the candidate set is orders of magnitude smaller
     // than the corpus, so broadcast IT and stream the shingle table —
     // never the reverse (and never let AQE flip this join by stats).
-    val a = docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
     val withA = a.join(broadcast(candidates), Seq("id_a"))
     b.join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

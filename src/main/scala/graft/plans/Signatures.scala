@@ -77,6 +77,40 @@ object SignatureKernels {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
+
+  /** Distinct hashes of word k-shingles, without materializing shingle
+    * strings: hash each token's bytes once, then mix k consecutive token
+    * hashes per window. Dedup via a HashSet (shingle SETS, matching
+    * array_distinct semantics). Output order is first-occurrence order —
+    * deterministic for a given token sequence. */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      i += 1
+    }
+    val m = math.max(n - k + 1, 0)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < m) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < k) {
+        h = splitmix64(h ^ th(i + j))
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<long> shingle hashes → array<long> MinHash signature. */
@@ -100,6 +134,29 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"${ev.value} = graft.plans.SignatureKernels.minhash($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> distinct word-k-shingle hashes. */
+case class ShingleHash(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.shingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
 }
 
@@ -132,4 +189,7 @@ object Signatures {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def shingleHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), k))
 }
