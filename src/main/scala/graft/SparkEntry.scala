@@ -193,6 +193,47 @@ object SparkEntry {
         .orderBy($"user_id", $"session_id")
     }),
 
+    "q_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      // filtered/conditional aggregation in one pass over the fact table
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"l_discount" > 0.05, dec2($"l_extendedprice"))).as("disc_price"),
+          sum(when($"l_tax" === 0, dec2($"l_extendedprice"))).as("notax_price"),
+          count(when($"l_quantity" >= 30, lit(1))).as("bulk_lines"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(sum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    "q_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      // grouped list aggregation, sorted for determinism
+      Tables.orders(s, dir)
+        .filter($"o_totalprice" > 450000)
+        .groupBy($"o_custkey")
+        .agg(sort_array(collect_list($"o_orderkey")).as("big_orders"),
+          count(lit(1)).as("n_big"))
+        .orderBy($"o_custkey")
+    }),
+
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      // fixed-width bucketing histogram over order value
+      Tables.orders(s, dir)
+        .select(floor($"o_totalprice" / 50000).cast(LongType).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
       // exact interpolated percentiles (rounded: interpolation arithmetic
@@ -572,6 +613,38 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS disc_price,
+        |  sum(CASE WHEN l_tax = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS notax_price,
+        |  count(CASE WHEN l_quantity >= 30 THEN 1 END) AS bulk_lines
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderkey)) AS big_orders,
+        |  count(*) AS n_big
+        |FROM orders
+        |WHERE o_totalprice > 450000
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

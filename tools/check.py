@@ -12,7 +12,11 @@ import duckdb
 
 def canon(df):
     cols = sorted(df.columns)
-    df = df[cols]
+    df = df[cols].copy()
+    for c in cols:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: str(list(v)) if hasattr(v, "__len__") and not isinstance(v, str) else v)
     df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     return df
 
