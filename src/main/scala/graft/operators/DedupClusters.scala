@@ -38,6 +38,11 @@ object DedupClusters {
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hash-Min labels only ever decrease, so an unchanged label SUM is an
+    // exact convergence test — one cheap aggregate per round, no join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -47,12 +52,11 @@ object DedupClusters {
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
-        .filter(col("label") =!= col("old_label")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist()
