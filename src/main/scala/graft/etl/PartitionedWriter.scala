@@ -12,13 +12,22 @@ import org.apache.spark.sql.DataFrame
 object PartitionedWriter {
   val DefaultPartitionKeys: Seq[String] = Seq("year", "month", "day")
 
+  /** Formats the conformed/purpose-built zones support. Parquet is the
+    * reference's classification and the default; ORC for engines that
+    * prefer it; CSV/JSON for export zones (no column pruning or predicate
+    * pushdown — not for analytical reads at scale). */
+  val SupportedFormats: Set[String] = Set("parquet", "orc", "csv", "json")
+
   def write(df: DataFrame, location: String,
-            partitionKeys: Seq[String] = DefaultPartitionKeys): Unit = {
+            partitionKeys: Seq[String] = DefaultPartitionKeys,
+            format: String = "parquet"): Unit = {
+    require(SupportedFormats.contains(format), s"unsupported format: $format")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    var w = df.write
       .partitionBy(partitionKeys: _*)
-      .format("parquet")
+      .format(format)
       .mode("overwrite")
-      .save(location)
+    if (format == "csv") w = w.option("header", "true")
+    w.save(location)
   }
 }

@@ -73,6 +73,40 @@ class EtlSpec extends AnyFunSuite with SparkSpec {
       conformed.filter($"year" === "1996").count())
   }
 
+  test("PartitionedWriter: orc/csv/json round-trips preserve rows") {
+    import spark.implicits._
+    val df = Seq((1L, 3.5, "2024", "01", "01"), (2L, 4.5, "2024", "01", "02"))
+      .toDF("id", "v", "year", "month", "day")
+    Seq("orc", "csv", "json").foreach { fmt =>
+      val loc = tmpDir(s"fmt-$fmt")
+      PartitionedWriter.write(df, loc, format = fmt)
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true").load(loc)
+      assert(back.count() == 2, s"$fmt round-trip lost rows")
+      assert(back.columns.toSet == df.columns.toSet, s"$fmt round-trip lost columns")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedWriter.write(df, tmpDir("bad"), format = "avro")
+    }
+  }
+
+  test("SkewJoin: salted join equals plain join") {
+    import spark.implicits._
+    val fact = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    val build = Tables.supplier(spark, sf)
+      .select($"s_suppkey".as("l_suppkey"), $"s_name")
+    val plain = fact.join(build, "l_suppkey")
+    val salted = operators.SkewJoin.saltedInnerJoin(
+      fact, build, "l_suppkey", $"l_orderkey", saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    // same multiset of (orderkey, suppkey, name)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy($"l_orderkey", $"l_suppkey", $"s_name").count()
+    assert(key(plain).except(key(salted)).count() == 0)
+    assert(key(salted).except(key(plain)).count() == 0)
+  }
+
   test("CatalogRegistry: upsert registers view, normalizes types, bumps version") {
     import spark.implicits._
     val reg = new CatalogRegistry(spark)
