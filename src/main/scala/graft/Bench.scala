@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/JIT/codegen-compiler startup so it isn't attributed
+    // to whichever query happens to run first
+    spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
