@@ -465,6 +465,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_ngram_freq" -> ((s, dir) => {
+      import s.implicits._
+      // corpus-level statistic: most frequent word bigrams (map-side
+      // partial counts make the shuffle carry only distinct grams)
+      Tables.documents(s, dir)
+        .select(explode(Dedup.wordShingles($"text", 2)).as("gram"))
+        .groupBy($"gram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"gram")
+        .limit(50)
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -860,6 +872,18 @@ object SparkEntry {
         |       ELSE 'fr' END AS pred_lang
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_freq" ->
+      """WITH grams AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')))) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents) t)
+        |SELECT gram, count(*) AS cnt
+        |FROM grams
+        |GROUP BY gram
+        |ORDER BY cnt DESC, gram
+        |LIMIT 50""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,
