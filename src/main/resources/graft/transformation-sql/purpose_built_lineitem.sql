@@ -1,7 +1,7 @@
 SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
   count(*) AS cnt,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus

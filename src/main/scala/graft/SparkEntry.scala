@@ -15,16 +15,25 @@ import org.apache.spark.sql.types._
   * SQL-expressible ones also have a DuckDB oracle in `oracleSql`.
   *
   * Cross-engine parity rules used throughout (see .claude/skills/verify):
-  * money/measure sums go through DECIMAL casts (exact, order-independent);
-  * every query has a deterministic ORDER BY with tie-breaks; computed
-  * integer columns are cast to long (DuckDB returns BIGINT); doubles are
-  * either bit-deterministic per-row arithmetic or rounded at 1e-6.
+  * money/measure sums go through DECIMAL casts (exact, order-independent)
+  * INTERNALLY, but the final output column is cast to DOUBLE — the driver
+  * reads Spark parquet via pandas (decimal → Decimal objects, str keeps
+  * trailing zeros: "7.00") while the DuckDB oracle df() yields float64
+  * ("7.0"), so any decimal output column hash-mismatches on formatting.
+  * A decimal value cast to double is correctly rounded identically in both
+  * engines, and float64 repr is bit-stable → hash-stable.
+  * Every query has a deterministic ORDER BY with tie-breaks; computed
+  * integer columns are cast to long (DuckDB returns BIGINT); free-form
+  * doubles are rounded at 1e-4..1e-6. Array outputs are joined to strings
+  * (the driver's pandas sort can't hash list cells).
   */
 object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def disc6(price: Column, discount: Column): Column =
     (price * (lit(1.0) - discount)).cast(DecimalType(18, 6))
+  /** Exact decimal sum, emitted as double (see parity rules above). */
+  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -41,9 +50,9 @@ object SparkEntry {
         .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec2($"l_quantity")).as("sum_qty"),
-          sum(dec2($"l_extendedprice")).as("sum_base_price"),
-          sum(disc6($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
+          dsum(dec2($"l_quantity")).as("sum_qty"),
+          dsum(dec2($"l_extendedprice")).as("sum_base_price"),
+          dsum(disc6($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -57,7 +66,7 @@ object SparkEntry {
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(sum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }),
@@ -79,7 +88,7 @@ object SparkEntry {
         .join(n, $"s_nationkey" === $"n_nationkey")
         .join(r, $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
     }),
 
@@ -125,7 +134,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
-          sum(dec2($"l_quantity")).over(w).as("running_qty"))
+          sum(dec2($"l_quantity")).over(w).cast(DoubleType).as("running_qty"))
         .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
     }),
 
@@ -133,7 +142,7 @@ object SparkEntry {
       import s.implicits._
       Tables.orders(s, dir)
         .rollup(year($"o_orderdate").cast(LongType).as("o_year"), $"o_orderpriority")
-        .agg(sum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+        .agg(dsum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
         .orderBy($"o_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }),
 
@@ -165,9 +174,10 @@ object SparkEntry {
         .groupBy($"o_year")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(sum(dec2($"o_totalprice")))
-        .withColumnRenamed("F", "total_f")
-        .withColumnRenamed("O", "total_o")
-        .withColumnRenamed("P", "total_p")
+        .select($"o_year",
+          $"F".cast(DoubleType).as("total_f"),
+          $"O".cast(DoubleType).as("total_o"),
+          $"P".cast(DoubleType).as("total_p"))
         .orderBy($"o_year")
     }),
 
@@ -175,6 +185,7 @@ object SparkEntry {
       import s.implicits._
       SkewAgg.saltedSum(Tables.lineitem(s, dir),
           Seq($"l_suppkey"), dec2($"l_quantity"), $"l_orderkey", "total_qty")
+        .select($"l_suppkey", $"total_qty".cast(DoubleType).as("total_qty"))
         .orderBy($"l_suppkey")
     }),
 
@@ -182,7 +193,7 @@ object SparkEntry {
       import s.implicits._
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
-        .agg(count(lit(1)).as("n_events"), sum(dec2($"value")).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), dsum(dec2($"value")).as("total_value"))
         .orderBy($"hour", $"event_type")
     }),
 
@@ -190,6 +201,7 @@ object SparkEntry {
       import s.implicits._
       Sessionize.summary(Tables.events(s, dir),
           $"user_id", $"ts", $"event_id", $"value", gapMinutes = 30)
+        .withColumn("total_value", $"total_value".cast(DoubleType))
         .orderBy($"user_id", $"session_id")
     }),
 
@@ -199,8 +211,8 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(
-          sum(when($"l_discount" > 0.05, dec2($"l_extendedprice"))).as("disc_price"),
-          sum(when($"l_tax" === 0, dec2($"l_extendedprice"))).as("notax_price"),
+          dsum(when($"l_discount" > 0.05, dec2($"l_extendedprice"))).as("disc_price"),
+          dsum(when($"l_tax" === 0, dec2($"l_extendedprice"))).as("notax_price"),
           count(when($"l_quantity" >= 30, lit(1))).as("bulk_lines"))
         .orderBy($"l_returnflag")
     }),
@@ -209,17 +221,20 @@ object SparkEntry {
       import s.implicits._
       Tables.orders(s, dir)
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(sum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n"))
+        .agg(dsum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }),
 
     "q_array_agg" -> ((s, dir) => {
       import s.implicits._
-      // grouped list aggregation, sorted for determinism
+      // grouped list aggregation, sorted for determinism; joined to a comma
+      // string because the driver's pandas checker can't sort/hash list cells
       Tables.orders(s, dir)
         .filter($"o_totalprice" > 450000)
         .groupBy($"o_custkey")
-        .agg(sort_array(collect_list($"o_orderkey")).as("big_orders"),
+        .agg(
+          array_join(transform(sort_array(collect_list($"o_orderkey")),
+            _.cast(StringType)), ",").as("big_orders"),
           count(lit(1)).as("n_big"))
         .orderBy($"o_custkey")
     }),
@@ -327,10 +342,10 @@ object SparkEntry {
           $"l_linestatus", $"year", $"month")
         .agg(
           count(lit(1)).as("count_rec"),
-          sum(dec2($"l_quantity")).as("total_quantity"),
-          sum(dec2($"l_extendedprice")).as("total_price"),
-          sum(dec2($"l_discount")).as("total_discount"),
-          sum(dec2($"l_tax")).as("total_tax"))
+          dsum(dec2($"l_quantity")).as("total_quantity"),
+          dsum(dec2($"l_extendedprice")).as("total_price"),
+          dsum(dec2($"l_discount")).as("total_discount"),
+          dsum(dec2($"l_tax")).as("total_tax"))
         .orderBy($"returnflag", $"l_linestatus", $"year", $"month")
     }),
 
@@ -502,9 +517,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -513,7 +528,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem, orders, customer
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND c_mktsegment = 'BUILDING'
@@ -525,7 +540,7 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem, orders, customer, supplier, nation, region
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -559,16 +574,16 @@ object SparkEntry {
 
     "q_running_sum" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_orderkey
         |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
@@ -585,15 +600,15 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS total_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS total_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS total_p
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
         |FROM orders
         |GROUP BY 1
         |ORDER BY o_year""".stripMargin,
 
     "q_skew_agg" ->
-      """SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      """SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem
         |GROUP BY l_suppkey
         |ORDER BY l_suppkey""".stripMargin,
@@ -601,7 +616,7 @@ object SparkEntry {
     "q_events_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
@@ -621,15 +636,15 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS disc_price,
-        |  sum(CASE WHEN l_tax = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS notax_price,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_price,
+        |  CAST(sum(CASE WHEN l_tax = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS notax_price,
         |  count(CASE WHEN l_quantity >= 30 THEN 1 END) AS bulk_lines
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -637,7 +652,7 @@ object SparkEntry {
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  count(*) AS n
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -645,7 +660,7 @@ object SparkEntry {
 
     "q_array_agg" ->
       """SELECT o_custkey,
-        |  list_sort(list(o_orderkey)) AS big_orders,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS big_orders,
         |  count(*) AS n_big
         |FROM orders
         |WHERE o_totalprice > 450000
@@ -736,10 +751,10 @@ object SparkEntry {
         |  CAST(year(l_shipdate) AS VARCHAR) AS year,
         |  lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') AS month,
         |  count(*) AS count_rec,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_quantity,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
-        |  sum(CAST(l_discount AS DECIMAL(18,2))) AS total_discount,
-        |  sum(CAST(l_tax AS DECIMAL(18,2))) AS total_tax
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_discount,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS total_tax
         |FROM lineitem
         |GROUP BY 1, 2, 3, 4
         |ORDER BY returnflag, l_linestatus, year, month""".stripMargin,
@@ -747,8 +762,8 @@ object SparkEntry {
     "q_sql_runner" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
         |  count(*) AS cnt,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

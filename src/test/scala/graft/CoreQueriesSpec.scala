@@ -22,11 +22,13 @@ class CoreQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("q1 aggregates are decimal-exact") {
-    val row = SparkEntry.queries("q1_pricing_summary")(spark, sf)
-      .filter("l_returnflag = 'A' AND l_linestatus = 'F'").collect().head
-    // sums are DecimalType → exact regardless of partitioning/order
-    assert(row.getAs[java.math.BigDecimal]("sum_qty").scale == 2)
+  test("q1 aggregates sum in decimal, emit double") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    // internal sums are DecimalType (exact regardless of partitioning/order);
+    // the OUTPUT is double for cross-engine hash parity (see SparkEntry doc)
+    assert(df.schema("sum_qty").dataType == org.apache.spark.sql.types.DoubleType)
+    val row = df.filter("l_returnflag = 'A' AND l_linestatus = 'F'").collect().head
+    assert(row.getAs[Double]("sum_qty") > 0)
     assert(row.getAs[Long]("count_order") > 0)
   }
 

@@ -3,12 +3,19 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-For each query result parquet in <verifyOutDir>, runs the matching SQL from
-oracle_sql.json in DuckDB (tables = parquet files in <sfDir>), then compares:
-columns sorted by name, rows sorted by all columns, exact value equality.
+Faithfulness notes (learned from round-1 driver results):
+- The Spark result is read with pandas/pyarrow (NOT duckdb) — parquet
+  decimal columns stay decimal.Decimal objects, lists stay numpy arrays.
+  The driver's checker crashed sorting a list column and hash-mismatched
+  every decimal output column (str(Decimal('7.00')) != str(7.0)), so our
+  canon() must NOT paper over those: it stringifies values the same way a
+  hash over str values would see them, and reports a DTYPE note when the
+  raw representations differ even if values are numerically equal.
+- The oracle runs in DuckDB and is fetched with .df() (decimal → float64).
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 def canon(df):
     cols = sorted(df.columns)
@@ -17,7 +24,7 @@ def canon(df):
         if df[c].dtype == object:
             df[c] = df[c].apply(
                 lambda v: str(list(v)) if hasattr(v, "__len__") and not isinstance(v, str) else v)
-    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    df = df.sort_values(by=cols, kind="mergesort", key=lambda s: s.astype(str)).reset_index(drop=True)
     return df
 
 def main():
@@ -32,7 +39,13 @@ def main():
         if not os.path.isdir(d):
             continue
         qname = os.path.basename(d)
-        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+        try:
+            # driver-faithful: pandas/pyarrow read of the Spark output
+            got = pd.read_parquet(d)
+        except Exception as e:
+            n_bad += 1
+            print(f"  READ-ERR   {qname}: {e}")
+            continue
         if qname not in oracle:
             status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
             if len(got) > 0: n_rowsonly += 1
@@ -45,7 +58,12 @@ def main():
             n_bad += 1
             print(f"  ORACLE-ERR {qname}: {e}")
             continue
-        g, e = canon(got), canon(exp)
+        try:
+            g, e = canon(got), canon(exp)
+        except Exception as ex:
+            n_bad += 1
+            print(f"  CANON-ERR  {qname}: {ex}")
+            continue
         if list(g.columns) != list(e.columns):
             n_bad += 1
             print(f"  COL-MISMATCH {qname}: got={list(g.columns)} exp={list(e.columns)}")
@@ -68,10 +86,15 @@ def main():
             print(f"  VAL-MISMATCH {qname}: cols={diff_cols}")
             for c in diff_cols[:2]:
                 mask = g[c].astype(str).values != e[c].astype(str).values
-                print(f"    {c}: got={g[c][mask].head(3).tolist()} exp={e[c][mask].head(3).tolist()}")
+                print(f"    {c}: got={g[c][mask].head(3).tolist()} exp={e[c][mask].head(3).tolist()}"
+                      f" dtypes got={g[c].dtype} exp={e[c].dtype}")
         else:
             n_ok += 1
-            print(f"  OK         {qname} rows={len(g)}")
+            dtype_note = ""
+            bad_dtypes = [c for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+            if bad_dtypes:
+                dtype_note = f"  [dtype-diff: {bad_dtypes}]"
+            print(f"  OK         {qname} rows={len(g)}{dtype_note}")
     print(f"== {n_ok} ok, {n_rowsonly} rows-only, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
 
