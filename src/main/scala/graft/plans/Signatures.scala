@@ -78,6 +78,62 @@ object SignatureKernels {
     x ^ (x >>> 31)
   }
 
+  /** All unordered pairs of an id array, as (min, max) structs — the
+    * LSH bucket-local candidate expansion. A primitive double loop
+    * replaces the nested higher-order `transform` formulation, whose
+    * per-element closure interpretation and ~KB of generated code per
+    * branch dominated both steady-state time and first-use JIT. */
+  def idPairs(idArr: ArrayData): ArrayData = {
+    val n = idArr.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = idArr.getLong(i); i += 1 }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ids(i); val b = ids(j)
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](math.min(a, b), math.max(a, b)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All unordered pairs of (doc_id, sig) structs with the pair's hamming
+    * distance — the simhash bucket-local expansion (xor + bitCount inline,
+    * so no per-pair bit_count expression downstream). */
+  def simhashPairArray(ms: ArrayData): ArrayData = {
+    val n = ms.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = ms.getStruct(i, 2)
+      ids(i) = r.getLong(0); sigs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ids(i); val b = ids(j)
+        val ham = java.lang.Long.bitCount(sigs(i) ^ sigs(j)).toLong
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](math.min(a, b), math.max(a, b), ham))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashes of word k-shingles, without materializing shingle
     * strings: hash each token's bytes once, then mix k consecutive token
     * hashes per window. Dedup via a HashSet (shingle SETS, matching
@@ -183,6 +239,64 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<bigint> ids → array<struct<id_a,id_b>> of all unordered pairs. */
+case class IdPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "id_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"id_pairs expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.idPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.idPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): IdPairs =
+    copy(child = newChild)
+}
+
+/** array<struct<bigint,bigint>> (id, simhash) → array<struct<id_a,id_b,
+  * hamming>> of all unordered pairs with hamming distance. */
+case class SimhashPairArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("hamming", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "simhash_pair_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_pair_array expects array<struct<bigint,bigint>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhashPairArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.simhashPairArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashPairArray =
+    copy(child = newChild)
+}
+
 object Signatures {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
@@ -192,4 +306,10 @@ object Signatures {
 
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), k))
+
+  def idPairs(ids: Column): Column =
+    ColumnBridge.column(IdPairs(ColumnBridge.expression(ids)))
+
+  def simhashPairArray(ms: Column): Column =
+    ColumnBridge.column(SimhashPairArray(ColumnBridge.expression(ms)))
 }

@@ -45,6 +45,52 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"simhash caught only ${caught.size}/${bruteForcePairs.size}")
   }
 
+  test("simhash sub-band split is loss-free: every bucket split == no split") {
+    import spark.implicits._
+    // splitThreshold=2 forces EVERY bucket of >= 3 docs through the 12-bit
+    // sub-band path; the pigeonhole argument says output must be identical
+    def pairs(t: Int) = Dedup.simhashPairs(docs, $"text", $"doc_id",
+        maxHamming = 3, splitThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val noSplit = pairs(Int.MaxValue)
+    assert(noSplit.nonEmpty)
+    assert(pairs(2) == noSplit)
+  }
+
+  test("simhash survives a pathological homogeneous corpus (no silent drops)") {
+    import spark.implicits._
+    // 80 docs that differ only in a short suffix: signatures cluster, so
+    // 16-bit band buckets go hot — the old maxBucket cutoff would have
+    // dropped them wholesale
+    val base = "the quick brown fox jumps over the lazy dog again and again "
+    val hom = (0L until 80L).map(i => (i, base * 3 + s"tail$i")).toDF("doc_id", "text")
+    def pairs(t: Int) = Dedup.simhashPairs(hom, $"text", $"doc_id",
+        maxHamming = 3, splitThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val noSplit = pairs(Int.MaxValue)
+    assert(noSplit.nonEmpty, "homogeneous corpus should produce near-dup pairs")
+    assert(pairs(4) == noSplit, "split output must equal unsplit output")
+    // telemetry: the hot buckets are visible, not silent
+    val stats = Dedup.simhashBucketStats(hom, $"text", $"doc_id", splitThreshold = 4)
+    assert(stats.count() > 0)
+  }
+
+  test("minhash hot-bucket sub-blocking keeps the planted near-dups") {
+    import spark.implicits._
+    // force sub-blocking of every band bucket; planted pairs (J >= 0.8)
+    // survive a single-element sub-band with p = 1-(1-J)^4 per band and
+    // appear in ~bands buckets — require full recall here, deterministic
+    val lsh = Dedup.minhashLshPairs(docs, $"text", $"doc_id",
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5,
+        splitThreshold = 4)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = bruteForcePairs -- lsh
+    assert(missed.size <= bruteForcePairs.size / 10,
+      s"sub-blocked LSH missed ${missed.size}/${bruteForcePairs.size} pairs")
+    assert((lsh -- bruteForcePairs).isEmpty, "exact verify must kill false positives")
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     import spark.implicits._
     val withDup = docs.select($"doc_id", $"text")

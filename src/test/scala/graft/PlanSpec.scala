@@ -56,6 +56,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"query side not broadcast in:\n$p")
   }
 
+  test("embedding dedup joins on the LSH bucket key — never all-pairs") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs/nested-loop join in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"no bucket equi-join in:\n$p")
+  }
+
   test("events scan prunes to the projected columns") {
     val p = plan("q_events_windowed")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

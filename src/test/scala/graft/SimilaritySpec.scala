@@ -42,6 +42,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"LSH top-1 recall too low: ${recall(multi)}/${exact.size}")
   }
 
+  test("cosineNearDupPairs equals a driver-side bucket+verify reference") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf).filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planes = Similarity.hyperplanes(6, 64)
+    def bucket(v: Array[Float]): Long = {
+      var b = 0L
+      planes.indices.foreach { p =>
+        var dot = 0.0
+        v.indices.foreach(j => dot += v(j).toDouble * planes(p)(j))
+        if (dot >= 0) b |= (1L << p)
+      }
+      b
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib
+      if java.lang.Long.bitCount(bucket(va) ^ bucket(vb)) <= 1
+      if cos6(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    val got = Similarity.cosineNearDupPairs(Tables.embeddings(spark, sf),
+        threshold = 0.3, sampleMod = 5, nPlanes = 6, dim = 64, probeRadius = 1)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("cosine expression matches a driver-side reference computation") {
     import spark.implicits._
     val rows = Tables.embeddings(spark, sf).filter($"vec_id" < 3)
