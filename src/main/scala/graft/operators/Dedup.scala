@@ -54,11 +54,24 @@ object Dedup {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesOf(TextFns.tokens(text), k)
 
-  /** Distinct character n-grams. */
+  /** Distinct character n-grams (string arrays — for small inputs and
+    * debugging; the hot path is [[charShingleHashes]]). */
   def charShingles(text: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
         i => substring(text, lit(i), lit(n)).asInstanceOf[Column]))
+
+  /** Distinct char n-gram hashes, sorted — native kernel, one UTF-8 walk
+    * per doc, no per-gram string allocation. Jaccard over these equals
+    * Jaccard over the gram strings (64-bit hashes; collision odds are
+    * ~1e-13 per doc pair). */
+  def charShingleHashes(text: Column, n: Int): Column =
+    graft.plans.Signatures.charShingleHashes(text, n)
+
+  /** Exact Jaccard over two SORTED hash arrays — native linear merge
+    * (no per-pair hash-set build as in array_intersect). */
+  def jaccardHashed(a: Column, b: Column): Column =
+    graft.plans.Signatures.jaccardSorted(a, b)
 
   /** Exact Jaccard similarity between two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {

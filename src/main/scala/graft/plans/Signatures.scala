@@ -78,6 +78,54 @@ object SignatureKernels {
     x ^ (x >>> 31)
   }
 
+  /** Distinct char n-gram hashes of a string, SORTED ascending — one
+    * UTF-8 walk records codepoint byte offsets, then each shingle hashes
+    * its byte range directly (no per-gram string materializes, no O(len²)
+    * substring walking). Sorted output turns downstream set ops
+    * (jaccardSortedLongs) into linear merges. */
+  def charShingleHashesSorted(t: UTF8String, n: Int): ArrayData = {
+    val bytes = t.numBytes()
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    // codepoint start offsets (byte positions), +1 sentinel at end
+    val starts = new Array[Int](t.numChars() + 1)
+    var i = 0; var c = 0
+    while (i < bytes) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      c += 1
+    }
+    starts(c) = bytes
+    val m = math.max(c - n + 1, 0)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val buf = new Array[Long](m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      val b0 = starts(i)
+      val h = XXH64.hashUnsafeBytes(base, off + b0, starts(i + n) - b0, 42L)
+      if (seen.add(h)) { buf(k) = h; k += 1 }
+      i += 1
+    }
+    val out = java.util.Arrays.copyOf(buf, k)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard of two SORTED distinct long arrays via a linear merge. */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
   /** All unordered pairs of an id array, as (min, max) structs — the
     * LSH bucket-local candidate expansion. A primitive double loop
     * replaces the nested higher-order `transform` formulation, whose
@@ -239,6 +287,57 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → sorted distinct char n-gram hashes (array<bigint>). */
+case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_shingle_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.charShingleHashesSorted(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.charShingleHashesSorted($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+    copy(child = newChild)
+}
+
+/** (sorted array<bigint>, sorted array<bigint>) → jaccard (double). */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects two array<bigint>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.jaccardSortedLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SignatureKernels.jaccardSortedLongs($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** array<bigint> ids → array<struct<id_a,id_b>> of all unordered pairs. */
 case class IdPairs(child: Expression) extends UnaryExpression {
 
@@ -309,6 +408,12 @@ object Signatures {
 
   def idPairs(ids: Column): Column =
     ColumnBridge.column(IdPairs(ColumnBridge.expression(ids)))
+
+  def charShingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(CharShingleHashes(ColumnBridge.expression(text), n))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def simhashPairArray(ms: Column): Column =
     ColumnBridge.column(SimhashPairArray(ColumnBridge.expression(ms)))
