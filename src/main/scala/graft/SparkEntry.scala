@@ -368,6 +368,18 @@ object SparkEntry {
         .orderBy($"year", $"month", $"day")
     }),
 
+    "q_ingest_static_partition" -> ((s, dir) => {
+      import s.implicits._
+      // run-scoped partition stamp from job args (add_partition parity,
+      // etl_raw_to_conformed.py:163-173): every row of the run lands in
+      // ONE partition regardless of its event date
+      Conform.injectStaticPartitions(
+          Conform.castNullColumns(Tables.orders(s, dir)), "1998", "08", "02")
+        .groupBy($"year", $"month", $"day")
+        .agg(count(lit(1)).as("n_rows"), countDistinct($"o_orderdate").as("n_dates"))
+        .orderBy($"year", $"month", $"day")
+    }),
+
     "q_purpose_built_agg" -> ((s, dir) => {
       import s.implicits._
       // the taxi-SQL purpose-built shape (transformation-sql/*.sql):
@@ -788,6 +800,14 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM orders
         |GROUP BY 1, 2, 3, 4
+        |ORDER BY year, month, day""".stripMargin,
+
+    "q_ingest_static_partition" ->
+      """SELECT '1998' AS year, '08' AS month, '02' AS day,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT o_orderdate) AS n_dates
+        |FROM orders
+        |GROUP BY 1, 2, 3
         |ORDER BY year, month, day""".stripMargin,
 
     "q_purpose_built_agg" ->

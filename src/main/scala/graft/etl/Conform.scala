@@ -41,6 +41,18 @@ object Conform {
       .withColumn("month", lpad(month(dateCol).cast(StringType), 2, "0"))
       .withColumn("day", lpad(dayofmonth(dateCol).cast(StringType), 2, "0"))
 
+  /** Stamp EVERY row of a run with the same `year`/`month`/`day` strings,
+    * exactly as the reference's `add_partition` does with its
+    * `p_year`/`p_month`/`p_day` job arguments
+    * (etl_raw_to_conformed.py:163-173): a file spanning event dates still
+    * lands wholly in the run's partition. Use [[injectDatePartitions]]
+    * when partitions should follow a data column instead. */
+  def injectStaticPartitions(df: DataFrame, year: String, month: String,
+                             day: String): DataFrame =
+    df.withColumn("year", lit(year))
+      .withColumn("month", lit(month))
+      .withColumn("day", lit(day))
+
   /** The reference's partition path `{year}/{month}/{day}`. */
   def partitionPath(df: DataFrame): DataFrame =
     df.withColumn("partition_path",

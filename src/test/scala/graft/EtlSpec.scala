@@ -120,6 +120,42 @@ class EtlSpec extends AnyFunSuite with SparkSpec {
     assert(cat.filter($"table_name" === "t1" && $"table_version" === 1).count() == 2)
   }
 
+  test("Conform: static partition injection stamps every row with the job args") {
+    import spark.implicits._
+    // a file spanning event dates still lands wholly in the run's partition
+    // (add_partition, etl_raw_to_conformed.py:163-173)
+    val df = Seq(("2024-03-07", 1L), ("2023-12-31", 2L)).toDF("d", "id")
+      .withColumn("d", $"d".cast("timestamp"))
+    val out = Conform.injectStaticPartitions(df, "2024", "03", "07")
+    val parts = out.select($"year", $"month", $"day").distinct().collect()
+    assert(parts.length == 1)
+    assert(parts.head.toSeq == Seq("2024", "03", "07"))
+  }
+
+  test("CatalogRegistry: metastore table over a partitioned write + RECOVER PARTITIONS") {
+    import spark.implicits._
+    val loc = new java.io.File(tmpDir("ext")).getAbsolutePath
+    val reg = new CatalogRegistry(spark)
+    val day1 = Seq((1L, 10.5, "2024", "01", "01"), (2L, 20.5, "2024", "01", "02"))
+      .toDF("id", "v", "year", "month", "day")
+    PartitionedWriter.write(day1, loc)
+    val meta = reg.upsertExternal(day1, "graft_ext", "t_ext", loc)
+    assert(meta.storage.serdeLibrary.contains("ParquetHiveSerDe"))
+    // queryable BY NAME, with partition pruning available
+    assert(spark.sql("SELECT count(*) FROM graft_ext.t_ext").collect().head.getLong(0) == 2)
+    // out-of-band partition arrival (another writer drops a new date dir)
+    Seq((3L, 30.5)).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$loc/year=2024/month=01/day=03")
+    reg.recoverPartitions("graft_ext", "t_ext")
+    assert(spark.sql("SELECT count(*) FROM graft_ext.t_ext WHERE day = '03'")
+      .collect().head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft_ext.t_ext").collect().head.getLong(0) == 3)
+    // upsert again: version bumps, data untouched (external semantics)
+    val meta2 = reg.upsertExternal(day1, "graft_ext", "t_ext", loc)
+    assert(meta2.version == 1)
+    assert(spark.sql("SELECT count(*) FROM graft_ext.t_ext").collect().head.getLong(0) == 3)
+  }
+
   test("SqlTransform: resource SQL runs against registered views") {
     Tables.registerAll(spark, sf)
     val out = SqlTransform.fromResource(spark, "purpose_built_lineitem")
