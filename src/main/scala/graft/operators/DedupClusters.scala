@@ -21,8 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Labels plus convergence telemetry: `iterations` actually run, and
+    * whether the labels were VERIFIED stable (an iteration completed with
+    * no label change) before `maxIter` cut the loop. An unconverged
+    * result is still a valid partial clustering — every label is some
+    * reachable doc id — but long chains may not have collapsed to their
+    * global minimum yet. */
+  final case class ClusteringResult(labels: DataFrame, iterations: Int,
+                                    converged: Boolean)
+
   def clusters(pairs: DataFrame, idA: Column, idB: Column,
                maxIter: Int = 5): DataFrame = {
+    val r = clustersWithStats(pairs, idA, idB, maxIter)
+    if (!r.converged) {
+      log.warn(s"DedupClusters: label propagation hit maxIter=$maxIter " +
+        s"before verified convergence — long duplicate chains may carry " +
+        s"non-canonical labels. Raise maxIter (diameter-bound) or use " +
+        s"large-star/small-star for adversarial-diameter graphs.")
+    }
+    r.labels
+  }
+
+  def clustersWithStats(pairs: DataFrame, idA: Column, idB: Column,
+                        maxIter: Int = 5): ClusteringResult = {
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
     // symmetrize + self-loops so isolated link members keep themselves
     val sym = edges
@@ -60,7 +83,9 @@ object DedupClusters {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    ClusteringResult(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      iterations = iter, converged = converged)
   }
 
   /** One row per cluster: representative, member count, member list

@@ -17,9 +17,23 @@ import scala.collection.mutable
   * Spark spelling, but WindowExec must shuffle and fully sort EVERY row of
   * every group before the filter drops all but k of them. At 100 TB that
   * sort dominates. This operator keeps a bounded k-heap per group on each
-  * input partition (map-side), shuffles only the surviving ≤ k×groups
-  * candidate rows, and repeats the bounded selection after the shuffle —
+  * input partition (map-side), shuffles only the surviving candidate rows,
+  * and assigns ranks with a streaming sort-based pass after the shuffle —
   * the ranking analogue of partial aggregation.
+  *
+  * Memory safety at high group cardinality (the 100 TB failure mode):
+  *  - phase 1 caps the number of live heaps per partition at
+  *    [[TopKLocalExec.MaxGroupsPerPartition]]; beyond it, the
+  *    least-recently-started group's heap is FLUSHED downstream instead of
+  *    growing the map. Flushing is loss-free: phase-1 output only needs to
+  *    be a superset of each group's true top-k, and every true top-k row
+  *    is top-k of whatever flush segment it falls in. Worst case (groups
+  *    ~ rows) phase 1 degrades to a pass-through — exactly what the
+  *    window formulation shuffles anyway.
+  *  - phase 2 requires (group, orderSpec) sort order from Spark's
+  *    EnsureRequirements — the external sort spills — and streams each
+  *    group with O(k) state instead of holding a heap per group of the
+  *    partition.
   *
   * Wired in via SparkSessionExtensions ([[GraftExtensions]]): an optimizer
   * rule rewrites the Filter-over-row_number-Window pattern (when the
@@ -40,24 +54,51 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
-/** Shared kernel: consume rows, keep a bounded max-heap of the top-k rows
-  * per group key (heap root = currently-worst retained row). */
-private[plans] object TopKHeaps {
-  def topKByGroup(
+/** Phase-1 kernel: streaming bounded selection. At most `maxGroups` live
+  * k-heaps; when a new group arrives at the cap, the least-recently-started
+  * heap is flushed to the output iterator (see memory-safety note above). */
+private[graft] object TopKHeaps {
+  def boundedTopK(
       iter: Iterator[InternalRow],
       groupProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
-      k: Int): Iterator[(InternalRow, mutable.PriorityQueue[InternalRow])] = {
-    val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-    while (iter.hasNext) {
-      val row = iter.next().copy()
-      val key = groupProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        mutable.PriorityQueue.empty[InternalRow](ordering))
-      if (heap.size < k) heap.enqueue(row)
-      else if (ordering.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row) }
+      k: Int,
+      maxGroups: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+    private val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+    private val flushed = mutable.Queue.empty[InternalRow]
+    private var tail: Iterator[InternalRow] = Iterator.empty
+    private var drained = false
+
+    private def fill(): Unit = {
+      while (flushed.isEmpty && iter.hasNext) {
+        val row = iter.next().copy()
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < k) heap.enqueue(row)
+            else if (ordering.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row) }
+          case None =>
+            if (heaps.size >= maxGroups) {
+              val (_, oldHeap) = heaps.head
+              heaps.remove(heaps.head._1)
+              flushed ++= oldHeap
+            }
+            val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heap.enqueue(row)
+            heaps(key.copy()) = heap
+        }
+      }
+      if (flushed.isEmpty && !iter.hasNext && !drained) {
+        drained = true
+        tail = heaps.valuesIterator.flatMap(_.iterator)
+      }
     }
-    heaps.iterator
+
+    override def hasNext: Boolean = { fill(); flushed.nonEmpty || tail.hasNext }
+    override def next(): InternalRow = {
+      fill()
+      if (flushed.nonEmpty) flushed.dequeue() else tail.next()
+    }
   }
 }
 
@@ -76,11 +117,11 @@ case class TopKLocalExec(
     val orderB = orderSpec
     val childOutput = child.output
     val kB = k
+    val maxGroups = TopKLocalExec.MaxGroupsPerPartition
     child.execute().mapPartitions { iter =>
       val groupProj = GenerateUnsafeProjection.generate(groupExprsB, childOutput)
       val ordering = RowOrdering.create(orderB, childOutput)
-      TopKHeaps.topKByGroup(iter, groupProj, ordering, kB)
-        .flatMap { case (_, heap) => heap.iterator }
+      TopKHeaps.boundedTopK(iter, groupProj, ordering, kB, maxGroups)
     }
   }
 
@@ -88,8 +129,20 @@ case class TopKLocalExec(
     copy(child = newChild)
 }
 
-/** Phase 2: after clustering by the group key, final bounded selection +
-  * rank assignment (1-based, in order-spec order). */
+object TopKLocalExec {
+  /** Live-heap cap per partition: bounds phase-1 memory at
+    * cap × k rows (~tens of MB for typical k) regardless of group
+    * cardinality. Low enough to be safe beside a 128 MB shuffle
+    * partition, high enough that well-clustered inputs never flush. */
+  val MaxGroupsPerPartition: Int = 1 << 16
+}
+
+/** Phase 2: after clustering by the group key AND sorting by
+  * (group, orderSpec) — both enforced through EnsureRequirements, so the
+  * sort is Spark's spill-capable external sort over the already-pruned
+  * candidate set — stream each group and emit its first k rows with
+  * their 1-based rank. O(k) state per group; nothing is held across
+  * groups. */
 case class TopKFinalExec(
     groupExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -99,26 +152,35 @@ case class TopKFinalExec(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(groupExprs))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(groupExprs.map(e => SortOrder(e, Ascending)) ++ orderSpec)
+  override def outputOrdering: Seq[SortOrder] =
+    groupExprs.map(e => SortOrder(e, Ascending)) ++ orderSpec
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprsB = groupExprs
-    val orderB = orderSpec
     val childOutput = child.output
     val outputB = output
     val rankIsLong = rankAttr.dataType == LongType
     val kB = k
     child.execute().mapPartitions { iter =>
       val groupProj = GenerateUnsafeProjection.generate(groupExprsB, childOutput)
-      val ordering = RowOrdering.create(orderB, childOutput)
       val resultProj = GenerateUnsafeProjection.generate(
         outputB.map(a => BoundReference(outputB.indexOf(a), a.dataType, a.nullable)))
       val joiner = new JoinedRow
-      TopKHeaps.topKByGroup(iter, groupProj, ordering, kB).flatMap { case (_, heap) =>
-        val sorted = heap.dequeueAll.reverse // ascending in order spec
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          val rank: Any = if (rankIsLong) (i + 1).toLong else i + 1
-          resultProj(joiner(row, InternalRow(rank))).copy()
+      var currentKey: InternalRow = null
+      var seen = 0
+      iter.flatMap { row =>
+        val key = groupProj(row)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          seen = 0
         }
+        seen += 1
+        if (seen <= kB) {
+          val rank: Any = if (rankIsLong) seen.toLong else seen
+          Iterator.single(resultProj(joiner(row, InternalRow(rank))))
+        } else Iterator.empty
       }
     }
   }

@@ -16,6 +16,20 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("convergence telemetry: a chain longer than maxIter reports unconverged") {
+    import spark.implicits._
+    // path 0-1-2-...-12: Hash-Min moves the min one hop per iteration, so
+    // diameter 12 cannot converge in 3 iterations
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val short = DedupClusters.clustersWithStats(chain, $"id_a", $"id_b", maxIter = 3)
+    assert(!short.converged && short.iterations == 3)
+    // partial labels are still valid reachable ids (never invented)
+    short.labels.collect().foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+    val full = DedupClusters.clustersWithStats(chain, $"id_a", $"id_b", maxIter = 20)
+    assert(full.converged && full.iterations < 20)
+    assert(full.labels.collect().forall(_.getLong(1) == 0L), "chain must collapse to 0")
+  }
+
   test("clusters over real minhash pairs are internally consistent") {
     import spark.implicits._
     val pairs = operators.Dedup.minhashLshPairs(
