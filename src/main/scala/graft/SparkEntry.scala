@@ -240,6 +240,22 @@ object SparkEntry {
         .orderBy($"user_id", $"session_id")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      // time-series as-of join: each click picks up the latest prior
+      // purchase of the same user (inclusive) — one shuffle + one sort
+      // via the union/window operator, never a range-probe nested loop
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+      operators.AsOfJoin.backward(clicks, purchases,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("pvalue"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
     "q_conditional_agg" -> ((s, dir) => {
       import s.implicits._
       // filtered/conditional aggregation in one pass over the fact table
@@ -548,6 +564,13 @@ object SparkEntry {
         .limit(50)
     }),
 
+    "q_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.install(s)
+      operators.TfIdf.topTerms(Tables.documents(s, dir), $"text", $"doc_id", k = 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -696,6 +719,16 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.ts, c.event_id, c.value,
+        |  p.ts AS asof_time, p.pvalue AS asof_pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT l_returnflag,
@@ -948,6 +981,25 @@ object SparkEntry {
         |GROUP BY gram
         |ORDER BY cnt DESC, gram
         |LIMIT 50""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, tfidf, rank FROM ranked
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

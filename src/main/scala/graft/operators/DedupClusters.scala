@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate clustering: connected components over a pair list, by
@@ -86,6 +87,81 @@ object DedupClusters {
     ClusteringResult(
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
       iterations = iter, converged = converged)
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the adversarial-diameter upgrade over Hash-Min: a path of length L
+    * needs L Hash-Min rounds but only O(log L) star rounds, because each
+    * round re-points whole neighborhoods at their minimum instead of
+    * moving labels one hop.
+    *
+    * Per round: large-star (every neighbor larger than u re-points at
+    * u's neighborhood minimum) then small-star (every neighbor not larger
+    * than u, and u itself, re-point at the minimum). Both are one
+    * window-min + projection over the edge list — shuffles on the node
+    * key only, edge set never grows beyond the input. Convergence =
+    * edge-set fixpoint, detected by an order-independent (count,
+    * hash-sum) signature — one cheap aggregate per round. At the
+    * fixpoint the edges form stars around component minima. */
+  def clustersLargeSmallStar(pairs: DataFrame, idA: Column, idB: Column,
+                             maxIter: Int = 20): ClusteringResult = {
+    import org.apache.spark.storage.StorageLevel
+    val w = Window.partitionBy(col("u"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      both.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withMin = dir.withColumn("m", least(min(col("v")).over(w), col("u")))
+      withMin.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, String) = {
+      // decimal-width sum: ANSI mode would overflow a long hash-sum
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect().head
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+
+    val nodes = pairs.select(idA.as("id")).unionAll(pairs.select(idB.as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    // localCheckpoint (eager) rather than persist: each star round builds
+    // on the previous round's plan, so without lineage TRUNCATION the
+    // logical plan grows exponentially with rounds (persist caches data
+    // but keeps lineage). On a cluster with flaky executors swap in
+    // checkpoint() against a reliable dir — same shape, recoverable.
+    var edges = pairs.select(idA.as("u"), idB.as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prevSig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      iter += 1
+    }
+    // star fixpoint: every non-minimum points at its component minimum;
+    // minima (and singletons) label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    nodes.unpersist()
+    ClusteringResult(labels, iterations = iter, converged = converged)
   }
 
   /** One row per cluster: representative, member count, member list

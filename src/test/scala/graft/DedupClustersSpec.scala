@@ -30,6 +30,27 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     assert(full.labels.collect().forall(_.getLong(1) == 0L), "chain must collapse to 0")
   }
 
+  test("large-star/small-star converges in O(log diameter) and matches Hash-Min") {
+    import spark.implicits._
+    // a 300-node path: Hash-Min would need ~300 rounds; star rounds are
+    // logarithmic — require convergence well under the diameter
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = DedupClusters.clustersLargeSmallStar(chain, $"id_a", $"id_b", maxIter = 15)
+    assert(star.converged, s"did not converge in 15 rounds (ran ${star.iterations})")
+    assert(star.iterations <= 12, s"not logarithmic: ${star.iterations} rounds")
+    assert(star.labels.collect().forall(_.getLong(1) == 0L), "chain must collapse to 0")
+    // random graph: must agree with the Hash-Min labels exactly
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .toDF("id_a", "id_b")
+    val hashMin = DedupClusters.clustersWithStats(edges, $"id_a", $"id_b", maxIter = 50)
+    assert(hashMin.converged)
+    val got = DedupClusters.clustersLargeSmallStar(edges, $"id_a", $"id_b")
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = hashMin.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("clusters over real minhash pairs are internally consistent") {
     import spark.implicits._
     val pairs = operators.Dedup.minhashLshPairs(
