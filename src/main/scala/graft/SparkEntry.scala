@@ -136,6 +136,18 @@ object SparkEntry {
         .orderBy($"c_custkey")
     }),
 
+    "q_bloom_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      // bloom-accelerated EXISTS: the probe scan is pre-filtered map-side
+      // by a broadcast bloom over the build keys; the exact semi join
+      // removes false positives, so output equals the plain semi join
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 420000)
+      operators.BloomJoin.semiJoin(Tables.customer(s, dir), big,
+          probeKey = "c_custkey", buildKey = "o_custkey")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
     "q_anti_join" -> ((s, dir) => {
       import s.implicits._
       // customers with no high-value order (NOT EXISTS)
@@ -634,6 +646,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_bloom_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 420000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_anti_join" ->
