@@ -592,6 +592,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_train_test_split" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic md5-bucket split: stable under re-runs and
+      // repartitioning, reproducible outside the engine (the oracle
+      // recomputes the exact assignment in SQL)
+      operators.Sampling.trainValTest(Tables.documents(s, dir), $"doc_id",
+          valPct = 10, testPct = 10)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"doc_id").as("n_distinct"),
+          min($"doc_id").as("min_id"))
+        .orderBy($"split")
+    }),
+
+    "q_profile" -> ((s, dir) => {
+      import s.implicits._
+      operators.Profile.profile(Tables.orders(s, dir),
+          Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+        .orderBy($"column_name")
+    }),
+
     // ================= multimodal =====================================
 
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1028,6 +1049,40 @@ object SparkEntry {
         |      AS BIGINT) END AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_train_test_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 10 THEN 'test'
+        |            WHEN bucket < 20 THEN 'val'
+        |            ELSE 'train' END AS split,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  min(doc_id) AS min_id
+        |FROM b
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_custkey) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_custkey) AS DOUBLE) AS max_num
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
