@@ -28,6 +28,21 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup: keep only the FIRST occurrence of each
+    * content hash; later duplicates are dropped. Batch twin:
+    * graft.operators.Dedup.exact. `dropDuplicatesWithinWatermark` frees
+    * a hash's state once the watermark passes it, so dedup state is
+    * bounded by the dedup horizon × ingest rate instead of growing with
+    * the whole corpus — the requirement for a continuous 100 TB/day
+    * ingest. (Duplicates arriving farther apart than the horizon are
+    * both kept; cross-horizon dedup belongs to a batch compaction.) */
+  def dedupExact(docs: DataFrame, textCol: String = "text",
+                 tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Stateful gap-based sessionization with processing of one user's
     * events per group; timeout closes idle sessions. Batch twin:
     * graft.operators.Sessionize. */

@@ -54,6 +54,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(back.select($"day").distinct().count() == 2)
   }
 
+  test("streaming exact dedup keeps first occurrence, drops later duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // event_type stands in for document text here
+    val q = StreamOps.dedupExact(in.toDF(), textCol = "event_type", tsCol = "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup")
+      .start()
+    in.addData(
+      Event(1, ts(0), 1, "doc-A", 1.0),
+      Event(2, ts(1), 2, "doc-B", 2.0),
+      Event(3, ts(2), 3, "doc-A", 3.0))   // same content as event 1 → dropped
+    q.processAllAvailable()
+    in.addData(Event(4, ts(3), 4, "doc-A", 4.0)) // still within watermark → dropped
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 2L), s"expected first occurrences only, got $kept")
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
