@@ -613,6 +613,36 @@ object SparkEntry {
         .orderBy($"column_name")
     }),
 
+    "q_group_sample" -> ((s, dir) => {
+      import s.implicits._
+      // cap-per-source curation: 20 docs per language, md5-priority keyed
+      // reservoir — deterministic, and rewritten to TopKPerGroup
+      graft.plans.GraftExtensions.install(s)
+      operators.Sampling.perGroupSample(
+          Tables.documents(s, dir), $"lang", $"doc_id", k = 20)
+        .select($"lang", $"doc_id", $"sample_rank".cast(LongType).as("sample_rank"))
+        .orderBy($"lang", $"sample_rank")
+    }),
+
+    "q_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      // C4/Gopher-style keep rules + per-language keep rates: the curation
+      // pass is a scan-stage predicate, the report one small aggregation
+      val toks = TextFns.tokens($"text")
+      Tables.documents(s, dir)
+        .select($"lang",
+          length($"text").cast(LongType).as("n_chars"),
+          size(toks).cast(LongType).as("n_tokens"),
+          TextFns.meanWordLen(toks).as("mwl"))
+        .withColumn("keep", TextFns.qualityKeep($"n_chars", $"n_tokens", $"mwl"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("keep_rate",
+          round($"n_kept".cast(DoubleType) / $"n_docs".cast(DoubleType), 4))
+        .orderBy($"lang")
+    }),
+
     // ================= multimodal =====================================
 
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1083,6 +1113,34 @@ object SparkEntry {
         |  count(DISTINCT o_orderstatus), NULL, NULL
         |FROM orders
         |ORDER BY column_name""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH m AS (
+        |  SELECT lang, length(text) AS n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(
+        |             regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x))) AS DOUBLE)
+        |        / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END AS mwl
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 450 AND n_tokens >= 20
+        |    AND mwl BETWEEN 2 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 450 AND n_tokens >= 20
+        |    AND mwl BETWEEN 2 AND 10 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS keep_rate
+        |FROM m
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

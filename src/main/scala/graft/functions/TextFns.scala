@@ -73,4 +73,15 @@ object TextFns {
     val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
     when(nt === 0, lit(0.0)).otherwise(totalLen.cast(DoubleType) / nt.cast(DoubleType))
   }
+
+  /** Gopher/C4-style document keep rule: char count, token count and mean
+    * word length inside sane bounds. Thresholds are corpus-specific
+    * parameters; the defaults fit prose-like web text. Pure predicate —
+    * composes into the scan filter of a curation pass. */
+  def qualityKeep(nChars: Column, nTokens: Column, meanWlen: Column,
+                  minChars: Int = 100, maxChars: Int = 450,
+                  minTokens: Int = 20,
+                  minMwl: Double = 2.0, maxMwl: Double = 10.0): Column =
+    nChars >= minChars && nChars <= maxChars && nTokens >= minTokens &&
+      meanWlen >= minMwl && meanWlen <= maxMwl
 }

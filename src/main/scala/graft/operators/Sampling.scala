@@ -29,6 +29,18 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Deterministic per-group sample: keep k rows per group, chosen by
+    * md5-hash priority (a keyed reservoir without randomness — the
+    * "cap documents per source/domain" curation op). With
+    * GraftExtensions installed the row_number+filter rewrites to the
+    * bounded TopKPerGroup operator, so no full per-group sort runs. */
+  def perGroupSample(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(key.cast(StringType)), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Assign 'test' / 'val' / 'train' split labels by stable hash bucket:
     * buckets [0, testPct) → test, [testPct, testPct+valPct) → val,
     * rest → train. */
