@@ -444,6 +444,18 @@ object SparkEntry {
       reg.toDF.orderBy($"table_name", $"ordinal")
     }),
 
+    "q_compact_latest" -> ((s, dir) => {
+      import s.implicits._
+      // lake upsert/merge primitive: collapse the append history to the
+      // newest row per (user, event_type); rewrites to TopKPerGroup k=1
+      graft.plans.GraftExtensions.install(s)
+      etl.Compaction.latestByKey(Tables.events(s, dir),
+          keys = Seq($"user_id", $"event_type"),
+          version = Seq($"ts", $"event_id"))
+        .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+        .orderBy($"user_id", $"event_type")
+    }),
+
     "q_audit_trail" -> ((s, dir) => {
       import s.implicits._
       AuditLog.latestState(Tables.events(s, dir),
@@ -933,6 +945,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_compact_latest" ->
+      """SELECT user_id, event_type, ts, event_id, value FROM (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_audit_trail" ->
       """SELECT user_id AS execution_id, event_type AS job_latest_status,

@@ -20,6 +20,11 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
         if a.semanticEquals(rankAttr) => Some(k - 1)
       case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute)
         if a.semanticEquals(rankAttr) => Some(k)
+      // rn = 1 (latest-record-wins compaction) is top-1
+      case EqualTo(a: Attribute, Literal(1, _))
+        if a.semanticEquals(rankAttr) => Some(1)
+      case EqualTo(Literal(1, _), a: Attribute)
+        if a.semanticEquals(rankAttr) => Some(1)
       case _ => None
     }
 

@@ -64,6 +64,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       || p.contains("ShuffledHashJoin"), s"no bucket equi-join in:\n$p")
   }
 
+  test("as-of join: one key shuffle, one window, no range-probe join") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(org.apache.spark.sql.functions.max($"value").as("pvalue"))
+    val df = operators.AsOfJoin.backward(clicks, purchases,
+      Seq("user_id"), "ts", "ts", Seq("pvalue"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // all last() columns share one window spec → exactly one Window node
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected exactly one Window:\n$p")
+  }
+
+  test("group sample and compact-latest rewrite to TopKPerGroup") {
+    plans.GraftExtensions.install(spark)
+    val gs = plan("q_group_sample")
+    assert(gs.contains("TopKFinal") && gs.contains("TopKLocal"),
+      s"q_group_sample did not rewrite:\n$gs")
+    val cl = plan("q_compact_latest")
+    assert(cl.contains("TopKFinal") && cl.contains("TopKLocal"),
+      s"q_compact_latest (rn = 1) did not rewrite:\n$cl")
+  }
+
   test("events scan prunes to the projected columns") {
     val p = plan("q_events_windowed")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
