@@ -268,6 +268,27 @@ object SparkEntry {
         .orderBy($"user_id", $"ts", $"event_id")
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      // attribution-style range join: clicks landing within 2 h after a
+      // purchase by the same user — binned equi-join, never a BNLJ probe
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("start_ts"),
+          ($"ts" + expr("INTERVAL 2 HOURS")).as("end_ts"),
+          $"event_id".as("purchase_id"))
+      val pairs = operators.RangeJoin.pointInInterval(clicks, purchases,
+        keys = Seq("user_id"), pointTs = "ts",
+        startTs = "start_ts", endTs = "end_ts", binSeconds = 7200L)
+      purchases.select($"purchase_id")
+        .join(pairs.groupBy($"purchase_id").agg(count(lit(1)).as("n_clicks")),
+          Seq("purchase_id"), "left")
+        .select($"purchase_id", coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+        .orderBy($"purchase_id")
+    }),
+
     "q_conditional_agg" -> ((s, dir) => {
       import s.implicits._
       // filtered/conditional aggregation in one pass over the fact table
@@ -800,6 +821,17 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
+        |  event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id,
+        |  CAST(count(c.ts) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts >= p.start_ts AND c.ts < p.end_ts
+        |GROUP BY 1
+        |ORDER BY purchase_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, ts, event_id, value FROM events
