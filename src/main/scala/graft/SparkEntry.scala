@@ -236,6 +236,21 @@ object SparkEntry {
         .orderBy($"l_suppkey")
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic salted fact-build join (for skew AQE can't see):
+      // fact side salts into 16 sub-keys, build side replicates 16× —
+      // output is exactly the plain join's, which the oracle verifies
+      val li = Tables.lineitem(s, dir).select($"l_suppkey", $"l_orderkey",
+        $"l_extendedprice", $"l_discount")
+      val sup = Tables.supplier(s, dir).select($"s_suppkey".as("l_suppkey"), $"s_name")
+      operators.SkewJoin.saltedInnerJoin(li, sup, "l_suppkey", $"l_orderkey")
+        .groupBy($"s_name")
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"s_name")
+    }),
+
     "q_events_windowed" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
@@ -793,6 +808,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_suppkey
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
 
     "q_events_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
