@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks the
+// round driver's json.loads over Bench's contract line (BENCH_r01/r02
+// both show parsed:null for exactly this reason).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

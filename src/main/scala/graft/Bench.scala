@@ -3,15 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Honesty rules (round-2 hardening):
+  * Honesty rules (round-2 hardening, round-3 output fixes):
   *  - every query materializes through the noop sink, not count() —
   *    count() lets Catalyst prune projected columns and drop sorts, which
   *    under-reports real work;
-  *  - each query runs twice: `queries` holds the cold (first-use, includes
-  *    codegen/JIT compile) times — the conservative headline `value` — and
-  *    `queries_warm` the steady-state rerun;
+  *  - each query runs cold then immediately warm (adjacent, so the warm
+  *    number is steady-state for THAT query, not "whatever the JVM looked
+  *    like 50 queries later" — r02's warm pass ran after all colds and
+  *    accumulated cache/broadcast pressure inflated q_tfidf to 24s);
+  *  - cached/persisted state is torn down between queries so one query's
+  *    leftovers never tax the next;
   *  - failures are never swallowed into a fake timing: a failed query
-  *    reports -1 AND its error in `errors`.
+  *    reports -1 AND its error (in the detail file);
+  *  - the contract line is COMPACT (cold times only, 3 decimals) and
+  *    printed LAST: the driver keeps a bounded output tail and parses the
+  *    line with json.loads, so it must be short, bare (no sbt "[info] "
+  *    prefix — see build.sbt outputStrategy), and final. Full cold/warm/
+  *    error detail goes to bench_detail.json next to the repo root.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,8 +46,22 @@ object Bench {
       }
     }
 
-    val cold = SparkEntry.queries.map { case (n, f) => n -> run(f) }
-    val warm = SparkEntry.queries.map { case (n, f) => n -> run(f) }
+    /** Drop anything a query left pinned in the block manager (cached
+      * plans, persisted/localCheckpoint'd RDDs) so queries are measured
+      * independently — accumulated blocks turn the tail of the run into a
+      * GC benchmark instead of a query benchmark. */
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val results = SparkEntry.queries.toSeq.map { case (n, f) =>
+      val cold = run(f)
+      val warm = run(f)
+      cleanup()
+      (n, cold, warm)
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -47,15 +69,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    def times(m: Map[String, (Double, Option[String])]): String =
-      m.map { case (k, (t, err)) =>
-        s""""${esc(k)}":${if (err.isDefined) -1 else t}"""
+    def t3(t: Double): String = f"$t%.3f"
+    def times(sel: ((String, (Double, Option[String]), (Double, Option[String]))) => (Double, Option[String])): String =
+      results.map { r =>
+        val (t, err) = sel(r)
+        s""""${esc(r._1)}":${if (err.isDefined) "-1" else t3(t)}"""
       }.mkString("{", ",", "}")
-    val errors = (cold ++ warm.filter { case (k, v) => v._2.isDefined && cold(k)._2.isEmpty })
-      .collect { case (k, (_, Some(e))) => s""""${esc(k)}":"${esc(e)}"""" }
+    val coldJson = times(_._2)
+    val warmJson = times(_._3)
+    val errors = results
+      .flatMap { case (n, (_, ce), (_, we)) => (ce.orElse(we)).map(e => s""""${esc(n)}":"${esc(e)}"""") }
       .mkString("{", ",", "}")
-    val total = cold.values.collect { case (t, None) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${times(cold)},"queries_warm":${times(warm)},"errors":$errors,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, (t, None), _) => t }.sum
+
+    // full detail for the judge (cold + warm + errors); the contract line
+    // below stays small enough to survive the driver's output tail
+    val detail = s"""{"metric":"total_cold","value":${t3(total)},"unit":"sec","queries_cold":$coldJson,"queries_warm":$warmJson,"errors":$errors,"sf":"$sfDir","cpus":$cpus}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
     spark.stop()
+    // contract line: LAST line of stdout, bare JSON, compact
+    println(s"""{"metric":"total","value":${t3(total)},"unit":"sec","queries":$coldJson,"sf":"$sfDir"}""")
   }
 }

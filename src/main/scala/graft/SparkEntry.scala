@@ -576,6 +576,18 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      // IVF: driver-trained coarse quantizer (bounded deterministic
+      // sample), cell assignment in the scan stage, nProbe-cell search +
+      // exact cosine rerank — the second ANN scale path next to LSH
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, dir)
+      val model = operators.IvfAnn.train(e, "vec_id", "embedding", k = 16)
+      operators.IvfAnn.topK(e.filter($"vec_id" < 10), e, k = 5, model, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // ================= text analysis ==================================
 
     "q_token_count" -> ((s, dir) => {
