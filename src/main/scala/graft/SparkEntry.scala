@@ -499,6 +499,19 @@ object SparkEntry {
         .orderBy($"execution_id")
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      import s.implicits._
+      // SCD type-2 history: versioned (effective_from, effective_to)
+      // rows per user state change — the history-preserving complement
+      // of q_compact_latest; both window passes share one shuffle
+      etl.Scd2.history(Tables.events(s, dir),
+          keys = Seq($"user_id"), eventTime = $"ts",
+          tieBreak = Seq($"event_id"), tracked = Seq($"event_type"))
+        .select($"user_id", $"event_id", $"event_type",
+          $"effective_from", $"effective_to", $"is_current")
+        .orderBy($"user_id", $"effective_from", $"event_id")
+    }),
+
     // ================= deduplication ==================================
 
     "q_dedup_exact" -> ((s, dir) => {
@@ -684,6 +697,19 @@ object SparkEntry {
         .orderBy($"lang", $"sample_rank")
     }),
 
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      // Efraimidis–Spirakis weighted sample (weight = doc length) with
+      // hash-derived randomness: reproducible across runs, partitionings
+      // and engines; top-k is TakeOrderedAndProject, never a global sort
+      operators.WeightedSample.sample(
+          Tables.documents(s, dir).select($"doc_id", length($"text").as("n_chars")),
+          id = $"doc_id", weight = $"n_chars", k = 100)
+        .select($"doc_id", $"n_chars".cast(LongType).as("n_chars"),
+          $"priority", $"sample_rank")
+        .orderBy($"sample_rank")
+    }),
+
     "q_quality_filter" -> ((s, dir) => {
       import s.implicits._
       // C4/Gopher-style keep rules + per-language keep rates: the curation
@@ -701,6 +727,73 @@ object SparkEntry {
         .withColumn("keep_rate",
           round($"n_kept".cast(DoubleType) / $"n_docs".cast(DoubleType), 4))
         .orderBy($"lang")
+    }),
+
+    "q_text_clean" -> ((s, dir) => {
+      import s.implicits._
+      // C4-style cleaning pipeline: control-strip + whitespace-normalize,
+      // then collapse immediate token repeats (real crawl noise in this
+      // corpus: "a a the", "table table"). Token array is materialized
+      // BEFORE the dedupe lambda touches it (per-element re-eval trap).
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          TextFns.tokens(TextFns.normalizeWhitespace(TextFns.stripControl($"text")))
+            .as("toks"))
+        .select($"doc_id", $"toks",
+          TextFns.dedupeConsecutiveTokens($"toks").as("clean_toks"))
+        .select($"doc_id",
+          array_join($"clean_toks", " ").as("cleaned"),
+          size($"toks").cast(LongType).as("n_before"),
+          size($"clean_toks").cast(LongType).as("n_after"),
+          (size($"toks") =!= size($"clean_toks")).as("changed"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_text_chunk" -> ((s, dir) => {
+      import s.implicits._
+      // context-window shaping: disjoint 50-token chunks per document —
+      // row-local transform+explode, one map pass at any corpus size
+      Tables.documents(s, dir)
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .select($"doc_id", explode(TextFns.tokenChunks($"toks", 50, 50)).as("c"))
+        .select($"doc_id", $"c.chunk_id".as("chunk_id"),
+          array_join($"c.toks", " ").as("chunk_text"),
+          size($"c.toks").cast(LongType).as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    "q_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      // frequent tokens at >= 1% corpus support. Exact and scalable: the
+      // explode is map-side, partial aggregation shrinks the shuffle to
+      // distinct tokens, and the corpus total is a broadcast scalar. (At
+      // 100 TB with an unbounded vocabulary, swap the exact count for a
+      // count-min/Misra-Gries sketch — same query shape.)
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("token"))
+      val total = toks.select(count(lit(1)).cast(DoubleType).as("total"))
+      toks.groupBy($"token")
+        .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("df"))
+        .crossJoin(broadcast(total))
+        .filter($"cnt" >= $"total" * 0.01)
+        .select($"token", $"cnt", $"df", round($"cnt" / $"total", 6).as("support"))
+        .orderBy($"cnt".desc, $"token")
+    }),
+
+    "q_approx_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      // sketch-based percentiles — the 100 TB path next to q_percentiles'
+      // exact ones: bounded-memory partials, no per-group value buffers.
+      // No oracle: GK-sketch internals are engine-specific.
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("qs"))
+        .select($"l_returnflag",
+          element_at($"qs", 1).cast(DoubleType).as("q50"),
+          element_at($"qs", 2).cast(DoubleType).as("q90"),
+          element_at($"qs", 3).cast(DoubleType).as("q99"))
+        .orderBy($"l_returnflag")
     }),
 
     // ================= multimodal =====================================
@@ -1034,6 +1127,38 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY execution_id""".stripMargin,
 
+    "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |changed AS (
+        |  SELECT user_id, event_id, event_type, ts FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_id, event_type,
+        |  ts AS effective_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS effective_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM changed
+        |ORDER BY user_id, effective_from, event_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    round(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 1.0) / 4294967297.0)
+        |      / length(text), 9) AS priority
+        |  FROM documents)
+        |SELECT doc_id, n_chars, priority,
+        |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+        |    AS sample_rank
+        |FROM p
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
@@ -1229,6 +1354,54 @@ object SparkEntry {
         |FROM m
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(trim(regexp_replace(
+        |      regexp_replace(text,
+        |        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+        |      '\s+', ' ', 'g'))), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(list_transform(range(1, len(toks) + 1),
+        |      i -> CASE WHEN i = 1 OR toks[i] != toks[i-1] THEN toks[i] END),
+        |      x -> x IS NOT NULL) AS clean_toks
+        |  FROM t)
+        |SELECT doc_id, array_to_string(clean_toks, ' ') AS cleaned,
+        |  len(toks) AS n_before, len(clean_toks) AS n_after,
+        |  len(toks) != len(clean_toks) AS changed
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 50)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 50 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 50 AS INT)], ' ')
+        |    AS chunk_text,
+        |  CAST(least(len(toks) - start, 50) AS BIGINT) AS n_tokens
+        |FROM s
+        |WHERE len(toks) > start
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+        |g AS (SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY token)
+        |SELECT token, cnt, df, round(cnt / total, 6) AS support
+        |FROM g CROSS JOIN tot
+        |WHERE cnt >= total * 0.01
+        |ORDER BY cnt DESC, token""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -84,4 +84,54 @@ object TextFns {
                   minMwl: Double = 2.0, maxMwl: Double = 10.0): Column =
     nChars >= minChars && nChars <= maxChars && nTokens >= minTokens &&
       meanWlen >= minMwl && meanWlen <= maxMwl
+
+  // ----- cleaning / normalization (C4-style pre-processing) -------------
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Strip control characters and zero-width/format glyphs (the usual web
+    * crud: NUL..US except \t\n, DEL, ZWSP/ZWNJ/ZWJ, BOM). */
+  def stripControl(text: Column): Column =
+    regexp_replace(text,
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]", "")
+
+  /** Drop lines that don't look like prose: fewer than `minWords` words or
+    * no terminal punctuation (the C4 line-level boilerplate rule). */
+  def keepProseLines(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(split(text, "\n"), l =>
+        size(split(trim(l), " ")) >= minWords && trim(l).rlike("[.!?]\"?$")),
+      "\n")
+
+  /** Collapse immediate token repeats ("the the the" → "the") — a cheap,
+    * high-yield crawl-noise rule.
+    *
+    * `toks` MUST be a materialized column (project the token array first):
+    * the previous-element lookup references it inside the lambda, and an
+    * embedded expression would re-evaluate per element (the SURVEY §7
+    * trap). greatest(i,1) keeps element_at's index legal at i=0, where the
+    * left disjunct already decides. */
+  def dedupeConsecutiveTokens(toks: Column): Column =
+    filter(toks, (t, i) => i === 0 || t =!= element_at(toks, greatest(i, lit(1))))
+
+  // ----- chunking (context-window shaping for training pipelines) -------
+
+  /** Fixed-size token-window chunks: windows of `chunkSize` tokens taken
+    * every `stride` tokens (stride == chunkSize → disjoint cover;
+    * stride < chunkSize → overlapping windows). Returns an array of
+    * structs (chunk_id, toks); explode it to get one row per chunk.
+    *
+    * `toks` MUST be a materialized column (see dedupeConsecutiveTokens).
+    * All work is row-local inside the scan stage — chunking a 100 TB
+    * corpus is one map pass, no shuffle. */
+  def tokenChunks(toks: Column, chunkSize: Int, stride: Int): Column =
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+        start => struct(
+          (start / stride).cast(LongType).as("chunk_id"),
+          slice(toks, start + 1, lit(chunkSize)).as("toks"))),
+      c => size(c.getField("toks")) > 0)
 }
