@@ -214,6 +214,23 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    "q_sketch_union" -> ((s, dir) => {
+      import s.implicits._
+      // the pre-aggregated-sketch pattern: materialize per-day HLL
+      // sketches (a few KB each), answer any cross-day distinct-user
+      // question by MERGING sketches — at 100 TB the daily sketch table
+      // replaces rescanning raw events for every new date range. No
+      // oracle: DataSketches HLL internals are engine-specific.
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          count(lit(1)).as("n_events"))
+      daily.agg(
+        count(lit(1)).as("n_days"),
+        sum($"n_events").as("n_events"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct_users"))
+    }),
+
     "q_pivot" -> ((s, dir) => {
       import s.implicits._
       Tables.orders(s, dir)

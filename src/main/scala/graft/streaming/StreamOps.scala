@@ -43,6 +43,27 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream inner join: each click joins purchases of
+    * the same user that happened within `horizon` BEFORE it — the
+    * streaming twin of the batch q_range_join (RangeJoin.pointInInterval).
+    * Watermarks on BOTH sides plus the two-sided time-range predicate are
+    * what let Spark bound the join state: a buffered purchase can be
+    * dropped once the click watermark passes purchase_ts + horizon, so
+    * state is horizon × ingest rate, not the whole stream. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        horizon: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", horizon)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $horizon"))
+      .drop("p_user")
+  }
+
   /** Stateful gap-based sessionization with processing of one user's
     * events per group; timeout closes idle sessions. Batch twin:
     * graft.operators.Sessionize. */

@@ -94,4 +94,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(closed.head.user_id == 7 && closed.head.n_events == 2)
     assert(closed.head.total_value == 3.0)
   }
+
+  test("stream-stream join matches clicks to purchases within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF(),
+        horizon = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    purchases.addData(
+      Event(100, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 50.0))
+    clicks.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "click", 1.0), // match
+      Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0), // > 2h after
+      Event(3, Timestamp.valueOf("2024-01-01 10:15:00"), 2, "click", 1.0)) // other user
+    q.processAllAvailable()
+    val got = spark.sql("SELECT click_id, purchase_id, purchase_value FROM ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(got.toSeq == Seq((1L, 100L, 50.0)))
+  }
 }
