@@ -94,4 +94,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("props"), s"events scan reads unused props: $read")
   }
+
+  test("IVF search is a cell equi-join with the query side broadcast — never all-pairs") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs/nested-loop join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast in:\n$p")
+  }
+
+  test("weighted sample plans as bounded top-k, not a global sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (per-partition bounded top-k):\n$p")
+  }
+
+  test("SCD2's two window passes share one shuffle on the key") {
+    val p = plan("q_scd2")
+    // both Window nodes partition on user_id → exactly one Exchange
+    // hashpartitioning(user_id) feeds them (plus the final sort's range
+    // exchange from the driver query's orderBy)
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(hashEx == 1, s"expected one key shuffle, got $hashEx:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [")) == 2,
+      s"expected two Window nodes:\n$p")
+  }
+
+  test("heavy hitters: corpus total is broadcast, aggregation is partial+final") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar total not broadcast in:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("text chunking stays in the scan stage — no shuffle before explode") {
+    val p = plan("q_text_chunk")
+    // the only Exchange allowed is the final orderBy's rangepartitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking introduced a non-sort shuffle:\n$exchanges")
+  }
 }
