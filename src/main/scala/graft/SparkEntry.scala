@@ -516,6 +516,27 @@ object SparkEntry {
         .orderBy($"execution_id")
     }),
 
+    "q_cdc_merge" -> ((s, dir) => {
+      import s.implicits._
+      // MERGE INTO: latest change per key wins (rn=1 → TopKPerGroup),
+      // 'D' deletes, others replace the row image; one collapse + one
+      // key equi-join. Changelog derived from orders: a customer's
+      // latest order updates their balance, or closes ('F') the account.
+      graft.plans.GraftExtensions.install(s)
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", dec2($"c_acctbal").as("acctbal"))
+      val changes = Tables.orders(s, dir).select(
+        $"o_custkey".as("c_custkey"),
+        when($"o_orderstatus" === "F", lit("D")).otherwise(lit("U")).as("op"),
+        dec2($"o_totalprice").as("acctbal"),
+        $"o_orderdate", $"o_orderkey")
+      etl.CdcMerge.merge(base, changes, keys = Seq("c_custkey"),
+          opCol = $"op", version = Seq($"o_orderdate", $"o_orderkey"))
+        .select($"c_custkey", $"acctbal".cast(DoubleType).as("acctbal"),
+          $"change_applied")
+        .orderBy($"c_custkey")
+    }),
+
     "q_scd2" -> ((s, dir) => {
       import s.implicits._
       // SCD type-2 history: versioned (effective_from, effective_to)
@@ -1143,6 +1164,25 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY execution_id""".stripMargin,
+
+    "q_cdc_merge" ->
+      """WITH latest AS (
+        |  SELECT c_custkey, op, acctbal FROM (
+        |    SELECT o_custkey AS c_custkey,
+        |      CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |      CAST(o_totalprice AS DECIMAL(18,2)) AS acctbal,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) t
+        |  WHERE rn = 1)
+        |SELECT
+        |  coalesce(c.c_custkey, l.c_custkey) AS c_custkey,
+        |  CAST(CASE WHEN l.op IS NOT NULL THEN l.acctbal
+        |       ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS acctbal,
+        |  l.op IS NOT NULL AS change_applied
+        |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op != 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_scd2" ->
       """WITH ordered AS (

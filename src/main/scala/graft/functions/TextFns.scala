@@ -27,9 +27,12 @@ object TextFns {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast(LongType)
 
-  /** Count of tokens that appear in `stop` (pass lower-cased stopwords). */
+  /** Count of tokens that appear in `stop` (pass lower-cased stopwords).
+    * Native codegen kernel (graft.plans.StopwordHits) — the interpreted
+    * `size(filter(_.isInCollection))` HOF costs a closure call + In-list
+    * scan per token, and langId runs four of these per row. */
   def stopwordHits(toks: Column, stop: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(stop))).cast(LongType)
+    graft.plans.TextKernels.stopwordHits(toks, stop).cast(LongType)
 
   // Small per-language stopword lists for the heuristic language ID.
   val StopEn = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for")
@@ -67,10 +70,11 @@ object TextFns {
       .otherwise(stopwordHits(toks, StopEn).cast(DoubleType) / nt.cast(DoubleType))
   }
 
-  /** Mean token length. */
+  /** Mean token length (length sum is a native codegen kernel — the
+    * interpreted aggregate() fold allocated a closure call per token). */
   def meanWordLen(toks: Column): Column = {
     val nt = size(toks)
-    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+    val totalLen = graft.plans.TextKernels.tokenLenSum(toks)
     when(nt === 0, lit(0.0)).otherwise(totalLen.cast(DoubleType) / nt.cast(DoubleType))
   }
 
