@@ -54,6 +54,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Spark's ContextCleaner reclaims dead broadcasts/shuffles/RDD blocks
+      // only when the JVM GCs their weak references. 126 query runs in one
+      // JVM without explicit GC let that debris pile up, so late-running
+      // queries pay extra GC/memory tax for earlier queries' leftovers
+      // (measured: identical queries 5-8× slower at the tail of a bench
+      // run than in isolation). One explicit GC per query keeps runs
+      // independent at ~100 ms cost.
+      System.gc()
     }
 
     val results = SparkEntry.queries.toSeq.map { case (n, f) =>

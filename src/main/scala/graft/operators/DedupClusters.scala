@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * Scale notes: each iteration is one groupBy shuffle on the doc id;
   * iteration count is the graph diameter, and near-dup graphs are
   * overwhelmingly tiny cliques (diameter ~1-2), so `maxIter` of a few
-  * converges in practice. Each iteration's result is persisted and the
-  * previous one released — no lineage blow-up. This is the standard
+  * converges in practice. Each iteration's result is localCheckpoint'd
+  * (lineage TRUNCATED, not just cached) and the previous one released —
+  * no plan blow-up. This is the standard
   * large-graph CC shape (Hash-Min); for adversarial diameters swap in
   * large-star/small-star, which keeps the same per-iteration shuffle.
   */
@@ -47,21 +48,31 @@ object DedupClusters {
 
   def clustersWithStats(pairs: DataFrame, idA: Column, idB: Column,
                         maxIter: Int = 5): ClusteringResult = {
-    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+    // localCheckpoint (eager) the edge list BEFORE deriving anything from
+    // it, for two compounding reasons. (1) The symmetrize-union below
+    // references `edges` four times, and Spark unions don't share subtree
+    // computation — an un-truncated edge plan (here: an entire MinHash-LSH
+    // pipeline) would execute 4×. (2) persist caches DATA but keeps the
+    // full upstream plan, so every loop iteration's logical plan would
+    // embed it plus all previous iterations' — Catalyst re-analyzing that
+    // growing tree each round soon dwarfs the (tiny) data work. Truncating
+    // lineage keeps every iteration's plan two nodes deep. (On a cluster
+    // with flaky executors swap in checkpoint() against a reliable dir —
+    // same shape.)
+    val edges = pairs.select(idA.as("src"), idB.as("dst")).localCheckpoint(true)
     // symmetrize + self-loops so isolated link members keep themselves
     val sym = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .unionAll(edges.select(col("src"), col("src").as("dst")))
       .unionAll(edges.select(col("dst").as("src"), col("dst").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sym.count()
+      .localCheckpoint(true)
 
     // label(v) starts as v, then repeatedly takes the min label among
     // neighbors (including itself, via the self-loop)
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Hash-Min labels only ever decrease, so an unchanged label SUM is an
     // exact convergence test — one cheap aggregate per round, no join.
     def labelSum(df: DataFrame): Long =
@@ -75,7 +86,7 @@ object DedupClusters {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -132,15 +143,20 @@ object DedupClusters {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
 
-    val nodes = pairs.select(idA.as("id")).unionAll(pairs.select(idB.as("id")))
+    // Truncate the input lineage FIRST: `nodes` and `edges` below
+    // reference the pair plan three times between them, and Spark unions
+    // don't share subtree computation — an un-truncated candidate-pair
+    // pipeline would execute 3×. localCheckpoint (eager) rather than
+    // persist throughout: each star round builds on the previous round's
+    // plan, so without lineage TRUNCATION the logical plan grows
+    // exponentially with rounds (persist caches data but keeps lineage).
+    // On a cluster with flaky executors swap in checkpoint() against a
+    // reliable dir — same shape, recoverable.
+    val base = pairs.select(idA.as("u"), idB.as("v")).localCheckpoint(true)
+    val nodes = base.select(col("u").as("id")).unionAll(base.select(col("v").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
-    // localCheckpoint (eager) rather than persist: each star round builds
-    // on the previous round's plan, so without lineage TRUNCATION the
-    // logical plan grows exponentially with rounds (persist caches data
-    // but keeps lineage). On a cluster with flaky executors swap in
-    // checkpoint() against a reliable dir — same shape, recoverable.
-    var edges = pairs.select(idA.as("u"), idB.as("v"))
+    var edges = base
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     var prevSig = signature(edges)
