@@ -834,6 +834,103 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.install(s)
+      operators.Bm25.topTerms(Tables.documents(s, dir), $"text", $"doc_id", k = 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      // Gopher-style repetition signals: duplicate-bigram fraction
+      // (row-local from the materialized token array) and top-token
+      // dominance (one map-side-partial agg per doc) — the "generated /
+      // boilerplate text" detectors that run beside the quality rules
+      val t = Tables.documents(s, dir)
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      val bi = t.select($"doc_id",
+        size($"toks").cast(LongType).as("n_tokens"),
+        greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
+        size(Dedup.wordShinglesOf($"toks", 2)).cast(LongType).as("n_distinct_bigrams"))
+      val top = t.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id").agg(max($"cnt").as("top_tok_cnt"))
+      bi.join(top, Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"top_tok_cnt",
+          round($"top_tok_cnt" / $"n_tokens", 6).as("top_tok_frac"),
+          $"n_bigrams", $"n_distinct_bigrams",
+          when($"n_bigrams" === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - $"n_distinct_bigrams" / $"n_bigrams".cast(DoubleType), 6))
+            .as("dup_bigram_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      // benchmark-leakage check: training docs sharing any word 5-gram
+      // with the (broadcast) benchmark slice; the training side is only
+      // ever scanned map-side — the scale shape of the GPT-3 13-gram test
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+      operators.Decontaminate.contaminated(train, bench, $"text", $"doc_id", n = 5)
+        .orderBy($"doc_id")
+    }),
+
+    "q_pii_mask" -> ((s, dir) => {
+      import s.implicits._
+      // PII scrub + stable pseudonymization over the customer dimension:
+      // digit-run ids are redacted, the join key survives as an md5
+      // surrogate — row-local regexp/hash, rides the ingest scan
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          functions.PrivacyFns.maskDigitRuns($"c_name", 6, "[ID]").as("masked_name"),
+          functions.PrivacyFns.pseudonym($"c_name").as("pseudonym"),
+          functions.PrivacyFns.digitRunCount($"c_name", 6).as("n_masked"))
+        .orderBy($"c_custkey")
+    }),
+
+    "q_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      // GPT-style sequence packing: per-language doc streams cut into
+      // 512-token windows with doc provenance per window
+      val docs = Tables.documents(s, dir)
+        .select($"lang", $"doc_id", size(TextFns.tokens($"text")).as("n_toks"))
+      operators.SeqPack.windows(docs, $"lang", $"doc_id", $"n_toks",
+          windowTokens = 512)
+        .orderBy($"shard", $"window_id")
+    }),
+
+    "q_vector_quantize" -> ((s, dir) => {
+      import s.implicits._
+      // embedding preprocessing: L2 norm + symmetric int8 (absmax)
+      // quantization stats — row-local, the map pass before writing a
+      // compact ANN candidate index. scale is materialized as its own
+      // column (the lambda re-eval trap)
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding",
+          functions.VectorFns.maxAbs($"embedding").as("scale"))
+        .select($"vec_id", $"scale",
+          functions.VectorFns.quantizeInt8($"embedding", $"scale").as("q"))
+        .select($"vec_id", round($"scale", 6).as("scale"),
+          aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min($"q").as("q_min"), array_max($"q").as("q_max"))
+        .orderBy($"vec_id")
+    }),
+
+    "q_kmeans_topics" -> ((s, dir) => {
+      import s.implicits._
+      // corpus topic clustering (SemDeDup/domain-balancing primitive):
+      // deterministic spherical k-means (IvfAnn.train) + scan-stage argmax
+      // assignment; summarized per cluster. No oracle — Lloyd internals
+      // are engine-specific; TopicClusterSpec checks purity against the
+      // generator's ground-truth label column.
+      operators.TopicCluster.summary(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8)
+        .orderBy($"cluster")
+    }),
+
     // ================= multimodal =====================================
 
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1459,6 +1556,114 @@ object SparkEntry {
         |FROM g CROSS JOIN tot
         |WHERE cnt >= total * 0.01
         |ORDER BY cnt DESC, token""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |terms AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |  FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl)),
+        |      6) AS bm25
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY bm25 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, bm25, rank FROM ranked
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> array_to_string(toks[i:i+1], ' ')))) AS BIGINT) AS n_distinct_bigrams
+        |  FROM t),
+        |cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(cnt) AS top_tok_cnt FROM cnts GROUP BY 1)
+        |SELECT bi.doc_id, bi.n_tokens, top.top_tok_cnt,
+        |  round(top.top_tok_cnt / bi.n_tokens, 6) AS top_tok_frac,
+        |  bi.n_bigrams, bi.n_distinct_bigrams,
+        |  CASE WHEN bi.n_bigrams = 0 THEN 0.0
+        |    ELSE round(1.0 - bi.n_distinct_bigrams / CAST(bi.n_bigrams AS DOUBLE), 6)
+        |  END AS dup_bigram_frac
+        |FROM bi JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 4, 0) + 1),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN b USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pii_mask" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS masked_name,
+        |  substr(md5(c_name), 1, 12) AS pseudonym,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_masked
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+        |  FROM documents),
+        |laid AS (
+        |  SELECT lang, doc_id, n,
+        |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_pos
+        |  FROM d WHERE n > 0),
+        |e AS (
+        |  SELECT lang, doc_id, end_pos - n AS start_pos, end_pos,
+        |    unnest(range((end_pos - n) // 512, (end_pos - 1) // 512 + 1)) AS window_id
+        |  FROM laid)
+        |SELECT lang AS shard, window_id, count(*) AS n_docs,
+        |  CAST(sum(least(end_pos, (window_id + 1) * 512)
+        |    - greatest(start_pos, window_id * 512)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY shard, window_id""".stripMargin,
+
+    "q_vector_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+        |    ELSE CAST(round(127.0 * CAST(x AS DOUBLE) / scale, 0) AS BIGINT)
+        |  END) AS qv FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -30,4 +30,18 @@ object VectorFns {
 
   /** Cosine rounded for stable cross-engine comparison/verification. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Largest |component| — the symmetric-quantization scale factor. */
+  def maxAbs(a: Column): Column = array_max(transform(a, x => abs(d(x))))
+
+  /** Symmetric int8 quantization: q_i = round(127 · x_i / max|x|), the
+    * standard absmax scheme (e.g. LLM.int8()). 4× smaller vectors for
+    * ANN candidate scans; rerank the shortlist with the full-precision
+    * cosine. Callers materialize `scale` (= maxAbs) once as its own
+    * column — embedded here per element it would re-evaluate per element
+    * (the SURVEY §7 lambda trap). All-zero vectors quantize to zeros. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(round(lit(127.0) * d(x) / scale, 0).cast(LongType)))
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with an evaluation/benchmark set — the standard leakage check
+  * (GPT-3-style 13-gram collision test) every serious training corpus runs
+  * before a model sees it.
+  *
+  * Scale shape (the benchmark side is always tiny — thousands of eval
+  * docs — while the training side is the 100 TB corpus):
+  *  - both sides expand to DISTINCT word n-grams row-locally (explode is
+  *    map-side; a doc's grams never shuffle as a set);
+  *  - the benchmark gram set is deduped and BROADCAST, so the training
+  *    scan drops non-colliding grams map-side — the only shuffle is the
+  *    final per-doc aggregation of the (rare) hits;
+  *  - gram strings are fine at benchmark scale; swap in hashed grams
+  *    (graft.plans.Signatures) if an eval suite ever outgrows broadcast.
+  */
+object Decontaminate {
+
+  /** Distinct word `n`-grams of an already-materialized token array. */
+  private def grams(toks: Column, n: Int): Column = Dedup.wordShinglesOf(toks, n)
+
+  /** (doc_id, gram) rows — one per DISTINCT gram per doc. */
+  def docGrams(docs: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    docs.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), explode(grams(col("toks"), n)).as("gram"))
+
+  /** Training docs sharing >= 1 word n-gram with the benchmark set:
+    * (doc_id, n_shared_grams), one row per contaminated training doc.
+    * Flagged docs are then dropped or span-redacted upstream. */
+  def contaminated(train: DataFrame, benchmark: DataFrame,
+                   text: Column, id: Column, n: Int = 13): DataFrame = {
+    val benchGrams = docGrams(benchmark, text, id, n)
+      .select(col("gram")).distinct()
+    docGrams(train, text, id, n)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+}
