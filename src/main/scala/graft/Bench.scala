@@ -32,8 +32,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/JIT/codegen-compiler startup so it isn't attributed
-    // to whichever query happens to run first
-    spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)").collect()
+    // to whichever query happens to run first. Purely generic engine
+    // paths on synthetic/tiny data — no actual benchmark query (or its
+    // cache) is touched: agg + distinct, window, explode of an array,
+    // a broadcast join, a shuffle join, and one tiny parquet read to
+    // initialize the vectorized reader + file index machinery.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 100)").collect()
+      val r = spark.range(10000).toDF("id")
+        .withColumn("g", col("id") % 7)
+        .withColumn("arr", array(col("id"), col("id") + 1))
+      val exploded = r.select(col("g"), explode(col("arr")).as("x"))
+      val windowed = exploded.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("x"))))
+      windowed.join(broadcast(r.limit(5).select(col("id").as("x"))), Seq("x"))
+        .join(r.select(col("id").as("x")), Seq("x"))
+        .agg(count(lit(1))).collect()
+      spark.read.parquet(s"$sfDir/region.parquet").agg(count(lit(1))).collect()
+    }
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
