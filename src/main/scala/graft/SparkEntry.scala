@@ -834,6 +834,32 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    "q_outliers" -> ((s, dir) => {
+      import s.implicits._
+      // z-score anomaly detection, the scale shape: one exact-moment
+      // aggregation (decimal sums — order-independent, so mean/sd are
+      // bit-identical across engines), stats broadcast back over the
+      // fact scan, outliers counted map-side. Never a window over the
+      // whole group, never a second full shuffle.
+      val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      val stats = li.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(dec2($"l_extendedprice")).cast(DoubleType).as("sx"),
+          sum(($"l_extendedprice" * $"l_extendedprice").cast(DecimalType(30, 6)))
+            .cast(DoubleType).as("sxx"))
+        .withColumn("mean", $"sx" / $"n")
+        .withColumn("sd", sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)))
+      li.join(broadcast(stats), "l_returnflag")
+        .withColumn("z", ($"l_extendedprice" - $"mean") / $"sd")
+        .groupBy($"l_returnflag")
+        .agg(first($"n").as("n_rows"),
+          round(first($"mean"), 4).as("mean_price"),
+          round(first($"sd"), 4).as("sd_price"),
+          count(when(abs($"z") > 2.5, 1)).as("n_outliers"),
+          round(max($"z"), 4).as("max_z"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       import s.implicits._
       graft.plans.GraftExtensions.install(s)
@@ -1556,6 +1582,25 @@ object SparkEntry {
         |FROM g CROSS JOIN tot
         |WHERE cnt >= total * 0.01
         |ORDER BY cnt DESC, token""".stripMargin,
+
+    "q_outliers" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),
+        |stats AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+        |  FROM li GROUP BY 1),
+        |st AS (SELECT l_returnflag, n, sx / n AS mean,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM stats)
+        |SELECT li.l_returnflag,
+        |  min(st.n) AS n_rows,
+        |  round(min(st.mean), 4) AS mean_price,
+        |  round(min(st.sd), 4) AS sd_price,
+        |  count(CASE WHEN abs((li.l_extendedprice - st.mean) / st.sd) > 2.5
+        |    THEN 1 END) AS n_outliers,
+        |  round(max((li.l_extendedprice - st.mean) / st.sd), 4) AS max_z
+        |FROM li JOIN st USING (l_returnflag)
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_bm25" ->
       """WITH t AS (

@@ -64,6 +64,19 @@ object StreamOps {
       .drop("p_user")
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * dimension row (the reference's glue-catalog lookup, as a stream).
+    * The static side is a plain DataFrame — Spark re-plans it per
+    * micro-batch (so a refreshed dim table is picked up) and, when it is
+    * broadcast-sized, every micro-batch joins map-side with NO streaming
+    * state at all: unlike stream-stream joins there is nothing to buffer,
+    * which is why enrichment should always be stream-static, never a
+    * stream-stream join against a slowly-changing copy. Left join keeps
+    * events whose key has no dim row yet (late dimension arrival). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+                    dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Stateful gap-based sessionization with processing of one user's
     * events per group; timeout closes idle sessions. Batch twin:
     * graft.operators.Sessionize. */

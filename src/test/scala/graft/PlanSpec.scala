@@ -135,4 +135,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"chunking introduced a non-sort shuffle:\n$exchanges")
   }
+
+  test("bm25 top-k rewrites to the bounded TopKPerGroup operator") {
+    plans.GraftExtensions.install(spark)
+    val p = plan("q_bm25")
+    assert(p.contains("TopKFinal") && p.contains("TopKLocal"),
+      s"q_bm25 ranking did not rewrite:\n$p")
+  }
+
+  test("decontamination: training grams filtered by a broadcast benchmark set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"training side shuffled for the gram join:\n$p")
+  }
+
+  test("vector quantization stays in the scan stage — no shuffle") {
+    val p = plan("q_vector_quantize")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"quantization introduced a non-sort shuffle:\n$exchanges")
+  }
+
+  test("PII masking stays in the scan stage — no shuffle") {
+    val p = plan("q_pii_mask")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"masking introduced a non-sort shuffle:\n$exchanges")
+  }
+
+  test("sequence packing shuffles once on the shard key") {
+    val p = plan("q_seq_pack")
+    // one hash exchange (the per-shard window/groupBy share partitioning);
+    // the final sort's range exchange is allowed
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"expected at most 2 hash shuffles, got $hashEx:\n$p")
+  }
 }

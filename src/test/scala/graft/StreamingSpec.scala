@@ -116,4 +116,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
   }
+
+  test("stream-static enrichment joins each event to its dim row, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = MemoryStream[Event]
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("dim_user", "tier")
+    val q = StreamOps.enrichWithDim(events.toDF(), dim, "user_id", "dim_user")
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    events.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 9, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+    // user 7 enriched; user 9 (no dim row) kept with null tier
+    assert(got.toSeq == Seq((1L, "gold"), (2L, null)))
+  }
 }
