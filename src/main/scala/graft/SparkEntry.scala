@@ -185,6 +185,21 @@ object SparkEntry {
         .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
     }),
 
+    "q_trailing_window" -> ((s, dir) => {
+      import s.implicits._
+      // time-RANGE window frame (by value, not rows): 7-day trailing
+      // order total per customer — the moving-aggregate shape for
+      // metrics/features over event time. Decimal sum inside the frame
+      // (exact, order-independent), one shuffle on the partition key.
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(unix_timestamp($"o_orderdate"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+          sum(dec2($"o_totalprice")).over(w).cast(DoubleType).as("trailing_7d"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -1042,6 +1057,14 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_trailing_window" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
