@@ -960,6 +960,31 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    "q_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet-style statistical LM quality score: per-doc mean unigram
+      // cross-entropy against the corpus unigram model — the cheap
+      // perplexity proxy used to rank/filter web text before a real LM
+      // sees it. Two passes: corpus unigram counts (map-side partial),
+      // then token→logprob join + per-doc mean. Each token's logprob is
+      // rounded and decimal-summed so the per-doc total is
+      // order-independent (double sums are not) and engine-exact.
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val total = toks.select(count(lit(1)).as("total"))
+      val lp = freq.crossJoin(broadcast(total))
+        .select($"tok",
+          round(log($"cnt".cast(DoubleType) / $"total"), 8)
+            .cast(DecimalType(18, 8)).as("logp"))
+      toks.join(lp, "tok")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logp"))
+        .select($"doc_id", $"n_tokens",
+          round(-($"sum_logp".cast(DoubleType)) / $"n_tokens", 6).as("cross_entropy"))
+        .orderBy($"doc_id")
+    }),
+
     "q_kmeans_topics" -> ((s, dir) => {
       import s.implicits._
       // corpus topic clustering (SemDeDup/domain-balancing primitive):
@@ -1683,6 +1708,21 @@ object SparkEntry {
         |SELECT g.doc_id, count(*) AS n_shared_grams
         |FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |lp AS (SELECT tok,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE) / total), 8) AS DECIMAL(18,8)) AS logp
+        |  FROM freq CROSS JOIN tot)
+        |SELECT toks.doc_id, count(*) AS n_tokens,
+        |  round(-(CAST(sum(logp) AS DOUBLE)) / count(*), 6) AS cross_entropy
+        |FROM toks JOIN lp USING (tok)
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
