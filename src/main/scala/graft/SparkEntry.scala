@@ -833,6 +833,21 @@ object SparkEntry {
         .orderBy($"cnt".desc, $"token")
     }),
 
+    "q_approx_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      // bounded-memory heavy hitters: Misra-Gries sketch (<= 256
+      // counters regardless of vocabulary) generates candidates, an
+      // exact map-side-filtered recount makes the output exact and
+      // partitioning-independent — hence checkable against the plain
+      // exact-count oracle. The 100 TB swap-in for q_heavy_hitters'
+      // full groupBy over an unbounded token domain.
+      operators.HeavyHitters.approx(
+          Tables.documents(s, dir)
+            .select(explode(TextFns.tokens($"text")).as("token")),
+          $"token", support = 0.01, k = 256)
+        .orderBy($"cnt".desc, $"token")
+    }),
+
     "q_approx_quantiles" -> ((s, dir) => {
       import s.implicits._
       // sketch-based percentiles — the 100 TB path next to q_percentiles'
@@ -1618,6 +1633,17 @@ object SparkEntry {
         |FROM s
         |WHERE len(toks) > start
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_approx_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+        |g AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+        |SELECT token, cnt, round(cnt / total, 6) AS support
+        |FROM g CROSS JOIN tot
+        |WHERE cnt >= total * 0.01
+        |ORDER BY cnt DESC, token""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH toks AS (
