@@ -1021,6 +1021,24 @@ object SparkEntry {
         .toDF()
         .orderBy($"doc_id")
     }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      // frame-sampling plan + resize-to-box metadata for the video/audio
+      // payloads: evenly-spaced frame indices (row-local explode of a
+      // bounded sequence; payloads are NOT duplicated — the decode pass
+      // re-joins by id) and aspect-preserving fit into a 256 box
+      val meta = Multimodal.featurize(
+        Multimodal.asMedia(Tables.documents(s, dir), $"doc_id", $"text")).toDF()
+      val (rw, rh) = Multimodal.resizeMeta($"width", $"height", 256)
+      Multimodal.sampleFrames(
+          meta.select($"doc_id", $"fmt", $"n_frames",
+            rw.as("resized_w"), rh.as("resized_h")),
+          perDoc = 4)
+        .select($"doc_id", $"fmt", $"n_frames", $"frame_idx",
+          $"resized_w", $"resized_h")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1812,5 +1830,31 @@ object SparkEntry {
         |    ELSE 1 END AS n_frames
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS fmt,
+        |  64 + (octet_length(encode(text)) * 7919) % 1024 AS width,
+        |  64 + (octet_length(encode(text)) * 104729) % 768 AS height,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 2 THEN 1 + octet_length(encode(text)) % 32
+        |    WHEN 1 THEN 1 + octet_length(encode(text)) % 16
+        |    ELSE 1 END AS BIGINT) AS n_frames
+        |  FROM documents),
+        |r AS (SELECT doc_id, fmt, n_frames,
+        |  CASE WHEN greatest(width, height) <= 256 THEN width
+        |    ELSE CAST(floor(width * 256 / greatest(width, height)) AS BIGINT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 256 THEN height
+        |    ELSE CAST(floor(height * 256 / greatest(width, height)) AS BIGINT)
+        |  END AS resized_h
+        |  FROM m WHERE n_frames > 1)
+        |SELECT doc_id, fmt, n_frames,
+        |  unnest(range(0, n_frames, CAST(ceil(CAST(n_frames AS DOUBLE) / 4) AS BIGINT)))
+        |    AS frame_idx,
+        |  resized_w, resized_h
+        |FROM r
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

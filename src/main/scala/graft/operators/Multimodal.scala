@@ -63,4 +63,31 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize metadata: fit (width, height) inside a `maxSide` box
+    * preserving aspect ratio, never upscaling — the standard
+    * training-data image normalization. Pure integer/long Column math
+    * over the metadata (the pixel resample itself belongs in the same
+    * per-partition codec slot as decode): target = floor(side · s) with
+    * s = maxSide / max(w, h) capped at 1. Row-local, no shuffle. */
+  def resizeMeta(width: Column, height: Column, maxSide: Int): (Column, Column) = {
+    val longest = greatest(width, height)
+    def fit(side: Column): Column =
+      when(longest <= maxSide, side)
+        .otherwise(floor(side * maxSide / longest))
+    (fit(width), fit(height))
+  }
+
+  /** Frame sampling plan for video/audio payloads: pick ~`perDoc` evenly
+    * spaced frame indices (always including frame 0, stride
+    * ceil(n/perDoc)), emitted one row per sampled frame — the fan-out a
+    * decoder consumes to extract stills. Row-local explode of a bounded
+    * sequence; payloads themselves are not duplicated (frame rows carry
+    * doc_id + frame_idx only, the decode pass re-joins by id). */
+  def sampleFrames(meta: DataFrame, perDoc: Int): DataFrame = {
+    val stride = ceil(col("n_frames").cast("double") / perDoc).cast("long")
+    meta.filter(col("n_frames") > 1)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, stride)))
+  }
 }

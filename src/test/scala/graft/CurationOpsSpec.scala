@@ -155,6 +155,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
       s"trained=${objective(model)} init=${objective(init)}")
   }
 
+  // ---- Multimodal resize / frame sampling ---------------------------
+
+  test("resize fits the longest side to the box, preserves aspect, never upscales") {
+    import spark.implicits._
+    val df = Seq((1L, 1024L, 512L), (2L, 100L, 50L), (3L, 200L, 800L))
+      .toDF("id", "width", "height")
+    val (rw, rh) = operators.Multimodal.resizeMeta($"width", $"height", 256)
+    val got = df.select($"id", rw.as("w"), rh.as("h")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (256L, 128L))   // downscale, aspect kept
+    assert(got(2L) == (100L, 50L))    // small image untouched
+    assert(got(3L) == (64L, 256L))    // portrait fit
+  }
+
+  test("frame sampling: ~perDoc evenly spaced indices incl. frame 0, in range") {
+    import spark.implicits._
+    val meta = Seq((1L, "video", 32L), (2L, "audio", 2L), (3L, "image", 1L))
+      .toDF("doc_id", "fmt", "n_frames")
+    val rows = operators.Multimodal.sampleFrames(meta, perDoc = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc(1L) == Seq(0L, 8L, 16L, 24L)) // stride ceil(32/4)=8
+    assert(byDoc(2L) == Seq(0L, 1L))           // tiny clip: all frames
+    assert(!byDoc.contains(3L))                // single-frame payloads skipped
+  }
+
   // ---- VectorFns quantization ---------------------------------------
 
   test("int8 quantization bounds, sign, and zero-vector handling") {
