@@ -70,6 +70,29 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_mixture_sample's target language shares — one definition feeds
+    * both the Spark query and the generated oracle SQL literals. */
+  private val mixtureTargets: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1)
+
+  private def mixtureOracle: String = {
+    val values = mixtureTargets.toSeq.sortBy(_._1)
+      .map { case (g, s) => s"('$g', $s)" }.mkString(", ")
+    s"""WITH t AS (SELECT * FROM (VALUES $values) AS v(grp, share)),
+       |c AS (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY 1),
+       |tt AS (SELECT min(n / share) AS t_total FROM c JOIN t USING (grp)),
+       |r AS (SELECT c.grp, least(1.0, t.share * tt.t_total / c.n) AS keep_rate
+       |  FROM c JOIN t USING (grp) CROSS JOIN tt),
+       |kept AS (
+       |  SELECT d.lang, r.keep_rate FROM documents d JOIN r ON d.lang = r.grp
+       |  WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) + 1.0) / 4294967297.0 < r.keep_rate)
+       |SELECT lang, count(*) AS n_kept, round(min(keep_rate), 6) AS keep_rate
+       |FROM kept
+       |GROUP BY 1
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -761,6 +784,33 @@ object SparkEntry {
         .select($"doc_id", $"n_chars".cast(LongType).as("n_chars"),
           $"priority", $"sample_rank")
         .orderBy($"sample_rank")
+    }),
+
+    "q_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic domain reweighting (DoReMi/Pile-style): subsample
+      // each language toward the target mixture; the kept set is a
+      // stable function of doc ids, verified exactly by the oracle
+      operators.Sampling.mixToShares(Tables.documents(s, dir),
+          $"lang", $"doc_id", mixtureTargets)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          round(first($"keep_rate"), 6).as("keep_rate"))
+        .orderBy($"lang")
+    }),
+
+    "q_quality_bins" -> ((s, dir) => {
+      import s.implicits._
+      // curriculum-style decile binning: ntile over (length, id) within
+      // each language — one shuffle on the partition key
+      val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", length($"text").cast(LongType).as("n_chars"))
+        .withColumn("decile", ntile(10).over(w).cast(LongType))
+        .groupBy($"lang", $"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .orderBy($"lang", $"decile")
     }),
 
     "q_quality_filter" -> ((s, dir) => {
@@ -1769,6 +1819,21 @@ object SparkEntry {
         |FROM toks JOIN lp USING (tok)
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_sample" -> mixtureOracle,
+
+    "q_quality_bins" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    AS BIGINT) AS decile
+        |  FROM d)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY lang, decile""".stripMargin,
 
     "q_pii_mask" ->
       """SELECT c_custkey,

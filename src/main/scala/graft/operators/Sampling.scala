@@ -41,6 +41,35 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic mixture resampling toward target group shares — the
+    * domain-reweighting step of training-corpus assembly (the DoReMi /
+    * Pile recipe: fix the source mixture, then sample). The largest
+    * total for which no group runs out is T = min_g n_g / share_g; each
+    * group then keeps rate r_g = share_g · T / n_g of its rows, chosen
+    * by the stable md5-uniform (so the kept set is identical across
+    * runs, partitionings and engines — no seeded RNG).
+    *
+    * Scale shape: group counts are one tiny aggregation, T a broadcast
+    * scalar, and the keep decision a scan-stage predicate against the
+    * broadcast per-group rate — the corpus itself never shuffles.
+    * Output keeps a `keep_rate` column for reporting. */
+  def mixToShares(df: DataFrame, group: Column, key: Column,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(_ > 0), "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF("grp", "share")
+    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n"))
+    val tTotal = counts.join(t, "grp")
+      .agg(min(col("n") / col("share")).as("t_total"))
+    val rates = counts.join(t, "grp").crossJoin(broadcast(tTotal))
+      .select(col("grp"),
+        least(lit(1.0), col("share") * col("t_total") / col("n")).as("keep_rate"))
+    df.join(broadcast(rates), group === col("grp"))
+      .filter(WeightedSample.hashUniform(key) < col("keep_rate"))
+      .drop("grp")
+  }
+
   /** Assign 'test' / 'val' / 'train' split labels by stable hash bucket:
     * buckets [0, testPct) → test, [testPct, testPct+valPct) → val,
     * rest → train. */

@@ -34,4 +34,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(s10.subsetOf(s20), "pct=10 sample must nest inside pct=20")
     assert(s10.nonEmpty && s20.size > s10.size)
   }
+
+  test("mixture resampling hits target shares and is partitioning-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val targets = Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.1, "zh" -> 0.1)
+    def kept(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.mixToShares(df, $"lang", $"doc_id", targets)
+        .select($"doc_id", $"lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = kept(docs)
+    assert(a == kept(docs.repartition(13, $"text")),
+      "mixture sample changed under repartitioning")
+    // achieved shares approach the targets (md5-uniform thinning is
+    // binomial — allow generous tolerance at 500 docs)
+    val n = a.size.toDouble
+    val shares = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    targets.foreach { case (g, t) =>
+      assert(math.abs(shares.getOrElse(g, 0.0) - t) < 0.1,
+        s"share of $g = ${shares.get(g)} vs target $t (all: $shares)")
+    }
+    // no group is oversampled: kept count never exceeds available count
+    val avail = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.values.groupBy(identity).foreach { case (g, ks) =>
+      assert(ks.size <= avail(g))
+    }
+  }
 }
