@@ -77,6 +77,48 @@ object StreamOps {
                     dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Streaming CDC upsert sink: apply each micro-batch of changelog rows
+    * to a parquet snapshot via the batch CdcMerge (latest change per key
+    * wins, 'D' deletes) — the stream form of MERGE INTO a lake table,
+    * i.e. the reference audit lambda's per-update overwrite done
+    * set-at-a-time. foreachBatch gives exactly-once-per-batch-id
+    * semantics; the read-merge-rewrite inside is the plain-parquet
+    * equivalent of a table format's transactional merge (swap in
+    * Delta/Iceberg MERGE where available — operator shape unchanged).
+    * Returns the started query. */
+  def cdcUpsert(changes: DataFrame, snapshotDir: String,
+                keys: Seq[String], opCol: String, version: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(snapshotDir)
+        val base =
+          if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+            spark.read.parquet(snapshotDir)
+          else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                batch.schema.filterNot(f => f.name == opCol)))
+        val merged = graft.etl.CdcMerge.merge(
+          base, batch, keys, col(opCol),
+          version.map(col)).drop("change_applied")
+        // write-then-swap so a failed write never clobbers the snapshot
+        val tmp = snapshotDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = new java.io.File(snapshotDir)
+        if (target.exists()) {
+          val old = new java.io.File(snapshotDir + ".old")
+          if (old.exists()) old.listFiles().foreach(_.delete())
+          target.renameTo(old)
+        }
+        new java.io.File(tmp).renameTo(new java.io.File(snapshotDir))
+        ()
+      }
+      .start()
+
   /** Stateful gap-based sessionization with processing of one user's
     * events per group; timeout closes idle sessions. Batch twin:
     * graft.operators.Sessionize. */

@@ -136,4 +136,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // user 7 enriched; user 9 (no dim row) kept with null tier
     assert(got.toSeq == Seq((1L, "gold"), (2L, null)))
   }
+
+  test("streaming CDC upsert maintains a keyed parquet snapshot across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = s"target/test-tmp/cdc-snap-${System.nanoTime()}"
+    // changelog rows: (key, op, value, version)
+    val in = MemoryStream[(Long, String, Double, Long)]
+    val changes = in.toDF().toDF("k", "op", "v", "ver")
+    val q = StreamOps.cdcUpsert(changes, dir,
+      keys = Seq("k"), opCol = "op", version = Seq("ver"))
+    // batch 1: two inserts
+    in.addData((1L, "U", 10.0, 1L), (2L, "U", 20.0, 1L))
+    q.processAllAvailable()
+    // batch 2: update k=1 (two changes in-batch, latest ver wins), delete k=2, insert k=3
+    in.addData((1L, "U", 11.0, 2L), (1L, "U", 12.0, 3L),
+      (2L, "D", 0.0, 2L), (3L, "U", 30.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(dir)
+      .select($"k", $"v", $"ver").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(snap == Map(1L -> ((12.0, 3L)), 3L -> ((30.0, 1L))))
+  }
 }
