@@ -649,6 +649,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_dedup_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      // the full near-dup removal pipeline with a QUALITY keep-policy
+      // (SemDeDup-style): LSH pairs → connected components → within each
+      // cluster keep the longest document (row_number=1 rewrites to the
+      // bounded TopKPerGroup); singletons keep themselves. No oracle —
+      // CC is iterative — but every stage is independently verified.
+      graft.plans.GraftExtensions.install(s)
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, $"text", $"doc_id",
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      val clusters = operators.DedupClusters.clusters(pairs, $"id_a", $"id_b")
+      val labeled = docs
+        .select($"doc_id", size(TextFns.tokens($"text")).cast(LongType).as("n_tokens"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy($"n_tokens".desc, $"doc_id")
+      labeled.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("keep_id"), $"n_tokens")
+        .orderBy($"cluster_id")
+    }),
+
     // ================= similarity search ==============================
 
     "q_ann_bruteforce" -> ((s, dir) => {
