@@ -1074,6 +1074,48 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_embedding_centroid" -> ((s, dir) => {
+      import s.implicits._
+      // per-label mean pooling (class centroids — the SemDeDup/domain-
+      // centroid primitive): posexplode is row-local, the aggregation
+      // shuffles (label, dim) partials only. Each element is rounded and
+      // decimal-summed so the mean is order-independent and engine-exact
+      // (the lm_score convention). First 8 dims shown.
+      Tables.embeddings(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .filter($"pos" < 8)
+        .groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"x".cast(DoubleType), 9).cast(DecimalType(18, 9))).as("sx"))
+        .select($"label".cast(LongType).as("label"), $"pos".cast(LongType).as("pos"),
+          $"n", round($"sx".cast(DoubleType) / $"n", 6).as("mean"))
+        .orderBy($"label", $"pos")
+    }),
+
+    "q_corr" -> ((s, dir) => {
+      import s.implicits._
+      // Pearson correlation from exact decimal moments (sums of x, y,
+      // x², y², xy are order-independent decimals; the final formula is
+      // a handful of double ops on identical inputs → engine-exact,
+      // unlike corr(), whose streaming update order varies). One
+      // map-side-partial aggregation pass.
+      val x = $"l_quantity"
+      val y = $"l_extendedprice"
+      val st = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(x)).cast(DoubleType).as("sx"),
+          sum(dec2(y)).cast(DoubleType).as("sy"),
+          sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("sxx"),
+          sum((y * y).cast(DecimalType(30, 6))).cast(DoubleType).as("syy"),
+          sum((x * y).cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"))
+      st.select($"l_returnflag", $"n",
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_kmeans_topics" -> ((s, dir) => {
       import s.implicits._
       // corpus topic clustering (SemDeDup/domain-balancing primitive):
@@ -1843,6 +1885,35 @@ object SparkEntry {
         |FROM toks JOIN lp USING (tok)
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_embedding_centroid" ->
+      """WITH e AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+        |  FROM embeddings),
+        |v AS (SELECT label, i - 1 AS pos, embedding[CAST(i AS INT)] AS x
+        |  FROM e WHERE i <= 8)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / count(*), 6) AS mean
+        |FROM v
+        |GROUP BY 1, 2
+        |ORDER BY label, pos""".stripMargin,
+
+    "q_corr" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM st
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_mixture_sample" -> mixtureOracle,
 
