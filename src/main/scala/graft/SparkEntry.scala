@@ -1061,12 +1061,16 @@ object SparkEntry {
       val toks = Tables.documents(s, dir)
         .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
       val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      val total = toks.select(count(lit(1)).as("total"))
+      // corpus total = sum of the vocab counts: answered from the (small)
+      // freq table instead of a third full corpus scan+tokenize
+      val total = freq.agg(sum($"cnt").as("total"))
       val lp = freq.crossJoin(broadcast(total))
         .select($"tok",
           round(log($"cnt".cast(DoubleType) / $"total"), 8)
             .cast(DecimalType(18, 8)).as("logp"))
-      toks.join(lp, "tok")
+      // vocab side broadcast by intent: at corpus scale AQE's stats would
+      // otherwise flip WHICH side broadcasts run-to-run
+      toks.join(broadcast(lp), "tok")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logp"))
         .select($"doc_id", $"n_tokens",
@@ -1876,7 +1880,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents),
         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-        |tot AS (SELECT count(*) AS total FROM toks),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
         |lp AS (SELECT tok,
         |  CAST(round(ln(CAST(cnt AS DOUBLE) / total), 8) AS DECIMAL(18,8)) AS logp
         |  FROM freq CROSS JOIN tot)

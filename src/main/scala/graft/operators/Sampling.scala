@@ -60,9 +60,14 @@ object Sampling {
     import spark.implicits._
     val t = targets.toSeq.toDF("grp", "share")
     val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n"))
-    val tTotal = counts.join(t, "grp")
-      .agg(min(col("n") / col("share")).as("t_total"))
-    val rates = counts.join(t, "grp").crossJoin(broadcast(tTotal))
+    // T = min_g n_g/share_g as a global window over the counts table —
+    // counts has group-cardinality rows (tiny), and the window keeps the
+    // whole rate derivation on ONE pass over it (a separate agg +
+    // re-join would re-execute the corpus-count subtree)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = counts.join(t, "grp")
+      .withColumn("t_total", min(col("n") / col("share")).over(w))
       .select(col("grp"),
         least(lit(1.0), col("share") * col("t_total") / col("n")).as("keep_rate"))
     df.join(broadcast(rates), group === col("grp"))
