@@ -1823,7 +1823,8 @@ object SparkEntry {
         |  FROM terms GROUP BY 1, 2),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |corpus AS (SELECT count(*) AS n_docs,
-        |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM (
+        |    SELECT doc_id, min(dl) AS dl FROM tf GROUP BY 1)),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf,
         |    round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))

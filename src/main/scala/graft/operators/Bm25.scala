@@ -33,8 +33,13 @@ object Bm25 {
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = toks.agg(count(lit(1)).as("n_docs"),
-      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    // corpus stats derived from the doc-term table rather than a second
+    // full scan+tokenize of the raw text: N and avgdl over docs WITH
+    // tokens (identical unless a doc is empty — and empty docs have no
+    // terms to score anyway)
+    val corpus = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(corpus))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
