@@ -977,16 +977,25 @@ object SparkEntry {
       // (row-local from the materialized token array) and top-token
       // dominance (one map-side-partial agg per doc) — the "generated /
       // boilerplate text" detectors that run beside the quality rules
+      // ONE scan+tokenize: the row-local bigram stats are computed next
+      // to the token array and ride through the explode (Generate keeps
+      // parent columns), then two cheap aggs recover per-doc top-token —
+      // no second pass over the corpus text
       val t = Tables.documents(s, dir)
         .select($"doc_id", TextFns.tokens($"text").as("toks"))
-      val bi = t.select($"doc_id",
-        size($"toks").cast(LongType).as("n_tokens"),
-        greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
-        size(Dedup.wordShinglesOf($"toks", 2)).cast(LongType).as("n_distinct_bigrams"))
-      val top = t.select($"doc_id", explode($"toks").as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-        .groupBy($"doc_id").agg(max($"cnt").as("top_tok_cnt"))
-      bi.join(top, Seq("doc_id"))
+        .select($"doc_id",
+          size($"toks").cast(LongType).as("n_tokens"),
+          greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
+          size(Dedup.wordShinglesOf($"toks", 2)).cast(LongType).as("n_distinct_bigrams"),
+          explode($"toks").as("tok"))
+      t.groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("cnt"), first($"n_tokens").as("n_tokens"),
+          first($"n_bigrams").as("n_bigrams"),
+          first($"n_distinct_bigrams").as("n_distinct_bigrams"))
+        .groupBy($"doc_id")
+        .agg(max($"cnt").as("top_tok_cnt"), first($"n_tokens").as("n_tokens"),
+          first($"n_bigrams").as("n_bigrams"),
+          first($"n_distinct_bigrams").as("n_distinct_bigrams"))
         .select($"doc_id", $"n_tokens", $"top_tok_cnt",
           round($"top_tok_cnt" / $"n_tokens", 6).as("top_tok_frac"),
           $"n_bigrams", $"n_distinct_bigrams",
