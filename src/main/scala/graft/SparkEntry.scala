@@ -977,25 +977,22 @@ object SparkEntry {
       // (row-local from the materialized token array) and top-token
       // dominance (one map-side-partial agg per doc) — the "generated /
       // boilerplate text" detectors that run beside the quality rules
-      // ONE scan+tokenize: the row-local bigram stats are computed next
-      // to the token array and ride through the explode (Generate keeps
-      // parent columns), then two cheap aggs recover per-doc top-token —
-      // no second pass over the corpus text
+      // Two passes BY DESIGN: placing the row-local bigram stats in the
+      // same projection as explode(toks) lets Catalyst's projection
+      // collapse re-site them after the Generate, re-evaluating the
+      // whole distinct-bigram computation once per TOKEN row (~300×;
+      // measured 1.6s → 24s at sf0.1). Keeping them on a separate
+      // branch joined by doc_id pins them to one evaluation per doc.
       val t = Tables.documents(s, dir)
         .select($"doc_id", TextFns.tokens($"text").as("toks"))
-        .select($"doc_id",
-          size($"toks").cast(LongType).as("n_tokens"),
-          greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
-          size(Dedup.wordShinglesOf($"toks", 2)).cast(LongType).as("n_distinct_bigrams"),
-          explode($"toks").as("tok"))
-      t.groupBy($"doc_id", $"tok")
-        .agg(count(lit(1)).as("cnt"), first($"n_tokens").as("n_tokens"),
-          first($"n_bigrams").as("n_bigrams"),
-          first($"n_distinct_bigrams").as("n_distinct_bigrams"))
-        .groupBy($"doc_id")
-        .agg(max($"cnt").as("top_tok_cnt"), first($"n_tokens").as("n_tokens"),
-          first($"n_bigrams").as("n_bigrams"),
-          first($"n_distinct_bigrams").as("n_distinct_bigrams"))
+      val bi = t.select($"doc_id",
+        size($"toks").cast(LongType).as("n_tokens"),
+        greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
+        size(Dedup.wordShinglesOf($"toks", 2)).cast(LongType).as("n_distinct_bigrams"))
+      val top = t.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id").agg(max($"cnt").as("top_tok_cnt"))
+      bi.join(top, Seq("doc_id"))
         .select($"doc_id", $"n_tokens", $"top_tok_cnt",
           round($"top_tok_cnt" / $"n_tokens", 6).as("top_tok_frac"),
           $"n_bigrams", $"n_distinct_bigrams",
