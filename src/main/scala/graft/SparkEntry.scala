@@ -649,6 +649,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      // fuzzy matching surface: Levenshtein distance between neighboring
+      // docs' 30-char heads (the sorted-neighbor pass — the blocking
+      // strategy that makes edit distance usable at scale: compare only
+      // within a candidate window, never all-pairs)
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", substring($"text", 1, 30).as("head"))
+      val a = d.select($"doc_id".as("id_a"), $"head".as("head_a"))
+      val b = d.select($"doc_id".as("id_b"), $"head".as("head_b"))
+      a.join(b, $"id_b" === $"id_a" + 1)
+        .select($"id_a", $"id_b",
+          levenshtein($"head_a", $"head_b").cast(LongType).as("edit_dist"))
+        .orderBy($"id_a")
+    }),
+
     "q_dedup_keep_best" -> ((s, dir) => {
       import s.implicits._
       // the full near-dup removal pipeline with a QUALITY keep-policy
@@ -1545,6 +1561,13 @@ object SparkEntry {
         |FROM p
         |ORDER BY priority, doc_id
         |LIMIT 100""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 30) AS head FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
