@@ -359,6 +359,20 @@ object SparkEntry {
         .orderBy($"purchase_id")
     }),
 
+    "q_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      // series densification: one row per (user, hour) between each
+      // user's first and last event, zeros where nothing happened,
+      // last observed hourly total carried forward. Decimal bucket sums
+      // (order-independent) cast to double at the edge.
+      operators.TimeSeries.gapFill(
+          Tables.events(s, dir).withColumn("value", dec2($"value")),
+          $"user_id", $"ts", $"value", bucketSeconds = 3600L)
+        .select($"k".as("user_id"), $"bucket", $"n_events",
+          $"filled".cast(DoubleType).as("filled"))
+        .orderBy($"user_id", $"bucket")
+    }),
+
     "q_conditional_agg" -> ((s, dir) => {
       import s.implicits._
       // filtered/conditional aggregation in one pass over the fact table
@@ -1354,6 +1368,25 @@ object SparkEntry {
         |  p.ts AS asof_time, p.pvalue AS asof_pvalue
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id AS k,
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+        |    count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS bucket_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1),
+        |grid AS (SELECT k, unnest(range(b0, b1 + 3600, 3600)) AS bucket FROM spans),
+        |j AS (SELECT g.k, g.bucket, coalesce(o.n_events, 0) AS n_events,
+        |    o.bucket_value
+        |  FROM grid g LEFT JOIN obs o USING (k, bucket))
+        |SELECT k AS user_id, bucket, n_events,
+        |  CAST(last_value(bucket_value IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+        |FROM j
+        |ORDER BY user_id, bucket""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT l_returnflag,
