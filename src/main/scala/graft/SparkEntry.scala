@@ -359,6 +359,43 @@ object SparkEntry {
         .orderBy($"purchase_id")
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      // interval×interval overlap join (session-conflict shape): both
+      // sides bin-explode, equi-join on (user, bin), exact overlap
+      // filter, first-common-bin guard dedups — never a nested-loop
+      // inequality probe
+      val ev = Tables.events(s, dir)
+      val a = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("a_start"),
+          ($"ts" + expr("INTERVAL 2 HOURS")).as("a_end"))
+      val b = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("b_start"),
+          ($"ts" + expr("INTERVAL 1 HOUR")).as("b_end"))
+      operators.RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+          "a_start", "a_end", "b_start", "b_end", binSeconds = 3600L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy($"user_id")
+    }),
+
+    "q_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      // sweep line: each click opens a 1h window; +1/-1 deltas in time
+      // order (ends before starts at ties — half-open windows) under a
+      // running sum give concurrency; max per user. One key shuffle.
+      val ev = Tables.events(s, dir).filter($"event_type" === "click")
+      val deltas = ev.select($"user_id", $"ts".as("t"), lit(1L).as("delta"))
+        .unionByName(ev.select($"user_id",
+          ($"ts" + expr("INTERVAL 1 HOUR")).as("t"), lit(-1L).as("delta")))
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("open", sum($"delta").over(w))
+        .groupBy($"user_id")
+        .agg(max($"open").as("max_concurrent"), count(lit(1)).as("n_boundaries"))
+        .orderBy($"user_id")
+    }),
+
     "q_gap_fill" -> ((s, dir) => {
       import s.implicits._
       // series densification: one row per (user, hour) between each
@@ -1368,6 +1405,32 @@ object SparkEntry {
         |  p.ts AS asof_time, p.pvalue AS asof_pvalue
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT user_id, ts AS a_start, ts + INTERVAL 2 HOUR AS a_end
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id AS u2, ts AS b_start, ts + INTERVAL 1 HOUR AS b_end
+        |  FROM events WHERE event_type = 'click')
+        |SELECT a.user_id, count(*) AS n_overlaps
+        |FROM a JOIN b ON b.u2 = a.user_id
+        |  AND a.a_start < b.b_end AND b.b_start < a.a_end
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |d AS (
+        |  SELECT user_id, ts AS t, CAST(1 AS BIGINT) AS delta FROM c
+        |  UNION ALL
+        |  SELECT user_id, ts + INTERVAL 1 HOUR AS t, CAST(-1 AS BIGINT) FROM c),
+        |o AS (SELECT user_id,
+        |  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+        |  FROM d)
+        |SELECT user_id, max(open) AS max_concurrent, count(*) AS n_boundaries
+        |FROM o
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
 
     "q_gap_fill" ->
       """WITH obs AS (

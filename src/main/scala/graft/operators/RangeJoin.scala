@@ -37,4 +37,30 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("_bin")
   }
+
+  /** Interval-overlap join: pairs of (left, right) intervals on the same
+    * `keys` whose half-open windows intersect (a.start < b.end AND
+    * b.start < a.end) — session/session overlap, concurrency analysis,
+    * conflict detection. Same binning idea as [[pointInInterval]], but
+    * BOTH sides explode to their covered bins, so an overlapping pair
+    * can co-occur in several bins: the pair is kept only in the FIRST
+    * bin both cover (max of the two start bins) — an arithmetic guard,
+    * cheaper than a distinct over the matched pairs. Column names of
+    * the two interval sets must be disjoint apart from `keys`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame =
+      df.withColumn(s"_b0_$tag",
+          floor(unix_timestamp(col(s)) / binSeconds).cast(LongType))
+        .withColumn("_bin", explode(sequence(col(s"_b0_$tag"),
+          floor(unix_timestamp(col(e)) / binSeconds).cast(LongType))))
+    binned(left, leftStart, leftEnd, "l")
+      .join(binned(right, rightStart, rightEnd, "r"), keys :+ "_bin")
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col("_bin") === greatest(col("_b0_l"), col("_b0_r")))
+      .drop("_bin", "_b0_l", "_b0_r")
+  }
 }

@@ -50,4 +50,32 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), s"no equi join in plan:\n$p")
   }
+
+  test("interval overlap equals the naive inequality join, each pair once") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val a = Seq(
+      (1L, t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00"), 100L),
+      (1L, t("2024-01-01 15:00:00"), t("2024-01-01 16:00:00"), 101L),
+      (2L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), 102L)
+    ).toDF("user_id", "a_start", "a_end", "a_id")
+    val b = Seq(
+      (1L, t("2024-01-01 11:30:00"), t("2024-01-01 13:00:00"), 200L), // overlaps 100
+      (1L, t("2024-01-01 12:00:00"), t("2024-01-01 12:30:00"), 201L), // abuts 100 (no)
+      (1L, t("2024-01-01 09:00:00"), t("2024-01-01 17:00:00"), 202L), // overlaps both
+      (2L, t("2024-01-01 10:30:00"), t("2024-01-01 10:45:00"), 203L)  // contained
+    ).toDF("user_id", "b_start", "b_end", "b_id")
+    val got = RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", binSeconds = 1800L)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.join(b, a("user_id") === b("user_id") &&
+        a("a_start") < b("b_end") && b("b_start") < a("a_end"))
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == naive)
+    assert(naive == Set((100L, 200L), (100L, 202L), (101L, 202L), (102L, 203L)))
+  }
 }
