@@ -214,8 +214,10 @@ object SparkEntry {
       // order total per customer — the moving-aggregate shape for
       // metrics/features over event time. Decimal sum inside the frame
       // (exact, order-independent), one shuffle on the partition key.
+      // sort key derived timezone-independently (datediff from epoch, not
+      // unix_timestamp, which shifts with spark.sql.session.timeZone/DST)
       val w = Window.partitionBy($"o_custkey")
-        .orderBy(unix_timestamp($"o_orderdate"))
+        .orderBy((datediff($"o_orderdate", lit("1970-01-01")).cast(LongType) * 86400L))
         .rangeBetween(-7L * 86400, 0)
       Tables.orders(s, dir)
         .select($"o_custkey", $"o_orderdate", $"o_orderkey",

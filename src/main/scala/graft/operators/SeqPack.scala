@@ -30,7 +30,11 @@ object SeqPack {
     * ascending `id` order within each shard. */
   def windows(docs: DataFrame, shard: Column, id: Column, nTokens: Column,
               windowTokens: Int): DataFrame = {
+    // ROWS frame (not the default RANGE): duplicate doc_ids within a
+    // shard must each advance the layout cursor, matching the oracle's
+    // explicit ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val laid = docs
       .select(shard.as("shard"), id.as("doc_id"), nTokens.cast(LongType).as("n"))
       .filter(col("n") > 0)
