@@ -31,14 +31,16 @@ object HeavyHitters {
     require(support > 1.0 / (k + 1),
       s"support $support must exceed 1/(k+1) = ${1.0 / (k + 1)} for exactness")
     val toks = items.select(itemCol.as("token"))
+    // ONE aggregation yields both the candidate sketch and n, so pass 1 is
+    // a single scan; a separate count() would re-scan the full stream
     val cands = toks
-      .agg(graft.plans.MisraGries.sketch(col("token"), k).as("sk"))
-      .select(explode(col("sk")).as("c"))
-      .select(col("c.item").as("token"))
-    val total = toks.agg(count(lit(1)).cast(DoubleType).as("total"))
+      .agg(count(lit(1)).cast(DoubleType).as("total"),
+        graft.plans.MisraGries.sketch(col("token"), k).as("sk"))
+      .select(col("total"), explode(col("sk")).as("c"))
+      .select(col("c.item").as("token"), col("total"))
     toks.join(broadcast(cands), Seq("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), first(col("total")).as("total"))
       .filter(col("cnt") >= col("total") * support)
       .select(col("token"), col("cnt"),
         round(col("cnt") / col("total"), 6).as("support"))

@@ -108,16 +108,47 @@ object StreamOps {
         // write-then-swap so a failed write never clobbers the snapshot
         val tmp = snapshotDir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val target = new java.io.File(snapshotDir)
-        if (target.exists()) {
-          val old = new java.io.File(snapshotDir + ".old")
-          if (old.exists()) old.listFiles().foreach(_.delete())
-          target.renameTo(old)
-        }
-        new java.io.File(tmp).renameTo(new java.io.File(snapshotDir))
-        ()
+        swapSnapshot(tmp, snapshotDir)
       }
       .start()
+
+  /** Promote a freshly-written snapshot directory over the live one.
+    *
+    * Every step either succeeds or THROWS — a throw fails the micro-batch
+    * so foreachBatch retries it; silently ignoring a failed move would let
+    * the batch "succeed" while later batches merge against a stale base
+    * (silent data loss). `.old` is deleted recursively (a non-recursive
+    * delete leaves e.g. a `_temporary/` subdir behind, which then blocks
+    * the next move into `.old` — the exact silent-staleness path this
+    * replaces). Moves use java.nio.Files.move, which throws on failure
+    * (unlike File.renameTo's ignorable boolean); the retired live dir is
+    * kept as `.old` until the new one is in place, so a crash between the
+    * two moves loses no data — recovery is renaming `.old` back. */
+  private[streaming] def swapSnapshot(tmpDir: String, snapshotDir: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    val tmp = Paths.get(tmpDir)
+    if (!Files.isDirectory(tmp))
+      throw new java.io.IOException(
+        s"cdcUpsert: staged snapshot $tmpDir missing — refusing to swap")
+    def deleteRec(p: Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRec(_)) finally children.close()
+      }
+      Files.delete(p) // throws on failure instead of leaving debris
+    }
+    val target = Paths.get(snapshotDir)
+    val old = Paths.get(snapshotDir + ".old")
+    if (Files.exists(old)) deleteRec(old)
+    if (Files.exists(target)) Files.move(target, old) // throws on failure
+    try Files.move(tmp, target)
+    catch { case e: Throwable =>
+      // roll the retired snapshot back so readers aren't left with nothing
+      if (Files.exists(old) && !Files.exists(target))
+        try Files.move(old, target) catch { case _: Throwable => () }
+      throw e
+    }
+  }
 
   /** Stateful gap-based sessionization with processing of one user's
     * events per group; timeout closes idle sessions. Batch twin:
