@@ -134,7 +134,9 @@ object Bench {
     // at 84+ queries a per-query map blows that cap and the whole bench
     // parses as null (rounds 4-5). So the contract line carries ONLY the
     // scalars and points at bench_detail.json for the per-query map.
-    val nErr = results.count { case (_, (_, ce), _) => ce.isDefined }
+    // count a query as errored if EITHER run failed, so the contract
+    // line's error count always matches the errors map in the detail file
+    val nErr = results.count { case (_, (_, ce), (_, we)) => ce.orElse(we).isDefined }
     val line = s"""{"metric":"total","value":${t3(total)},"unit":"sec","n":${results.size},"errors":$nErr,"sf":"$sfDir","detail":"bench_detail.json"}"""
     // hard guarantee: never exceed the driver's tail, whatever sfDir is
     println(if (line.length <= 1500) line

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * Every implemented operator from SURVEY.md §2 has an entry in `queries`;
   * SQL-expressible ones also have a DuckDB oracle in `oracleSql`.
   *
-  * Cross-engine parity rules used throughout (see .claude/skills/verify):
+  * Cross-engine parity rules used throughout:
   * money/measure sums go through DECIMAL casts (exact, order-independent)
   * INTERNALLY, but the final output column is cast to DOUBLE — the driver
   * reads Spark parquet via pandas (decimal → Decimal objects, str keeps

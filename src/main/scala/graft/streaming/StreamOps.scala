@@ -93,6 +93,12 @@ object StreamOps {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // A crash between swapSnapshot's two moves leaves ONLY `.old`
+        // (live dir gone). Reading a missing live dir as an empty base
+        // would silently discard the whole prior snapshot, so finish the
+        // interrupted swap first: promote `.old` back to live, then
+        // merge against it as usual.
+        recoverSnapshot(snapshotDir)
         val dir = new java.io.File(snapshotDir)
         val base =
           if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
@@ -123,8 +129,19 @@ object StreamOps {
     * replaces). Moves use java.nio.Files.move, which throws on failure
     * (unlike File.renameTo's ignorable boolean); the retired live dir is
     * kept as `.old` until the new one is in place, so a crash between the
-    * two moves loses no data — recovery is renaming `.old` back. */
-  private[streaming] def swapSnapshot(tmpDir: String, snapshotDir: String): Unit = {
+    * two moves loses no data — [[recoverSnapshot]] (run at the start of
+    * every micro-batch) promotes `.old` back to live before any merge
+    * reads the base. Correspondingly, `.old` is only ever deleted here
+    * when a live snapshot EXISTS: if the live dir is missing, `.old` is
+    * the sole surviving copy and destroying it would be the exact silent
+    * data loss this dance exists to prevent — that state throws instead
+    * (it means recoverSnapshot was skipped). */
+  private[streaming] def swapSnapshot(
+      tmpDir: String, snapshotDir: String,
+      // the promote move, injectable so tests can fail it deterministically
+      // and pin the rollback branch; production always uses Files.move
+      promoteMove: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (a, b) => { java.nio.file.Files.move(a, b); () }): Unit = {
     import java.nio.file.{Files, Paths, Path}
     val tmp = Paths.get(tmpDir)
     if (!Files.isDirectory(tmp))
@@ -139,15 +156,40 @@ object StreamOps {
     }
     val target = Paths.get(snapshotDir)
     val old = Paths.get(snapshotDir + ".old")
-    if (Files.exists(old)) deleteRec(old)
+    if (Files.exists(old)) {
+      if (!Files.exists(target))
+        throw new java.io.IOException(
+          s"cdcUpsert: $old exists but live snapshot $target does not — " +
+            "interrupted swap not recovered; refusing to delete the only copy")
+      deleteRec(old)
+    }
     if (Files.exists(target)) Files.move(target, old) // throws on failure
-    try Files.move(tmp, target)
+    try promoteMove(tmp, target)
     catch { case e: Throwable =>
-      // roll the retired snapshot back so readers aren't left with nothing
+      // roll the retired snapshot back so readers aren't left with nothing;
+      // a failed rollback is surfaced on the rethrown exception so the
+      // operator knows `.old` must be restored before restarting the query
       if (Files.exists(old) && !Files.exists(target))
-        try Files.move(old, target) catch { case _: Throwable => () }
+        try Files.move(old, target)
+        catch { case r: Throwable => e.addSuppressed(new java.io.IOException(
+          s"cdcUpsert: rollback of $old to $target ALSO failed — " +
+            "restore it manually before restarting", r)) }
       throw e
     }
+  }
+
+  /** Complete an interrupted [[swapSnapshot]]: a crash between its two
+    * moves leaves the retired snapshot at `.old` and no live dir. Promote
+    * `.old` back so the next merge reads the full prior base instead of
+    * treating the missing live dir as an empty one (which would rebuild
+    * the snapshot from a single micro-batch — permanent data loss). No-op
+    * in every other state; called at the start of each micro-batch. */
+  private[streaming] def recoverSnapshot(snapshotDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(snapshotDir)
+    val old = Paths.get(snapshotDir + ".old")
+    if (Files.exists(old) && !Files.exists(target))
+      Files.move(old, target) // throws on failure → batch fails loudly
   }
 
   /** Stateful gap-based sessionization with processing of one user's
