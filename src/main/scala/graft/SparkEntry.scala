@@ -1234,6 +1234,41 @@ object SparkEntry {
           $"resized_w", $"resized_h")
         .orderBy($"doc_id", $"frame_idx")
     }),
+
+    "q_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      // REAL javax.imageio decode: one deterministic synthetic PNG per
+      // doc (doc_id-seeded gradient; id % 20 == 1 docs are planted
+      // brightness-shifted near-dups of id-1) is encoded, decoded back to
+      // pixels, and perceptually hashed (aHash 8x8 + dHash 9x8, exact
+      // integer pooling). The oracle replays the generator's pixel
+      // formula in SQL with the same pooling/threshold math — no decode
+      // needed there — so encode → decode → pool → hash is cross-engine
+      // checked bit for bit. Hashes print as %08x%08x halves (sign-safe).
+      val imgs = operators.ImageCodec.synthImageTable(
+        Tables.documents(s, dir).select($"doc_id"))
+      operators.ImageCodec.phash(imgs).toDF()
+        .select($"doc_id", $"width", $"height",
+          operators.ImageCodec.hexSig($"ahash").as("ahash"),
+          operators.ImageCodec.hexSig($"dhash").as("dhash"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // image near-dup pairs: decoded aHash signatures flow through the
+      // SAME pigeonhole banding machinery as text simhash (4x16 bands,
+      // hot-bucket sub-splits, never all-pairs); the planted brightness-
+      // shifted dups surface at hamming 0. Oracle: same signatures from
+      // the pixel formula, brute-force pair join (fine at oracle scale).
+      val imgs = operators.ImageCodec.synthImageTable(
+        Tables.documents(s, dir).select($"doc_id"))
+      val sigs = operators.ImageCodec.phash(imgs).toDF()
+        .select($"doc_id", $"ahash".as("sig"))
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast(LongType).as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2148,5 +2183,62 @@ object SparkEntry {
         |  resized_w, resized_h
         |FROM r
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // The image oracles replay ImageCodec.synthGray's integer pixel
+    // formula and the exact-integer pooling of ahash64/dhash64 in SQL —
+    // PNG encode/decode drops out because the codec is lossless, which is
+    // precisely what lets a SQL engine check a decode pipeline.
+    "q_image_phash" -> imagePhashOracleBase(
+      """SELECT p.doc_id, CAST(72 AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+        |  printf('%08x%08x', a.hi, a.lo) AS ahash,
+        |  printf('%08x%08x', d.hi, d.lo) AS dhash
+        |FROM prm p JOIN abits a USING (doc_id) JOIN dbits d ON d.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin),
+
+    "q_image_dedup" -> imagePhashOracleBase(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM abits a JOIN abits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
   )
+
+  /** Shared CTE prefix for the image-hash oracles: synthetic pixel
+    * formula (= ImageCodec.synthGray) + 8x8/9x8 integer pooling
+    * (= ImageCodec.ahash64/dhash64) producing per-doc signature halves
+    * (hi, lo) — BIGINT-safe, bit 63 never touches a signed 64-bit shift. */
+  private def imagePhashOracleBase(select: String): String =
+    s"""WITH prm0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 20 = 1 THEN doc_id - 1 ELSE doc_id END AS cid,
+       |    CASE WHEN doc_id % 20 = 1 THEN 1 ELSE 0 END AS dc
+       |  FROM documents),
+       |prm AS (
+       |  SELECT doc_id, cid % 89 + 1 AS a, cid % 97 + 1 AS b, cid % 13 + dc AS c,
+       |         64 + 8 * (cid % 3) AS h
+       |  FROM prm0),
+       |px AS (
+       |  SELECT doc_id, h, x.range AS x, y.range AS y,
+       |         (a * x.range + b * y.range) % 240 + c AS v
+       |  FROM prm, range(72) x, range(80) y
+       |  WHERE y.range < h),
+       |a8 AS (
+       |  SELECT doc_id, (y // (h // 8)) * 8 + (x // 9) AS k, sum(v) AS bs
+       |  FROM px GROUP BY 1, 2),
+       |atot AS (SELECT doc_id, sum(bs) AS ts FROM a8 GROUP BY 1),
+       |abits AS (
+       |  SELECT a8.doc_id,
+       |    CAST(sum(CASE WHEN bs * 64 > ts AND k >= 32 THEN (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN bs * 64 > ts AND k < 32 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM a8 JOIN atot USING (doc_id) GROUP BY 1),
+       |d9 AS (
+       |  SELECT doc_id, x // 8 AS cx, y // (h // 8) AS cy, sum(v) AS bs
+       |  FROM px GROUP BY 1, 2, 3),
+       |dbits AS (
+       |  SELECT l.doc_id,
+       |    CAST(sum(CASE WHEN l.bs > r.bs AND l.cy * 8 + l.cx >= 32 THEN (1::BIGINT << CAST(l.cy * 8 + l.cx - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN l.bs > r.bs AND l.cy * 8 + l.cx < 32 THEN (1::BIGINT << CAST(l.cy * 8 + l.cx AS INT)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM d9 l JOIN d9 r ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+       |  GROUP BY 1)
+       |$select""".stripMargin
 }

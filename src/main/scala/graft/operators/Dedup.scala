@@ -240,9 +240,19 @@ object Dedup {
     * any sub-blocking (all 64 bits equal → the pair OUTPUT is quadratic);
     * run exact dedup first. */
   def simhashPairs(df: DataFrame, text: Column, id: Column,
-                   maxHamming: Int = 3, splitThreshold: Int = 256): DataFrame = {
+                   maxHamming: Int = 3, splitThreshold: Int = 256): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, text, id), maxHamming, splitThreshold)
+
+  /** [[simhashPairs]] over an EXISTING signature table (doc_id, sig) —
+    * the banding machinery is signature-source agnostic: any row-local
+    * 64-bit similarity-preserving fingerprint (text SimHash, an image
+    * aHash/dHash from [[ImageCodec]], an audio chromaprint) gets the same
+    * pigeonhole 4×16-band candidate generation, hot-bucket sub-splits and
+    * exact hamming verify. */
+  def simhashPairsFromSigs(withSig: DataFrame,
+                           maxHamming: Int = 3, splitThreshold: Int = 256): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding guarantees recall only for hamming <= 3, got $maxHamming")
-    val banded = simhashBanded(simhashSignatures(df, text, id))
+    val banded = simhashBanded(withSig)
     // Bucket sizes via a window count on the band key: one shuffle,
     // spill-safe, and the groupBys below reuse its partitioning.
     val w = Window.partitionBy(col("band"), col("band_val"))

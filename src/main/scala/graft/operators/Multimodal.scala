@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary) column plumbing.
   *
   * Images/audio/video ride as opaque `binary` payload columns with typed
-  * metadata alongside. The Spark-side contract — schema, batch iteration
-  * via mapPartitions, deterministic output — is real and tested; the codec
-  * itself is STUBBED (no image/audio libraries in this container): see
+  * metadata alongside. IMAGE payloads decode for REAL — javax.imageio
+  * (pure JDK) via [[ImageCodec.decodeGray]], exercised end-to-end by the
+  * image perceptual-hash queries. Audio/video (no codec libraries in
+  * this container) and non-image bytes fall back to
   * [[Multimodal.decodeStub]], clearly marked, which derives dimensions
   * deterministically from the payload bytes so tests and oracles can pin
-  * the plumbing end-to-end.
+  * the plumbing end-to-end regardless of payload content.
   *
   * Scale notes: payloads never pass through a shuffle here — featurize is a
-  * narrow mapPartitions. Real decoders (JNI/FFmpeg/pillow-equivalent) slot
-  * into `decodeStub` per-partition, amortizing codec init across the
+  * narrow mapPartitions. Further decoders (FFmpeg-equivalent for video)
+  * slot into the same per-partition loop, amortizing codec init across the
   * partition's rows — the same batch shape `mapInPandas` gives a Python
   * decoder.
   */
@@ -25,10 +26,12 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long,
                              width: Long, height: Long, n_frames: Long)
 
-  /** ==== STUB ====
-    * Deterministic fake decode: real deployments replace this with an
-    * actual codec. Output depends only on (payload length, fmt) so the
-    * pipeline stays reproducible and oracle-checkable. */
+  /** ==== STUB (audio/video + non-image bytes only) ====
+    * Deterministic fake decode for the modalities without a pure-JDK
+    * codec: real deployments replace this with an actual codec. Output
+    * depends only on (payload length, fmt) so the pipeline stays
+    * reproducible and oracle-checkable. Image payloads never reach this
+    * when they actually decode — see [[featurize]]. */
   def decodeStub(payload: Array[Byte], fmt: String): (Long, Long, Long) = {
     val n = payload.length.toLong
     val width = 64L + (n * 7919L) % 1024L
@@ -51,15 +54,25 @@ object Multimodal {
       encode(text, "UTF-8").as("payload"))
 
   /** Per-partition featurize: decode each payload, emit typed metadata.
-    * Narrow (no shuffle); codec init happens once per partition. */
+    * Narrow (no shuffle); codec init happens once per partition. Image
+    * payloads that parse (PNG/JPEG/GIF/BMP) yield their REAL decoded
+    * dimensions via javax.imageio; everything else (audio/video, bytes
+    * that aren't an image) falls back to the deterministic stub. */
   def featurize(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-partition decoder setup would go here (STUB: none needed)
+      javax.imageio.ImageIO.setUseCache(false) // in-memory decode, no temp files
       it.map { r =>
-        val (w, h, f) = decodeStub(r.payload, r.fmt)
-        MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w, h, f)
+        val real =
+          if (r.fmt == "image") ImageCodec.decodeGray(r.payload) else None
+        real match {
+          case Some((w, h, _)) =>
+            MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w.toLong, h.toLong, 1L)
+          case None =>
+            val (w, h, f) = decodeStub(r.payload, r.fmt)
+            MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w, h, f)
+        }
       }
     }
   }
