@@ -660,7 +660,12 @@ object SparkEntry {
 
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(Tables.documents(s, dir), $"text", $"doc_id",
+      // MD5-half signatures (cross-engine reproducible) through the same
+      // 4×16 pigeonhole banding as the xxh64 path; banding finds EVERY
+      // pair at hamming <= 3, so the output equals a brute-force
+      // all-pairs scan and an external oracle can re-derive it exactly.
+      Dedup.simhashPairsFromSigs(
+          Dedup.simhashSignaturesMd5(Tables.documents(s, dir), $"text", $"doc_id"),
           maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
@@ -1721,6 +1726,38 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // Re-derives the MD5-half simhash signatures (same integer math as
+    // graft.plans.SignatureKernels.simhashMd5: per-token md5, first 8
+    // digest bytes as two big-endian u32 halves, ±1 votes per bit, sign
+    // bits) and brute-forces all pairs at hamming <= 3 — value-equal to
+    // the banded plan because 4×16 pigeonhole banding is recall-exact at
+    // that radius. Token-less docs vanish from the unnest on both sides.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS c0,
+        |    CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS c1
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, k,
+        |    sum(CASE WHEN (CASE WHEN k < 32 THEN (c0 >> CAST(k AS INT))
+        |          ELSE (c1 >> CAST(k - 32 AS INT)) END) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM ch, range(64) t(k) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 AND k < 32 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN v > 0 AND k >= 32 THEN (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_embedding" -> dedupEmbeddingOracle,
 

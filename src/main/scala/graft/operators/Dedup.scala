@@ -201,6 +201,20 @@ object Dedup {
     df.select(id.as("doc_id"),
       graft.plans.Signatures.simhash64(TextFns.tokens(text)).as("sig"))
 
+  /** [[simhashSignatures]] with MD5-derived token hashes
+    * (graft.plans.SignatureKernels.simhashMd5) — bit-for-bit reproducible
+    * in any engine with `md5()`, so dedup output can be verified
+    * value-by-value by an external SQL oracle. Docs with zero tokens are
+    * dropped: an empty token list casts no votes, so it has no meaningful
+    * fingerprint (and a SQL re-derivation, which unnests tokens, never
+    * sees such docs at all). */
+  def simhashSignaturesMd5(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = TextFns.tokens(text)
+    df.filter(size(toks) > 0)
+      .select(id.as("doc_id"),
+        graft.plans.Signatures.simhash64Md5(toks).as("sig"))
+  }
+
   /** The 48-bit remainder of `sig` with band `b`'s 16 bits excised —
     * the key space for hot-bucket sub-blocking. Literal-b shifts avoid
     * Java's shift-count-mod-64 trap at b = 3. */

@@ -71,6 +71,47 @@ object SignatureKernels {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash with MD5-derived token hashes: the first 8 digest
+    * bytes, read big-endian as two unsigned 32-bit halves, vote ±1 on
+    * bits 0-31 (low half) and 32-63 (high half). MD5-on-UTF-8 is the one
+    * token hash every engine computes identically (`md5()` is a standard
+    * SQL function), so unlike the xxh64 [[simhash]] this fingerprint is
+    * reproducible bit-for-bit outside the JVM — it exists so cross-engine
+    * oracles can verify simhash dedup output value-by-value, and for
+    * pipelines that must re-derive the same signatures elsewhere. ~2-3×
+    * the per-token cost of xxh64; same banding, same recall. */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(j).getBytes)
+      val c0 = ((d(0) & 0xFF) << 24) | ((d(1) & 0xFF) << 16) | ((d(2) & 0xFF) << 8) | (d(3) & 0xFF)
+      val c1 = ((d(4) & 0xFF) << 24) | ((d(5) & 0xFF) << 16) | ((d(6) & 0xFF) << 8) | (d(7) & 0xFF)
+      var k = 0
+      while (k < 32) {
+        if (((c0 >>> k) & 1) == 1) votes(k) += 1 else votes(k) -= 1
+        if (((c1 >>> k) & 1) == 1) votes(32 + k) += 1 else votes(32 + k) -= 1
+        k += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -287,6 +328,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<string> tokens → 64-bit SimHash with MD5 token hashes — the
+  * cross-engine-reproducible variant (see SignatureKernels.simhashMd5). */
+case class SimHashMd5_64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64_md5 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhashMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SignatureKernels.simhashMd5($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5_64 =
+    copy(child = newChild)
+}
+
 /** string → sorted distinct char n-gram hashes (array<bigint>). */
 case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
@@ -402,6 +467,9 @@ object Signatures {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def simhash64Md5(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5_64(ColumnBridge.expression(tokens)))
 
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), k))

@@ -70,6 +70,38 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhash md5: pinned cross-engine vectors + MD5 reference parity") {
+    // Pinned against an independent Python/DuckDB implementation of the
+    // same math (per-token md5, first 8 digest bytes as two big-endian
+    // u32 halves, ±1 votes per bit, sign bits) — these exact values are
+    // what the q_dedup_simhash oracle's sig CTE computes.
+    val vectors = Seq(
+      Seq("hello") -> -4878759083466735574L,
+      Seq("hello", "world") -> -6898951651843833822L,
+      Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog") ->
+        -3635699238956679944L,
+      Seq("a", "b", "c", "1", "2", "3") -> -9206439958145253192L)
+    vectors.foreach { case (toks, expected) =>
+      assert(SignatureKernels.simhashMd5(toArrayData(toks)) === expected)
+    }
+    // and against a straightforward in-test MD5 reference on random input
+    check(Prop.forAll(tokenList.suchThat(_.nonEmpty)) { tokens =>
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val c0 = ((d(0) & 0xFF) << 24) | ((d(1) & 0xFF) << 16) | ((d(2) & 0xFF) << 8) | (d(3) & 0xFF)
+        val c1 = ((d(4) & 0xFF) << 24) | ((d(5) & 0xFF) << 16) | ((d(6) & 0xFF) << 8) | (d(7) & 0xFF)
+        (0 until 32).foreach { k =>
+          votes(k) += (if (((c0 >>> k) & 1) == 1) 1 else -1)
+          votes(32 + k) += (if (((c1 >>> k) & 1) == 1) 1 else -1)
+        }
+      }
+      val ref = (0 until 64).foldLeft(0L)((s, k) => if (votes(k) > 0) s | (1L << k) else s)
+      SignatureKernels.simhashMd5(toArrayData(tokens)) == ref
+    })
+  }
+
   test("misra-gries: k bound, lower-bound counts, error bound under arbitrary merge trees") {
     import graft.plans.MGKernel
     val stream = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"w$i"))
