@@ -176,17 +176,37 @@ object Dedup {
         .select(explode(graft.plans.Signatures.idPairs(col("ids"))).as("p"))
         .select(col("p.id_a"), col("p.id_b"))
         .distinct()
-    // Exact-verify fetch: the candidate set is orders of magnitude smaller
-    // than the corpus, so broadcast IT and stream the shingle table —
-    // never the reverse (and never let AQE flip this join by stats).
+    // Exact-verify fetch. In a healthy corpus the candidate set is orders
+    // of magnitude smaller than the corpus: broadcast the SLIM pair list
+    // into the shingle-table probe so the corpus is never shuffled. But a
+    // corpus with massive duplicate cliques (m exact copies → C(m,2)
+    // pairs per clique) makes the candidate set itself quadratic, and a
+    // forced broadcast then dies on the 8 GiB HashedRelation cap — so the
+    // pair list is persisted (it feeds two joins either way), counted
+    // (one cheap scan of materialized buckets; doubles as candidate-count
+    // telemetry), and only broadcast while it is provably slim. Past the
+    // cutoff the fetch degrades to hash joins on the candidate ids — the
+    // correct plan at that size. The array-carrying second join is left
+    // unhinted in BOTH regimes: its build side weighs |candidates| ×
+    // shingle-array bytes, which only runtime stats can judge — AQE
+    // broadcasts it when genuinely small and shuffle-joins otherwise.
+    // (For clique-heavy corpora, run exact dedup first — the pair OUTPUT
+    // is quadratic regardless of plan; see the simhashPairs note.)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slim = cand.count() <= maxBroadcastCandidates
     val a = docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
-    val withA = a.join(broadcast(candidates), Seq("id_a"))
-    b.join(broadcast(withA), Seq("id_b"))
+    val withA = a.join(if (slim) broadcast(cand) else cand, Seq("id_a"))
+    b.join(withA, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Candidate-pair count above which the exact-verify fetch stops
+    * broadcasting the pair list: 10M (id_a, id_b) rows ≈ 160 MB raw —
+    * a comfortable build side, far below the 8 GiB HashedRelation cap. */
+  val maxBroadcastCandidates: Long = 10000000L
 
   // ---- SimHash -------------------------------------------------------
 

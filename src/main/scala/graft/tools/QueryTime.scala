@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer for scale experiments: runs one named
+  * SparkEntry query N times against a data dir through the same noop
+  * sink as Bench, printing each run's seconds. Construction happens
+  * INSIDE the timed window, exactly like Bench.run — several operators
+  * (iterative CC, the LSH candidate count) do real work eagerly while
+  * the DataFrame is being built, and timing only the final write would
+  * silently exclude it.
+  *
+  * Args: <query> [dir] [n] [nosort]. With `nosort`, a global Sort at
+  * the root of the logical plan is peeled off before execution —
+  * isolates how much of a query's time is the deterministic ORDER BY
+  * the driver's hash-compare needs (output formatting, not operator
+  * work — at production scale results stream to a sink unsorted).
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val q = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val nosort = args.contains("nosort")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-querytime")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      val df0 = graft.SparkEntry.queries(q)(spark, dir)
+      val df = if (nosort) {
+        import org.apache.spark.sql.catalyst.plans.logical.Sort
+        df0.queryExecution.logical match {
+          case Sort(_, true, child, _) =>
+            org.apache.spark.sql.graft.GraftInternal.ofRows(
+              spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+              child)
+          case _ => df0
+        }
+      } else df0
+      df.write.format("noop").mode("overwrite").save()
+      println(f"querytime: $q run$i ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        (if (nosort) " (nosort)" else ""))
+      // Bench-style teardown so runs are independent: drop cached plans
+      // AND persisted/localCheckpoint'd RDDs a query pinned while built.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up replicator for the synthetic star schema: writes an N×
+  * copy of an existing sf directory by unioning N key-shifted replicas
+  * of each table, preserving every foreign-key relationship.
+  *
+  * Purpose: the driver ships sf0.001/0.01/0.1 only; scale-cliff hunting
+  * (super-linear operators, bucket blow-ups, spill behavior) needs at
+  * least one run an order of magnitude above the bench's sf0.1. A 10×
+  * replica of sf0.1 is "sf1" in TPC-H terms (~6M lineitem rows).
+  *
+  * Replication rules:
+  *  - `region`/`nation` are fixed-size dimensions (as in TPC-H) —
+  *    copied once, never replicated; `*_nationkey` references stay valid.
+  *  - every other table gets replica i's key columns shifted by
+  *    i * KEY_STRIDE, the SAME stride on both sides of each FK
+  *    (custkey, orderkey, partkey, suppkey, user/event ids, doc/vec
+  *    ids), so joins land exactly as they do at sf0.1 — just N× wider.
+  *  - non-key payload (text, embeddings, timestamps, prices) is copied
+  *    verbatim. Replicated documents/embeddings therefore form exact
+  *    duplicate groups of size N across replicas — deliberate: it
+  *    stresses the dedup/LSH family with the clique blow-up a real
+  *    crawl corpus exhibits, which is precisely the regime the scale
+  *    run is hunting in.
+  *
+  * This is a bench-only tool: correctness runs stay on the driver's
+  * pristine sf dirs.
+  */
+object ScaleGen {
+
+  /** Far above any key in the source data (sf0.1 tops out ~600k). */
+  val KEY_STRIDE = 100000000L
+
+  /** Key columns to shift per table; absent tables copy unchanged. */
+  val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val fixedDims = Set("region", "nation")
+
+  def replicate(df: DataFrame, keys: Seq[String], n: Int): DataFrame =
+    (0 until n).map { i =>
+      keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, col(k) + lit(i * KEY_STRIDE))
+      }
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "tmp/sf1"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalegen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events carries parquet TIMESTAMP(NANOS); read the nanos as long
+    // (see Tables.events) and write them back as plain int64 — the
+    // loader's `ts div 1000` shim works identically on either encoding.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- graft.Tables.names) {
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val scaled =
+        if (fixedDims(t)) in
+        else replicate(in, keyCols.getOrElse(t, Seq.empty), n)
+      // repartition so downstream scans see multi-task parallelism
+      // instead of N× row groups stacked into the source's file layout
+      val parts = math.max(1, math.min(32, (scaled.count() / 50000).toInt))
+      scaled.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+      println(s"scalegen: $t -> $out/$t.parquet ($parts files)")
+    }
+    spark.stop()
+  }
+}

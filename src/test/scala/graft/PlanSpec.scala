@@ -106,6 +106,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject (per-partition bounded top-k):\n$p")
+    // The unpartitioned ranking window must sit ABOVE the k-row top-k
+    // (tree prints root-first, so its line comes earlier): it then ranks
+    // only the k survivors. A refactor that slid it below the limit would
+    // single-partition-sort the whole corpus.
+    val winLine = p.linesIterator.indexWhere(_.contains("Window ["))
+    val topkLine = p.linesIterator.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winLine >= 0 && winLine < topkLine,
+      s"ranking window not above the bounded top-k (window line $winLine, " +
+        s"top-k line $topkLine):\n$p")
   }
 
   test("SCD2's two window passes share one shuffle on the key") {
