@@ -120,18 +120,46 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.5,
                       splitThreshold: Int = 4096): DataFrame = {
     val rows = numHashes / bands
+    import org.apache.spark.storage.StorageLevel
     // Shingle SETS are carried as distinct 64-bit hashes (native kernel —
     // no shingle strings ever materialize); Jaccard over hash sets equals
-    // Jaccard over shingle sets. Persisted: referenced by the band explode
-    // AND both candidate-pair fetches — without it the pipeline runs three
-    // times. (At scale this is the signature table you'd materialize
-    // anyway.) Eager count: the three consumers otherwise race to populate
-    // the cache (block-lock contention + duplicated compute).
-    val docs = df.select(id.as("doc_id"),
+    // Jaccard over shingle sets. Persisted: referenced by the collapse
+    // groupBy AND the member-map join — without it the shingle kernel
+    // runs twice. Eager counts throughout: multiple consumers otherwise
+    // race to populate each cache (block-lock contention + duplicated
+    // compute).
+    val raw = df.select(id.as("doc_id"),
         graft.plans.Signatures.shingleHashes(
           graft.functions.TextFns.tokens(text), shingleK).as("sh_hashes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRaw = raw.count()
+    // Clique-collapse decision (same move as simhashPairsFromSigs, same
+    // reason): every member of an m-copy exact-dup clique carries the
+    // same shingle set, so when duplicate mass is SUBSTANTIAL the LSH
+    // pipeline — signature, band explode, bucket windows, candidate
+    // dedup, jaccard verify — need only ever see one representative
+    // (minimum doc id) per distinct set, with member pairs re-expanded
+    // afterwards by hash joins: jaccard is a function of the two SETS, so
+    // a rep pair's verified value is every cross pair's value, and
+    // intra-clique pairs are exactly 1.0 (identical non-empty sets).
+    // Identical output, clique-factor smaller shuffles. When duplicates
+    // are sparse (< ~20% of the corpus) the expansion joins cost more
+    // than the collapse saves, and the direct pipeline over all docs is
+    // equally correct (intra-clique pairs surface as ordinary candidates
+    // that verify at 1.0) — so it is used as-is.
+    val distinct = raw.groupBy(col("sh_hashes")).agg(min(col("doc_id")).as("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val collapsed = distinct.count() < (nRaw * collapseDupFraction).toLong
+    val docs = if (collapsed) distinct else { distinct.unpersist(); raw }
+    // member → representative map (array-equality hash join, one shuffle)
+    val memb = if (!collapsed) null else {
+      val m = raw
+        .join(docs.select(col("sh_hashes"), col("doc_id").as("rep")), Seq("sh_hashes"))
+        .select(col("rep"), col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }
     // Band rows carry (band, band_hash, doc_id) plus the next band's
     // `rows` raw signature elements for hot-bucket sub-blocking — never
     // the shingle arrays. The bands explode multiplies row count by
@@ -192,21 +220,52 @@ object Dedup {
     // broadcasts it when genuinely small and shuffle-joins otherwise.
     // (For clique-heavy corpora, run exact dedup first — the pair OUTPUT
     // is quadratic regardless of plan; see the simhashPairs note.)
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     val slim = cand.count() <= maxBroadcastCandidates
     val a = docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
     val withA = a.join(if (slim) broadcast(cand) else cand, Seq("id_a"))
-    b.join(withA, Seq("id_b"))
+    val verified = b.join(withA, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (!collapsed) verified
+    else {
+      // Re-expand representative pairs to member pairs. Inter-clique:
+      // every member of a's clique × every member of b's, at the reps'
+      // verified jaccard (a function of the two identical-per-clique
+      // sets). Intra-clique: identical NON-EMPTY sets are exactly
+      // jaccard 1.0 (two empty sets are 0.0 by convention — the verify
+      // above would have dropped them, so the expansion must too).
+      val inter = verified
+        .join(memb.select(col("rep").as("id_a"), col("doc_id").as("da")), Seq("id_a"))
+        .join(memb.select(col("rep").as("id_b"), col("doc_id").as("db")), Seq("id_b"))
+        .select(least(col("da"), col("db")).as("id_a"),
+          greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
+      val nonEmptyReps = docs.filter(size(col("sh_hashes")) > 0)
+        .select(col("doc_id").as("rep"))
+      val intra = memb.join(nonEmptyReps, Seq("rep"))
+        .select(col("rep"), col("doc_id").as("da"))
+        .join(memb.select(col("rep"), col("doc_id").as("db")), Seq("rep"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("id_a"), col("db").as("id_b"),
+          lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= threshold)
+      inter.unionByName(intra)
+    }
   }
 
   /** Candidate-pair count above which the exact-verify fetch stops
     * broadcasting the pair list: 10M (id_a, id_b) rows ≈ 160 MB raw —
     * a comfortable build side, far below the 8 GiB HashedRelation cap. */
   val maxBroadcastCandidates: Long = 10000000L
+
+  /** Distinct-fingerprint fraction below which the LSH/banding pipelines
+    * collapse to one representative per clique (and re-expand member
+    * pairs by joins afterwards): the collapse's extra member-map and
+    * expansion joins only pay for themselves once duplicates are a
+    * sizable share of the corpus. */
+  val collapseDupFraction: Double = 0.8
 
   // ---- SimHash -------------------------------------------------------
 
@@ -286,6 +345,68 @@ object Dedup {
   def simhashPairsFromSigs(withSig: DataFrame,
                            maxHamming: Int = 3, splitThreshold: Int = 256): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding guarantees recall only for hamming <= 3, got $maxHamming")
+    import org.apache.spark.storage.StorageLevel
+    // Collapse to DISTINCT signatures before banding when duplicates
+    // dominate. Crawl-scale corpora are full of exact duplicates, and
+    // every member of an m-copy clique carries the same fingerprint —
+    // banding the raw rows shuffles (and window-counts, and pair-kernels,
+    // and groupBy-dedups) m× the rows the signature space actually holds,
+    // with the clique's C(m,2) pair output materializing INSIDE shuffled
+    // bucket rows. The collapsed path bands/buckets/verifies one
+    // representative (minimum doc id) per distinct signature, then
+    // re-expands member pairs with plain hash joins — identical output,
+    // clique-factor smaller shuffles, and the quadratic part streams out
+    // of a join instead of through a shuffle. (Measured at 100× bench
+    // scale with 100-copy cliques: 110 s direct → 18 s collapsed; see
+    // SCALE.md.)
+    val sigs = withSig.persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sigs.count()
+    val sigTab = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds banding + member map
+    // Collapse only when duplicate mass is substantial (see
+    // collapseDupFraction): with sparse duplicates the banding pipeline
+    // over all docs is equally correct — identical signatures land in the
+    // same buckets and pair at hamming 0 — and cheaper than the
+    // member-map + expansion joins.
+    val collapsed = sigTab.count() < (nDocs * collapseDupFraction).toLong
+    if (!collapsed) {
+      sigTab.unpersist()
+      simhashBandPairs(sigs, maxHamming, splitThreshold)
+    } else {
+      // representative pairs at hamming 1..maxHamming (0 is impossible
+      // between distinct signatures) via the banding machinery
+      val repPairs = simhashBandPairs(sigTab, maxHamming, splitThreshold)
+      // member → representative map: one hash join on the signature value
+      val memb = sigs
+        .join(sigTab.select(col("sig"), col("doc_id").as("rep")), Seq("sig"))
+        .select(col("rep"), col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds 3 expansion joins
+      memb.count()
+      // inter-clique expansion: every member of a's clique pairs with
+      // every member of b's clique at the reps' hamming — pure join output
+      val inter = repPairs
+        .join(memb.select(col("rep").as("id_a"), col("doc_id").as("da")), Seq("id_a"))
+        .join(memb.select(col("rep").as("id_b"), col("doc_id").as("db")), Seq("id_b"))
+        .select(least(col("da"), col("db")).as("id_a"),
+          greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+      // intra-clique expansion: identical signatures → hamming 0 pairs;
+      // the self-join on the rep key streams each clique's C(m,2) rows
+      val intra = memb.select(col("rep"), col("doc_id").as("da"))
+        .join(memb.select(col("rep"), col("doc_id").as("db")), Seq("rep"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("id_a"), col("db").as("id_b"),
+          lit(0L).as("hamming"))
+      inter.unionByName(intra)
+    }
+  }
+
+  /** The banding core of [[simhashPairsFromSigs]]: pigeonhole banding,
+    * hot-bucket sub-splits, bucket-local pair kernel, exact hamming
+    * verify. Correct for ANY signature table — identical signatures pair
+    * at hamming 0 inside their shared buckets; the collapsed path feeds
+    * it distinct signatures only, so its hamming-0 work disappears. */
+  private def simhashBandPairs(withSig: DataFrame,
+                               maxHamming: Int, splitThreshold: Int): DataFrame = {
     val banded = simhashBanded(withSig)
     // Bucket sizes via a window count on the band key: one shuffle,
     // spill-safe, and the groupBys below reuse its partitioning.
