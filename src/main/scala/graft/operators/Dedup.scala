@@ -44,9 +44,13 @@ object Dedup {
     * transform lambda below would re-evaluate once per shingle position —
     * the 16× trap documented in SURVEY §7. */
   def wordShinglesOf(toks: Column, k: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // the < k guard matters: sequence(1, 0) is a DESCENDING [1, 0] in
+    // Spark, whose 0 would feed slice an illegal start and error the
+    // whole query for any doc shorter than k tokens
+    when(size(toks) < k, typedlit(Seq.empty[String]))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
 
   /** Distinct word k-shingles from raw text. ONLY for single-reference
     * contexts — tokenization is inlined into the lambda and re-runs per
@@ -57,9 +61,12 @@ object Dedup {
   /** Distinct character n-grams (string arrays — for small inputs and
     * debugging; the hot path is [[charShingleHashes]]). */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-        i => substring(text, lit(i), lit(n)).asInstanceOf[Column]))
+    // same < n guard as wordShinglesOf: sequence(1, 0) descends through 0
+    // and would emit a spurious "" shingle for texts shorter than n
+    when(length(text) < n, typedlit(Seq.empty[String]))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => substring(text, lit(i), lit(n)).asInstanceOf[Column])))
 
   /** Distinct char n-gram hashes, sorted — native kernel, one UTF-8 walk
     * per doc, no per-gram string allocation. Jaccard over these equals
