@@ -782,21 +782,25 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select($"doc_id",
           TextFns.whitespaceTokenCount($"text").as("n_ws"),
-          size(TextFns.tokens($"text")).cast(LongType).as("n_words"),
+          TextFns.tokenCount($"text").as("n_words"),
           TextFns.bpePieceCount($"text").as("n_pieces"))
         .orderBy($"doc_id")
     }),
 
     "q_text_quality" -> ((s, dir) => {
       import s.implicits._
-      val toks = TextFns.tokens($"text")
+      // tokens MATERIALIZED in their own projection: three of the five
+      // signals reference the token array, and an un-aliased expression
+      // would re-run the tokenizer regex per reference (CollapseProject
+      // keeps the two-step shape for non-cheap, multiply-used aliases)
       Tables.documents(s, dir)
+        .select($"doc_id", $"text", TextFns.tokens($"text").as("toks"))
         .select($"doc_id",
           length($"text").cast(LongType).as("n_chars"),
-          size(toks).cast(LongType).as("n_tokens"),
+          size($"toks").cast(LongType).as("n_tokens"),
           TextFns.punctRatio($"text").as("punct_ratio"),
-          TextFns.stopwordRatio(toks).as("stop_ratio"),
-          TextFns.meanWordLen(toks).as("mean_wlen"))
+          TextFns.stopwordRatio($"toks").as("stop_ratio"),
+          TextFns.meanWordLen($"toks").as("mean_wlen"))
         .orderBy($"doc_id")
     }),
 

@@ -18,14 +18,21 @@ object TextFns {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Whitespace-delimited token count. */
+  /** Whitespace-delimited token count — native byte-walk kernel (the
+    * regexp_extract_all form allocates every token String just to count
+    * them). */
   def whitespaceTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast(LongType)
+    graft.plans.TextKernels.wsTokenCount(text).cast(LongType)
 
-  /** BPE-ish piece count: letter runs, digit runs, single other-glyphs. */
+  /** Count of [[tokens]] without materializing the token array — native
+    * run-count kernel, for count-only callers. */
+  def tokenCount(text: Column): Column =
+    graft.plans.TextKernels.wordRunCount(text).cast(LongType)
+
+  /** BPE-ish piece count: letter runs, digit runs, single other-glyphs —
+    * native byte-walk kernel (count-only, no per-piece allocation). */
   def bpePieceCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-      .cast(LongType)
+    graft.plans.TextKernels.bpePieces(text).cast(LongType)
 
   /** Count of tokens that appear in `stop` (pass lower-cased stopwords).
     * Native codegen kernel (graft.plans.StopwordHits) — the interpreted
@@ -56,10 +63,14 @@ object TextFns {
       .otherwise(lit("fr"))
   }
 
-  /** Ratio of punctuation (non-alnum, non-space) chars to total chars. */
+  /** Ratio of punctuation (non-alnum, non-space) chars to total chars.
+    * The count is a native byte-walk kernel (graft.plans.PunctCount) —
+    * `size(regexp_extract_all(text, "[^A-Za-z0-9\\s]"))` allocates one
+    * single-char String per punctuation mark (measured 20× slower at
+    * bench scale for the same answer). */
   def punctRatio(text: Column): Column = {
     val n = length(text)
-    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val punct = graft.plans.TextKernels.punctCount(text)
     when(n === 0, lit(0.0)).otherwise(punct.cast(DoubleType) / n.cast(DoubleType))
   }
 

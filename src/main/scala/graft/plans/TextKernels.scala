@@ -40,6 +40,103 @@ object TextKernelOps {
     words.foreach(w => set.add(UTF8String.fromString(w)))
     set
   }
+
+  /** Count of `\S+` runs — whitespace-delimited tokens — in one UTF-8
+    * byte walk (ASCII whitespace bytes never occur inside a multi-byte
+    * code point, so byte-level run detection is exact). */
+  def wsTokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == ' ' || (b >= 0x09 && b <= 0x0D)
+      if (ws) inRun = false
+      else { if (!inRun) c += 1; inRun = true }
+      i += 1
+    }
+    c
+  }
+
+  /** Count of `[a-z0-9]+` runs over the ASCII-lowercased text — the
+    * match count of the tokenizer regex. ASCII-exact; like the regex,
+    * non-ASCII code points break runs (the exotic lowercasings that map
+    * non-ASCII into ASCII, e.g. KELVIN SIGN → k, differ — irrelevant for
+    * the corpus formats this counts). */
+  def wordRunCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val b = s.getByte(i)
+      val alnum = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (b >= '0' && b <= '9')
+      if (!alnum) inRun = false
+      else { if (!inRun) c += 1; inRun = true }
+      i += 1
+    }
+    c
+  }
+
+  /** Match count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — BPE-ish pieces:
+    * letter runs, digit runs, single punctuation/symbol code points. */
+  def bpePieces(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    var prev = 0 // 0 = ws/punct/none, 1 = letter run, 2 = digit run
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (prev != 1) c += 1
+          prev = 1
+        } else if (b >= '0' && b <= '9') {
+          if (prev != 2) c += 1
+          prev = 2
+        } else if (b == ' ' || (b >= 0x09 && b <= 0x0D)) {
+          prev = 0
+        } else { // ASCII punctuation: one piece per char
+          c += 1
+          prev = 0
+        }
+      } else {
+        if ((b & 0xC0) != 0x80) c += 1 // lead byte: one punct code point
+        prev = 0
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Code points NOT in [A-Za-z0-9] and not ASCII whitespace
+    * ([ \t\n\x0B\f\r] — Java regex `\s`), i.e. the match count of
+    * `[^A-Za-z0-9\s]`, in one UTF-8 byte walk: ASCII bytes classify
+    * directly; a non-ASCII LEAD byte (0b11xxxxxx) counts one code point
+    * (always outside the class), continuation bytes are skipped. No
+    * per-match String allocation — `regexp_extract_all` on this pattern
+    * allocates one single-char String per punctuation mark, which turns
+    * a scan-speed quality pass into an allocation storm. */
+  def punctCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        val isAlnum = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+          (b >= '0' && b <= '9')
+        val isWs = b == ' ' || (b >= 0x09 && b <= 0x0D)
+        if (!isAlnum && !isWs) c += 1
+      } else if ((b & 0xC0) != 0x80) { // multi-byte lead
+        c += 1
+      }
+      i += 1
+    }
+    c
+  }
 }
 
 /** Count of tokens that appear in a fixed word set, as a native codegen
@@ -100,9 +197,60 @@ case class TokenLenSum(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-byte-walk text counters as one native codegen Expression —
+  * `kernel` names the static [[TextKernelOps]] method (punctCount /
+  * wsTokenCount / wordRunCount / bpePieces). Each replaces a
+  * `size(regexp_extract_all(...))` whose only purpose was the COUNT:
+  * the regex version allocates a String per match (one per punctuation
+  * mark for punctCount — measured 13× slower at bench scale). */
+case class TextCount(child: Expression, kernel: String)
+    extends UnaryExpression {
+
+  require(TextCount.kernels(kernel), s"unknown text-count kernel: $kernel")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = kernel
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$kernel expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    kernel match {
+      case "punctCount" => TextKernelOps.punctCount(s)
+      case "wsTokenCount" => TextKernelOps.wsTokenCount(s)
+      case "wordRunCount" => TextKernelOps.wordRunCount(s)
+      case "bpePieces" => TextKernelOps.bpePieces(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernelOps.$kernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextCount =
+    copy(child = newChild)
+}
+
+object TextCount {
+  val kernels: Set[String] =
+    Set("punctCount", "wsTokenCount", "wordRunCount", "bpePieces")
+}
+
 object TextKernels {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordHits(ColumnBridge.expression(toks), words))
   def tokenLenSum(toks: Column): Column =
     ColumnBridge.column(TokenLenSum(ColumnBridge.expression(toks)))
+  def punctCount(text: Column): Column =
+    ColumnBridge.column(TextCount(ColumnBridge.expression(text), "punctCount"))
+  def wsTokenCount(text: Column): Column =
+    ColumnBridge.column(TextCount(ColumnBridge.expression(text), "wsTokenCount"))
+  def wordRunCount(text: Column): Column =
+    ColumnBridge.column(TextCount(ColumnBridge.expression(text), "wordRunCount"))
+  def bpePieces(text: Column): Column =
+    ColumnBridge.column(TextCount(ColumnBridge.expression(text), "bpePieces"))
 }

@@ -102,6 +102,29 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("text-count kernels equal the regex forms they replace on random text") {
+    import graft.plans.TextKernelOps
+    // include punctuation, unicode (2- and 3-byte code points), all ASCII
+    // whitespace classes, digits, mixed case
+    val richText: Gen[String] =
+      Gen.listOf(Gen.frequency(
+        6 -> Gen.alphaChar, 2 -> Gen.numChar,
+        3 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+        3 -> Gen.oneOf('.', ',', '!', '-', '_', '#', '(', '"'),
+        1 -> Gen.oneOf('é', 'ß', '中', '£'))).map(_.mkString)
+    check(Prop.forAll(richText) { s =>
+      val u = UTF8String.fromString(s)
+      val punctRef = "[^A-Za-z0-9\\s]".r.findAllIn(s).length
+      val wsRef = "\\S+".r.findAllIn(s).length
+      val wordRef = "[a-z0-9]+".r.findAllIn(s.toLowerCase).length
+      val bpeRef = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(s).length
+      TextKernelOps.punctCount(u) == punctRef &&
+        TextKernelOps.wsTokenCount(u) == wsRef &&
+        TextKernelOps.wordRunCount(u) == wordRef &&
+        TextKernelOps.bpePieces(u) == bpeRef
+    })
+  }
+
   test("misra-gries: k bound, lower-bound counts, error bound under arbitrary merge trees") {
     import graft.plans.MGKernel
     val stream = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"w$i"))
