@@ -1051,26 +1051,30 @@ object SparkEntry {
 
     "q_repetition" -> ((s, dir) => {
       import s.implicits._
-      // Gopher-style repetition signals: duplicate-bigram fraction
-      // (row-local from the materialized token array) and top-token
-      // dominance (one map-side-partial agg per doc) — the "generated /
-      // boilerplate text" detectors that run beside the quality rules
-      // Two passes BY DESIGN: placing the row-local bigram stats in the
-      // same projection as explode(toks) lets Catalyst's projection
-      // collapse re-site them after the Generate, re-evaluating the
-      // whole distinct-bigram computation once per TOKEN row (~300×;
-      // measured 1.6s → 24s at sf0.1). Keeping them on a separate
-      // branch joined by doc_id pins them to one evaluation per doc.
-      val t = Tables.documents(s, dir)
+      // Gopher-style repetition signals: duplicate-bigram fraction and
+      // top-token dominance — the "generated / boilerplate text"
+      // detectors that run beside the quality rules. Both statistics are
+      // per-ROW, so both come from native kernels over the row's own
+      // token array (distinct-bigram count via the hash-domain shingle
+      // kernel; top-token count via a one-pass hash count): the whole
+      // query is a single scan-stage projection, zero shuffles. Earlier
+      // shapes for comparison: explode + two groupBys shuffled every
+      // token of the corpus twice (8s at 100× bench scale for a
+      // row-local stat); interpreted bigram lambdas in the same
+      // projection as the explode re-evaluated per token row (~300×).
+      // The n_tokens > 0 filter mirrors the inner join of the old
+      // explode shape (and the oracle): token-less docs have no
+      // repetition signals.
+      Tables.documents(s, dir)
         .select($"doc_id", TextFns.tokens($"text").as("toks"))
-      val bi = t.select($"doc_id",
-        size($"toks").cast(LongType).as("n_tokens"),
-        greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
-        size(Dedup.wordShinglesOf($"toks", 2)).cast(LongType).as("n_distinct_bigrams"))
-      val top = t.select($"doc_id", explode($"toks").as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-        .groupBy($"doc_id").agg(max($"cnt").as("top_tok_cnt"))
-      bi.join(top, Seq("doc_id"))
+        .select($"doc_id",
+          size($"toks").cast(LongType).as("n_tokens"),
+          greatest(size($"toks") - 1, lit(0)).cast(LongType).as("n_bigrams"),
+          size(graft.plans.Signatures.shingleHashes($"toks", 2))
+            .cast(LongType).as("n_distinct_bigrams"),
+          graft.plans.TextKernels.topTokenCount($"toks")
+            .cast(LongType).as("top_tok_cnt"))
+        .filter($"n_tokens" > 0)
         .select($"doc_id", $"n_tokens", $"top_tok_cnt",
           round($"top_tok_cnt" / $"n_tokens", 6).as("top_tok_frac"),
           $"n_bigrams", $"n_distinct_bigrams",

@@ -41,6 +41,25 @@ object TextKernelOps {
     set
   }
 
+  /** Occurrence count of the most frequent token — one hash-count pass
+    * over the row's own tokens. Replaces the explode → groupBy(doc,
+    * token) → groupBy(doc) max plan shape, which shuffles every token
+    * of the corpus twice to compute a per-ROW statistic. */
+  def topTokenCount(toks: ArrayData): Int = {
+    val n = toks.numElements()
+    if (n == 0) return 0
+    val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val c = m.merge(toks.getUTF8String(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+      if (c.intValue() > best) best = c.intValue()
+      i += 1
+    }
+    best
+  }
+
   /** Count of `\S+` runs — whitespace-delimited tokens — in one UTF-8
     * byte walk (ASCII whitespace bytes never occur inside a multi-byte
     * code point, so byte-level run detection is exact). */
@@ -240,11 +259,37 @@ object TextCount {
     Set("punctCount", "wsTokenCount", "wordRunCount", "bpePieces")
 }
 
+/** Max per-row token frequency as a native codegen Expression — see
+  * [[TextKernelOps.topTokenCount]]. */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_token_count expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelOps.topTokenCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernelOps.topTokenCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
 object TextKernels {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordHits(ColumnBridge.expression(toks), words))
   def tokenLenSum(toks: Column): Column =
     ColumnBridge.column(TokenLenSum(ColumnBridge.expression(toks)))
+  def topTokenCount(toks: Column): Column =
+    ColumnBridge.column(TopTokenCount(ColumnBridge.expression(toks)))
   def punctCount(text: Column): Column =
     ColumnBridge.column(TextCount(ColumnBridge.expression(text), "punctCount"))
   def wsTokenCount(text: Column): Column =
