@@ -107,10 +107,31 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          sampleMod: Int = 1, nPlanes: Int = 6, dim: Int = 64,
                          probeRadius: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val planes = hyperplanes(nPlanes, dim)
-    val v = vectors.filter(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id"), col("embedding"),
-        bucketOf(col("embedding"), planes).as("bucket"))
+    // Clique collapse, as in Dedup's LSH pipelines: a corpus dominated by
+    // exact-duplicate embeddings (m copies → same sign bucket → C(m,2)
+    // bucket-local pairs, each carrying two full float arrays) need only
+    // bucket/verify one representative per DISTINCT embedding; member
+    // pairs re-expand by hash joins. Cosine is a function of the two
+    // embeddings, so a rep pair's verified value is every cross pair's
+    // value, and an intra-clique pair's value is the rep's self-cosine
+    // (1.0 after rounding for any non-degenerate vector — computed, not
+    // assumed, so zero-norm embeddings drop exactly as the direct path
+    // drops them). Sparse-duplicate corpora keep the direct plan.
+    val sampled = vectors.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAll = sampled.count()
+    val distinctEmb = sampled.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val collapsed =
+      distinctEmb.count() < (nAll * Dedup.collapseDupFraction).toLong
+    val base = if (collapsed) distinctEmb else { distinctEmb.unpersist(); sampled }
+
+    val v = base.select(col("vec_id"), col("embedding"),
+      bucketOf(col("embedding"), planes).as("bucket"))
     val probes: Seq[Column] = col("bucket") +:
       (if (probeRadius >= 1)
         (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
@@ -119,10 +140,35 @@ object Similarity {
       explode(array(probes: _*)).as("bucket"))
     val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("bucket"))
-    a.join(b, Seq("bucket"))
+    val verified = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFns.cosine6(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+
+    if (!collapsed) verified
+    else {
+      val memb = sampled
+        .join(distinctEmb.select(col("embedding"), col("vec_id").as("rep")),
+          Seq("embedding"))
+        .select(col("rep"), col("vec_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      memb.count()
+      val inter = verified
+        .join(memb.select(col("rep").as("id_a"), col("vec_id").as("va")), Seq("id_a"))
+        .join(memb.select(col("rep").as("id_b"), col("vec_id").as("vb")), Seq("id_b"))
+        .select(least(col("va"), col("vb")).as("id_a"),
+          greatest(col("va"), col("vb")).as("id_b"), col("cosine"))
+      val selfCos = distinctEmb
+        .select(col("vec_id").as("rep"),
+          VectorFns.cosine6(col("embedding"), col("embedding")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+      val intra = selfCos
+        .join(memb.select(col("rep"), col("vec_id").as("va")), Seq("rep"))
+        .join(memb.select(col("rep"), col("vec_id").as("vb")), Seq("rep"))
+        .filter(col("va") < col("vb"))
+        .select(col("va").as("id_a"), col("vb").as("id_b"), col("cosine"))
+      inter.unionByName(intra)
+    }
   }
 }

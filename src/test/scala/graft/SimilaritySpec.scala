@@ -79,6 +79,57 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("embedding clique collapse emits exactly the direct path's pairs") {
+    import spark.implicits._
+    // 8 copies of each of the first 40 sampled embeddings → distinct/raw
+    // = 40/320 < 0.8 triggers the collapsed path; expected set from the
+    // same driver-side bucket+verify reference over ALL member vectors
+    val baseRows = Tables.embeddings(spark, sf).filter($"vec_id" < 200)
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val members = for {
+      (id, emb) <- baseRows.toSeq
+      c <- 0 until 8
+    } yield (id * 1000 + c, emb)
+    val df = members.map { case (id, e) => (id, e.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val planes = Similarity.hyperplanes(6, 64)
+    def bucket(v: Array[Float]): Long = {
+      var b = 0L
+      planes.indices.foreach { p =>
+        var dot = 0.0
+        v.indices.foreach(j => dot += v(j).toDouble * planes(p)(j))
+        if (dot >= 0) b |= (1L << p)
+      }
+      b
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (ia, va) <- members; (ib, vb) <- members
+      if ia < ib
+      if java.lang.Long.bitCount(bucket(va) ^ bucket(vb)) <= 1
+      if cos6(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    val got = Similarity.cosineNearDupPairs(df,
+        threshold = 0.3, sampleMod = 1, nPlanes = 6, dim = 64, probeRadius = 1)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // intra-clique pairs must be present (identical embeddings)
+    assert(expected.exists { case (x, y) => x / 1000 == y / 1000 })
+    assert(got == expected,
+      s"collapsed != reference (missed ${(expected -- got).size}, extra ${(got -- expected).size})")
+  }
+
   test("cosine expression matches a driver-side reference computation") {
     import spark.implicits._
     val rows = Tables.embeddings(spark, sf).filter($"vec_id" < 3)
