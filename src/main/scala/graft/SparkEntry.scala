@@ -700,10 +700,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       // end-to-end near-dup removal: LSH pairs → connected components →
-      // one canonical representative per cluster
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), $"text", $"doc_id",
-        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
-      operators.DedupClusters.clusters(pairs, $"id_a", $"id_b")
+      // one canonical representative per cluster. minhashLshClusters runs
+      // the iterative CC on the REP graph when exact-dup cliques dominate
+      // (identical output, thousands of edges instead of millions)
+      Dedup.minhashLshClusters(Tables.documents(s, dir), $"text", $"doc_id",
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy($"doc_id")
     }),
 
@@ -732,9 +733,8 @@ object SparkEntry {
       // CC is iterative — but every stage is independently verified.
       graft.plans.GraftExtensions.install(s)
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashLshPairs(docs, $"text", $"doc_id",
+      val clusters = Dedup.minhashLshClusters(docs, $"text", $"doc_id",
         shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
-      val clusters = operators.DedupClusters.clusters(pairs, $"id_a", $"id_b")
       val labeled = docs
         .select($"doc_id", size(TextFns.tokens($"text")).cast(LongType).as("n_tokens"))
         .join(clusters, Seq("doc_id"), "left")

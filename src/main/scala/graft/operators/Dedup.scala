@@ -116,6 +116,12 @@ object Dedup {
         xxhash64(b, slice(sig, b * rows + 1, lit(rows))).as("band_hash"),
         slice(sig, (pmod(b + 1, lit(bands)) * rows) + 1, lit(rows)).as("sub")))
 
+  /** Intermediate state of the LSH pipeline up to VERIFIED pairs, before
+    * any member expansion: `verified` is rep pairs when `collapsed`
+    * (member map in `memb`), raw doc pairs otherwise (`memb` null). */
+  private final case class LshCore(collapsed: Boolean,
+                                   memb: DataFrame, verified: DataFrame)
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
     * Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -126,6 +132,76 @@ object Dedup {
                       shingleK: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5,
                       splitThreshold: Int = 4096): DataFrame = {
+    val core = minhashLshCore(df, text, id, shingleK, numHashes, bands,
+      threshold, splitThreshold)
+    if (!core.collapsed) core.verified
+    else {
+      // Re-expand representative pairs to member pairs. Inter-clique:
+      // every member of a's clique × every member of b's, at the reps'
+      // verified jaccard (a function of the two identical-per-clique
+      // sets). Intra-clique: identical NON-EMPTY sets are exactly
+      // jaccard 1.0 (two empty sets are 0.0 by convention — the verify
+      // would have dropped them, so the expansion must too; the core's
+      // memb map already excludes empty-set cliques from `intra_ok`).
+      val memb = core.memb
+      val inter = core.verified
+        .join(memb.select(col("rep").as("id_a"), col("doc_id").as("da")), Seq("id_a"))
+        .join(memb.select(col("rep").as("id_b"), col("doc_id").as("db")), Seq("id_b"))
+        .select(least(col("da"), col("db")).as("id_a"),
+          greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
+      val intra = memb.filter(col("intra_ok"))
+        .select(col("rep"), col("doc_id").as("da"))
+        .join(memb.filter(col("intra_ok"))
+          .select(col("rep"), col("doc_id").as("db")), Seq("rep"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("id_a"), col("db").as("id_b"),
+          lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= threshold)
+      inter.unionByName(intra)
+    }
+  }
+
+  /** Near-duplicate CLUSTERS via MinHash LSH + connected components,
+    * (doc_id, cluster_id = min reachable doc id) — only docs that appear
+    * in at least one near-dup pair, exactly [[DedupClusters.clusters]]
+    * over [[minhashLshPairs]], but when exact-dup cliques dominate the
+    * iterative CC runs on the REPRESENTATIVE pair graph (one node per
+    * distinct shingle set) and member labels attach afterwards with one
+    * join: a clique's members all carry their rep's component label, and
+    * every rep is its clique's MINIMUM member id, so the rep graph's
+    * Hash-Min labels ARE the expanded graph's labels. At 100× bench
+    * scale this iterates over thousands of rep edges instead of tens of
+    * millions of expanded clique edges. */
+  def minhashLshClusters(df: DataFrame, text: Column, id: Column,
+                         shingleK: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16, threshold: Double = 0.5,
+                         splitThreshold: Int = 4096,
+                         maxIter: Int = 5): DataFrame = {
+    val core = minhashLshCore(df, text, id, shingleK, numHashes, bands,
+      threshold, splitThreshold)
+    if (!core.collapsed)
+      DedupClusters.clusters(core.verified, col("id_a"), col("id_b"), maxIter)
+    else {
+      val repClusters =
+        DedupClusters.clusters(core.verified, col("id_a"), col("id_b"), maxIter)
+          .select(col("doc_id").as("rep"), col("cluster_id").as("cl"))
+      // members participate when their clique has intra pairs (size >= 2
+      // with non-empty sets) or their rep has an inter pair — mirroring
+      // "docs that appear in at least one pair"
+      val sizes = core.memb.filter(col("intra_ok"))
+        .groupBy(col("rep")).agg(count(lit(1)).as("gsize"))
+      core.memb
+        .join(sizes, Seq("rep"), "left")
+        .join(repClusters, Seq("rep"), "left")
+        .filter(coalesce(col("gsize"), lit(0L)) >= 2 || col("cl").isNotNull)
+        .select(col("doc_id"), coalesce(col("cl"), col("rep")).as("cluster_id"))
+    }
+  }
+
+  private def minhashLshCore(df: DataFrame, text: Column, id: Column,
+                             shingleK: Int, numHashes: Int,
+                             bands: Int, threshold: Double,
+                             splitThreshold: Int): LshCore = {
     val rows = numHashes / bands
     import org.apache.spark.storage.StorageLevel
     // Shingle SETS are carried as distinct 64-bit hashes (native kernel —
@@ -158,11 +234,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val collapsed = distinct.count() < (nRaw * collapseDupFraction).toLong
     val docs = if (collapsed) distinct else { distinct.unpersist(); raw }
-    // member → representative map (array-equality hash join, one shuffle)
+    // member → representative map (array-equality hash join, one
+    // shuffle); `intra_ok` marks members of NON-EMPTY-set cliques — the
+    // only ones whose intra pairs exist (empty sets verify at 0.0)
     val memb = if (!collapsed) null else {
       val m = raw
         .join(docs.select(col("sh_hashes"), col("doc_id").as("rep")), Seq("sh_hashes"))
-        .select(col("rep"), col("doc_id"))
+        .select(col("rep"), col("doc_id"),
+          (size(col("sh_hashes")) > 0).as("intra_ok"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
       m
@@ -236,30 +315,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    if (!collapsed) verified
-    else {
-      // Re-expand representative pairs to member pairs. Inter-clique:
-      // every member of a's clique × every member of b's, at the reps'
-      // verified jaccard (a function of the two identical-per-clique
-      // sets). Intra-clique: identical NON-EMPTY sets are exactly
-      // jaccard 1.0 (two empty sets are 0.0 by convention — the verify
-      // above would have dropped them, so the expansion must too).
-      val inter = verified
-        .join(memb.select(col("rep").as("id_a"), col("doc_id").as("da")), Seq("id_a"))
-        .join(memb.select(col("rep").as("id_b"), col("doc_id").as("db")), Seq("id_b"))
-        .select(least(col("da"), col("db")).as("id_a"),
-          greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
-      val nonEmptyReps = docs.filter(size(col("sh_hashes")) > 0)
-        .select(col("doc_id").as("rep"))
-      val intra = memb.join(nonEmptyReps, Seq("rep"))
-        .select(col("rep"), col("doc_id").as("da"))
-        .join(memb.select(col("rep"), col("doc_id").as("db")), Seq("rep"))
-        .filter(col("da") < col("db"))
-        .select(col("da").as("id_a"), col("db").as("id_b"),
-          lit(1.0).as("jaccard"))
-        .filter(lit(1.0) >= threshold)
-      inter.unionByName(intra)
-    }
+    LshCore(collapsed, memb, verified)
   }
 
   /** Candidate-pair count above which the exact-verify fetch stops

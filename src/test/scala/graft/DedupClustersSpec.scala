@@ -66,4 +66,32 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
       assert(members.keys.min == cl, s"cluster $cl label is not its minimum")
     }
   }
+
+  test("rep-graph CC (minhashLshClusters) equals CC over expanded pairs on a clique corpus") {
+    import spark.implicits._
+    // clique-heavy: 6 copies each of 5 texts (two texts near-dups of each
+    // other), one token-less doc, one unique doc — triggers the collapsed
+    // path, exercises intra-only cliques, merged cliques, and exclusions
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "one two three four five six seven eight nine ten",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit",
+      "completely different content about distributed shuffles")
+    val rows = for {
+      (t, ti) <- texts.zipWithIndex; c <- 0 until 6
+    } yield ((ti * 100 + c).toLong, t)
+    val corpus = (rows ++ Seq((9000L, "!!! ??? ..."),
+      (9100L, "a single unique document with its own words entirely")))
+      .toDF("doc_id", "text")
+    val viaPairs = DedupClusters.clusters(
+        operators.Dedup.minhashLshPairs(corpus, $"text", $"doc_id",
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5),
+        $"id_a", $"id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaReps = operators.Dedup.minhashLshClusters(corpus, $"text", $"doc_id",
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPairs.nonEmpty && viaReps == viaPairs)
+  }
 }
