@@ -117,6 +117,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"top-k line $topkLine):\n$p")
   }
 
+  test("repetition signals are a single scan projection — no shuffle before the sort") {
+    val p = plan("q_repetition")
+    // per-row kernels (distinct-bigram count, top-token count) replaced
+    // the explode + two groupBys; the only exchange left is the output
+    // orderBy's range partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected only the output sort's exchange, got $exchanges:\n$p")
+    assert(!p.contains("Generate explode"), s"explode crept back in:\n$p")
+  }
+
   test("SCD2's two window passes share one shuffle on the key") {
     val p = plan("q_scd2")
     // both Window nodes partition on user_id → exactly one Exchange
