@@ -233,12 +233,20 @@ object ImageCodec {
   def synthImageTable(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      ImageIO.setUseCache(false)
-      it.map { id =>
-        val (w, h, gray) = synthGray(id)
-        ImageRow(id, encodeGrayPng(w, h, gray))
-      }
-    }.toDF()
+    // Fan the (8-byte) id rows out to full core parallelism first: the
+    // encode — and the decode stage that chains narrowly onto it — is
+    // CPU-bound, and the id list inherits the source table's file count
+    // (e.g. 10 parquet files → 10 tasks → 2/3 of a 32-core box idle
+    // through the whole codec stage). The shuffle moves ids, never
+    // payloads.
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val (w, h, gray) = synthGray(id)
+          ImageRow(id, encodeGrayPng(w, h, gray))
+        }
+      }.toDF()
   }
 }
