@@ -75,8 +75,18 @@ object ScaleGen {
         if (fixedDims(t)) in
         else replicate(in, keyCols.getOrElse(t, Seq.empty), n)
       // repartition so downstream scans see multi-task parallelism
-      // instead of N× row groups stacked into the source's file layout
-      val parts = math.max(1, math.min(32, (scaled.count() / 50000).toInt))
+      // instead of N× row groups stacked into the source's file layout.
+      // Byte-aware: a row-count heuristic alone wrote sf1's 50k-doc
+      // documents table as ONE file, single-tasking every text query's
+      // scan at that scale (wide rows need more files per row).
+      // 2 MiB/file target: tiny for parquet, right for THIS harness —
+      // these tables feed CPU-bound per-row work (tokenize/decode/hash)
+      // where a task should hold ~50k rows, not ~128 MB
+      val srcBytes = new java.io.File(s"$src/$t.parquet").length()
+      val byParts = math.max(
+        (scaled.count() / 50000).toInt,
+        (srcBytes * (if (fixedDims(t)) 1 else n) / (2L << 20)).toInt)
+      val parts = math.max(1, math.min(32, byParts))
       scaled.repartition(parts).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
       println(s"scalegen: $t -> $out/$t.parquet ($parts files)")
