@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"top-k line $topkLine):\n$p")
   }
 
+  test("image synthesis fans out before the CPU-bound codec stage") {
+    val p = plan("q_image_phash")
+    // the 8-byte id rows round-robin to full parallelism so the codec
+    // chain isn't bound to the source table's file count (SCALE.md)
+    assert(p.contains("RoundRobinPartitioning"),
+      s"id fan-out repartition missing before the codec stage:\n$p")
+  }
+
   test("repetition signals are a single scan projection — no shuffle before the sort") {
     val p = plan("q_repetition")
     // per-row kernels (distinct-bigram count, top-token count) replaced
