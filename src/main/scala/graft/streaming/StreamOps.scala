@@ -83,8 +83,14 @@ object StreamOps {
     * i.e. the reference audit lambda's per-update overwrite done
     * set-at-a-time. foreachBatch gives exactly-once-per-batch-id
     * semantics; the read-merge-rewrite inside is the plain-parquet
-    * equivalent of a table format's transactional merge (swap in
-    * Delta/Iceberg MERGE where available — operator shape unchanged).
+    * equivalent of a table format's transactional merge.
+    *
+    * SCALE NOTE: this variant reads and rewrites the WHOLE snapshot every
+    * micro-batch — O(snapshot) write amplification that is fine for a
+    * dimension-sized table but a non-starter for a large fact snapshot.
+    * For those use [[cdcUpsertPartitioned]], which rewrites only the
+    * partitions the batch touches (copy-on-write at partition
+    * granularity, the same pruning every lake table format does).
     * Returns the started query. */
   def cdcUpsert(changes: DataFrame, snapshotDir: String,
                 keys: Seq[String], opCol: String, version: Seq[String])
@@ -118,6 +124,143 @@ object StreamOps {
       }
       .start()
 
+  /** Partition-scoped streaming CDC upsert — copy-on-write at partition
+    * granularity, the shape that survives a 100 TB snapshot.
+    *
+    * The snapshot lives as Hive-style `partitionKey=value` directories
+    * under `snapshotDir` (readable whole with
+    * `spark.read.parquet(snapshotDir)`; partition discovery restores the
+    * partition column, and `.old_*`/`.staging` working dirs are dot-hidden
+    * so readers never see them). Each micro-batch:
+    *
+    *  1. derives the batch's partition FOOTPRINT (distinct partition
+    *     values in the batch — driver-side, bounded by the batch, never by
+    *     the snapshot);
+    *  2. reads ONLY those live partition directories as the merge base
+    *     (partition pruning by construction — untouched partitions are
+    *     never opened, let alone rewritten);
+    *  3. runs the same CdcMerge and writes the merged slice in ONE Spark
+    *     job, partitioned by the key, into a dot-hidden staging dir;
+    *  4. promotes each affected partition with the same write-then-swap
+    *     dance as the whole-snapshot sink (retired copy kept at
+    *     `.old_partitionKey=value` until the next swap of that partition).
+    *
+    * Cost per batch is O(footprint of the batch), not O(snapshot): a batch
+    * touching 1 of 10 000 date partitions rewrites one directory. Crash
+    * recovery: an interrupted per-partition swap is completed by
+    * [[recoverPartitions]] at the start of the next batch, and because the
+    * merge is idempotent (latest-wins by version over full row images), a
+    * replayed micro-batch re-merges its partitions to the identical state
+    * — partially-promoted batches heal on retry.
+    *
+    * Conventions (checked): partition values must be non-null and must
+    * render to directory-safe strings (alphanumerics, `-`, `_`, `.` — a
+    * date or integer column qualifies); a key's partition value must be
+    * immutable across its changelog (rows don't migrate between
+    * partitions — the standard lake-table constraint). */
+  def cdcUpsertPartitioned(changes: DataFrame, snapshotDir: String,
+                           keys: Seq[String], opCol: String, version: Seq[String],
+                           partitionKey: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchPartitioned(batch, snapshotDir, keys, opCol, version, partitionKey)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcUpsertPartitioned]] — package-visible so specs
+    * and the scale soak can drive batches without a streaming query. */
+  private[graft] def mergeBatchPartitioned(
+      batch: DataFrame, snapshotDir: String, keys: Seq[String],
+      opCol: String, version: Seq[String], partitionKey: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    recoverPartitions(snapshotDir, partitionKey)
+    val staging = Paths.get(snapshotDir, ".staging")
+    if (Files.exists(staging)) deleteRec(staging) // debris from a crashed write
+    // the batch's partition footprint — the ONLY partitions this batch may
+    // touch; collect is bounded by the batch's distinct values, not the
+    // snapshot (a changelog batch spans few partitions by construction)
+    val affected: Seq[String] = batch
+      .select(col(partitionKey).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    require(!affected.contains(null),
+      s"cdcUpsertPartitioned: null $partitionKey in batch — partition values must be non-null")
+    val dirSafe = "^[A-Za-z0-9_.-]+$".r
+    affected.foreach(v => require(dirSafe.pattern.matcher(v).matches(),
+      s"cdcUpsertPartitioned: partition value '$v' is not directory-safe " +
+        "(allowed: alphanumerics, '-', '_', '.')"))
+    val baseSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(_.name == opCol))
+    val liveDirs = affected
+      .map(v => Paths.get(snapshotDir, s"$partitionKey=$v"))
+      .filter(Files.isDirectory(_))
+      .map(_.toString)
+    // base = ONLY the affected partitions (schema pins the partition
+    // column's type so discovery can't drift it); empty on first contact
+    val base =
+      if (liveDirs.nonEmpty)
+        spark.read.option("basePath", snapshotDir)
+          .schema(baseSchema).parquet(liveDirs: _*)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    val merged = graft.etl.CdcMerge.merge(
+      base, batch, keys, col(opCol), version.map(col)).drop("change_applied")
+    // one job writes every affected partition's merged slice into staging
+    merged.write.partitionBy(partitionKey).mode("overwrite")
+      .parquet(staging.toString)
+    affected.foreach { v =>
+      val part = s"$partitionKey=$v"
+      val stagedPart = staging.resolve(part)
+      val live = Paths.get(snapshotDir, part)
+      if (Files.isDirectory(stagedPart))
+        swapSnapshot(stagedPart.toString, live.toString,
+          oldDir = Paths.get(snapshotDir, s".old_$part").toString)
+      else if (Files.exists(live))
+        // the merge deleted every row of this partition: no staged slice to
+        // promote — drop the live dir outright (no `.old` retirement: a
+        // lingering `.old` with no live dir is indistinguishable from a
+        // crashed swap and recovery would resurrect the deleted rows)
+        deleteRec(live)
+    }
+    deleteRec(staging) // only _SUCCESS/metadata left once parts are promoted
+  }
+
+  /** Complete any per-partition swap [[mergeBatchPartitioned]] left
+    * interrupted: a `.old_partitionKey=value` dir whose live partition is
+    * missing is the crash window between swapSnapshot's two moves —
+    * promote it back so the next merge reads the full prior base. A
+    * `.old_*` WITH a live dir is a completed swap's rollback copy and is
+    * left for that partition's next swap to clear. */
+  private[graft] def recoverPartitions(snapshotDir: String,
+                                       partitionKey: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(snapshotDir)
+    if (!Files.isDirectory(root)) return
+    val prefix = s".old_$partitionKey="
+    val children = Files.list(root)
+    try children.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(prefix)) {
+        val live = root.resolve(name.stripPrefix(".old_"))
+        if (!Files.exists(live)) Files.move(p, live)
+      }
+    } finally children.close()
+  }
+
+  /** Recursive delete that THROWS on failure instead of leaving debris. */
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, LinkOption}
+    if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRec(_)) finally children.close()
+    }
+    Files.delete(p)
+  }
+
   /** Promote a freshly-written snapshot directory over the live one.
     *
     * Every step either succeeds or THROWS — a throw fails the micro-batch
@@ -141,21 +284,17 @@ object StreamOps {
       // the promote move, injectable so tests can fail it deterministically
       // and pin the rollback branch; production always uses Files.move
       promoteMove: (java.nio.file.Path, java.nio.file.Path) => Unit =
-        (a, b) => { java.nio.file.Files.move(a, b); () }): Unit = {
-    import java.nio.file.{Files, Paths, Path}
+        (a, b) => { java.nio.file.Files.move(a, b); () },
+      // where the retired live dir goes; the partitioned sink passes a
+      // dot-hidden sibling so partition discovery never sees it
+      oldDir: String = null): Unit = {
+    import java.nio.file.{Files, Paths}
     val tmp = Paths.get(tmpDir)
     if (!Files.isDirectory(tmp))
       throw new java.io.IOException(
         s"cdcUpsert: staged snapshot $tmpDir missing — refusing to swap")
-    def deleteRec(p: Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val children = Files.list(p)
-        try children.forEach(deleteRec(_)) finally children.close()
-      }
-      Files.delete(p) // throws on failure instead of leaving debris
-    }
     val target = Paths.get(snapshotDir)
-    val old = Paths.get(snapshotDir + ".old")
+    val old = Paths.get(Option(oldDir).getOrElse(snapshotDir + ".old"))
     if (Files.exists(old)) {
       if (!Files.exists(target))
         throw new java.io.IOException(

@@ -112,6 +112,109 @@ class SnapshotSwapSpec extends AnyFunSuite with SparkSpec {
     assert(tagOf(root.resolve("snap.old")) == "v1") // sole copy preserved
   }
 
+  // ---- partition-scoped copy-on-write sink ------------------------------
+
+  /** Map of (relative path → bytes) for every file under a partition dir —
+    * byte-identity of untouched partitions is the copy-on-write contract. */
+  private def fileBytes(dir: Path): Map[String, Seq[Byte]] = {
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString -> Files.readAllBytes(p).toSeq)
+        .toMap
+    } finally s.close()
+  }
+
+  private def mergeBatch(rows: Seq[(Long, Int, String, Double, Long)], dir: String): Unit = {
+    import spark.implicits._
+    StreamOps.mergeBatchPartitioned(
+      rows.toDF("k", "d", "op", "v", "ver"), dir,
+      keys = Seq("k"), opCol = "op", version = Seq("ver"), partitionKey = "d")
+  }
+
+  private def readSnap(dir: String): Map[Long, (Int, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(dir).select($"k", $"d", $"v").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+  }
+
+  test("partitioned upsert rewrites ONLY the partitions the batch touches") {
+    val dir = s"target/test-tmp/cdc-part-${System.nanoTime()}"
+    mergeBatch(Seq((1L, 1, "U", 10.0, 1L), (2L, 2, "U", 20.0, 1L),
+      (3L, 3, "U", 30.0, 1L)), dir)
+    val d1Before = fileBytes(Paths.get(dir, "d=1"))
+    val d3Before = fileBytes(Paths.get(dir, "d=3"))
+    // second batch touches ONLY d=2
+    mergeBatch(Seq((2L, 2, "U", 21.0, 2L), (4L, 2, "U", 40.0, 1L)), dir)
+    assert(fileBytes(Paths.get(dir, "d=1")) == d1Before,
+      "untouched partition d=1 must be byte-identical after the merge")
+    assert(fileBytes(Paths.get(dir, "d=3")) == d3Before,
+      "untouched partition d=3 must be byte-identical after the merge")
+    assert(readSnap(dir) == Map(1L -> (1, 10.0), 2L -> (2, 21.0),
+      3L -> (3, 30.0), 4L -> (2, 40.0)))
+    // retired copy of the rewritten partition is dot-hidden from readers
+    assert(Files.isDirectory(Paths.get(dir, ".old_d=2")))
+  }
+
+  test("partitioned delete-all drops the partition directory outright") {
+    val dir = s"target/test-tmp/cdc-delall-${System.nanoTime()}"
+    mergeBatch(Seq((1L, 1, "U", 10.0, 1L), (2L, 2, "U", 20.0, 1L)), dir)
+    mergeBatch(Seq((2L, 2, "D", 20.0, 2L)), dir)
+    assert(!Files.exists(Paths.get(dir, "d=2")),
+      "a partition the merge emptied must be removed, not left stale")
+    assert(readSnap(dir) == Map(1L -> (1, 10.0)))
+    // a later batch can recreate the partition from scratch
+    mergeBatch(Seq((5L, 2, "U", 50.0, 3L)), dir)
+    assert(readSnap(dir) == Map(1L -> (1, 10.0), 5L -> (2, 50.0)))
+  }
+
+  test("partitioned crash window on one partition is recovered, others untouched") {
+    val dir = s"target/test-tmp/cdc-partcrash-${System.nanoTime()}"
+    mergeBatch(Seq((1L, 1, "U", 10.0, 1L), (2L, 2, "U", 20.0, 1L)), dir)
+    // simulate a crash between swapSnapshot's two moves on d=2: live gone,
+    // retired copy at .old_d=2
+    Files.move(Paths.get(dir, "d=2"), Paths.get(dir, ".old_d=2"))
+    // the next batch (touching d=2) must merge against the RECOVERED base
+    mergeBatch(Seq((3L, 2, "U", 30.0, 1L)), dir)
+    assert(readSnap(dir) == Map(1L -> (1, 10.0), 2L -> (2, 20.0), 3L -> (2, 30.0)),
+      "prior rows of the crashed partition must survive recovery")
+  }
+
+  test("partitioned upsert refuses null and unsafe partition values") {
+    import spark.implicits._
+    val dir = s"target/test-tmp/cdc-null-${System.nanoTime()}"
+    val nullDf = Seq((1L, "U", 1.0, 1L)).toDF("k", "op", "v", "ver")
+      .withColumn("d", org.apache.spark.sql.functions.lit(null).cast("string"))
+    intercept[IllegalArgumentException] {
+      StreamOps.mergeBatchPartitioned(nullDf, dir,
+        Seq("k"), "op", Seq("ver"), "d")
+    }
+    val badDf = Seq((1L, "a b/c", "U", 1.0, 1L)).toDF("k", "d", "op", "v", "ver")
+    intercept[IllegalArgumentException] {
+      StreamOps.mergeBatchPartitioned(badDf, dir,
+        Seq("k"), "op", Seq("ver"), "d")
+    }
+  }
+
+  test("cdcUpsertPartitioned end-to-end over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = s"target/test-tmp/cdc-part-e2e-${System.nanoTime()}"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, String, Double, Long)]
+    val changes = in.toDF().toDF("k", "d", "op", "v", "ver")
+    val q = StreamOps.cdcUpsertPartitioned(changes, dir,
+      keys = Seq("k"), opCol = "op", version = Seq("ver"), partitionKey = "d")
+    in.addData((1L, 1, "U", 10.0, 1L), (2L, 2, "U", 20.0, 1L))
+    q.processAllAvailable()
+    val d1Before = fileBytes(Paths.get(dir, "d=1"))
+    in.addData((2L, 2, "U", 21.0, 2L), (3L, 3, "U", 30.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(fileBytes(Paths.get(dir, "d=1")) == d1Before)
+    assert(readSnap(dir) == Map(1L -> (1, 10.0), 2L -> (2, 21.0), 3L -> (3, 30.0)))
+  }
+
   test("cdcUpsert end-to-end: snapshot survives an injected crash window between batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
