@@ -1282,6 +1282,41 @@ object SparkEntry {
         .select($"id_a", $"id_b", $"hamming".cast(LongType).as("hamming"))
         .orderBy($"id_a", $"id_b")
     }),
+
+    "q_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      // REAL javax.sound.sampled decode: one deterministic synthetic WAV
+      // per doc (doc_id-seeded integer waveform; id % 20 == 1 docs are
+      // planted gain-doubled near-dups of id-1) is encoded, decoded back
+      // to 16-bit samples, and fingerprinted (64-frame energy envelope,
+      // exact integer pooling — gain-invariant by construction). The
+      // oracle replays the waveform formula and the pooling algebra in
+      // SQL — PCM is lossless so encode/decode drops out, exactly the
+      // ImageCodec recipe. Signatures print as %08x%08x halves.
+      val wavs = operators.AudioCodec.synthAudioTable(
+        Tables.documents(s, dir).select($"doc_id"))
+      operators.AudioCodec.fingerprint(wavs).toDF()
+        .select($"doc_id", $"sample_rate", $"n_samples", $"energy",
+          operators.ImageCodec.hexSig($"fp").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // audio near-dup pairs: decoded energy-envelope signatures flow
+      // through the SAME pigeonhole banding machinery as text simhash and
+      // image aHash (4x16 bands, never all-pairs); the planted
+      // gain-doubled dups surface at hamming 0. Oracle: same signatures
+      // from the waveform formula, brute-force pair join (fine at oracle
+      // scale).
+      val wavs = operators.AudioCodec.synthAudioTable(
+        Tables.documents(s, dir).select($"doc_id"))
+      val sigs = operators.AudioCodec.fingerprint(wavs).toDF()
+        .select($"doc_id", $"fp".as("sig"))
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast(LongType).as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2246,7 +2281,56 @@ object SparkEntry {
         |FROM abits a JOIN abits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // The audio oracles replay AudioCodec.synthSamples' integer waveform
+    // and the 64-frame energy pooling of energyFp64 in SQL — WAV
+    // encode/decode drops out because PCM is lossless (the ImageCodec
+    // recipe applied to javax.sound.sampled).
+    "q_audio_fingerprint" -> audioFpOracleBase(
+      """SELECT p.doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(p.n AS BIGINT) AS n_samples, CAST(t.te AS BIGINT) AS energy,
+        |  printf('%08x%08x', f.hi, f.lo) AS fp
+        |FROM prm p JOIN fbits f ON f.doc_id = p.doc_id
+        |  JOIN tot t ON t.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin),
+
+    "q_audio_dedup" -> audioFpOracleBase(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM fbits a JOIN fbits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
   )
+
+  /** Shared CTE prefix for the audio-fingerprint oracles: synthetic
+    * waveform formula (= AudioCodec.synthSamples, including the ×2 gain
+    * on planted dups) + 64-frame energy pooling (= AudioCodec.energyFp64)
+    * producing per-doc signature halves (hi, lo) and total energy. */
+  private def audioFpOracleBase(select: String): String =
+    s"""WITH prm0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 20 = 1 THEN doc_id - 1 ELSE doc_id END AS cid,
+       |    CASE WHEN doc_id % 20 = 1 THEN 2 ELSE 1 END AS g
+       |  FROM documents),
+       |prm AS (
+       |  SELECT doc_id, cid % 127 + 1 AS a, cid % 113 + 1 AS b,
+       |         4096 + 64 * (cid % 17) AS n, g
+       |  FROM prm0),
+       |sm AS (
+       |  SELECT doc_id, n, t.range AS t,
+       |    (((a * t.range + b * ((t.range * t.range) % 911)) % 16384) - 8192) * g AS v
+       |  FROM prm, range(5120) t
+       |  WHERE t.range < n),
+       |fr AS (
+       |  SELECT doc_id, (t * 64) // n AS k, sum(v * v) AS e
+       |  FROM sm GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(e) AS te FROM fr GROUP BY 1),
+       |fbits AS (
+       |  SELECT fr.doc_id,
+       |    CAST(sum(CASE WHEN e * 64 > te AND k >= 32 THEN (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN e * 64 > te AND k < 32 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM fr JOIN tot USING (doc_id) GROUP BY 1)
+       |$select""".stripMargin
 
   /** Shared CTE prefix for the image-hash oracles: synthetic pixel
     * formula (= ImageCodec.synthGray) + 8x8/9x8 integer pooling

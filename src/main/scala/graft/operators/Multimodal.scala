@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * Images/audio/video ride as opaque `binary` payload columns with typed
   * metadata alongside. IMAGE payloads decode for REAL — javax.imageio
   * (pure JDK) via [[ImageCodec.decodeGray]], exercised end-to-end by the
-  * image perceptual-hash queries. Audio/video (no codec libraries in
-  * this container) and non-image bytes fall back to
-  * [[Multimodal.decodeStub]], clearly marked, which derives dimensions
-  * deterministically from the payload bytes so tests and oracles can pin
-  * the plumbing end-to-end regardless of payload content.
+  * image perceptual-hash queries. AUDIO payloads decode for REAL too —
+  * javax.sound.sampled (pure JDK) via [[AudioCodec.decodePcm]], exercised
+  * by the audio fingerprint/dedup queries. VIDEO is the one remaining
+  * stub: the JDK ships no video codec and the container has no codec
+  * libraries, so video payloads (and any bytes that fail their modality's
+  * decoder) fall back to [[Multimodal.decodeStub]], clearly marked, which
+  * derives dimensions deterministically from the payload bytes so tests
+  * and oracles can pin the plumbing end-to-end regardless of content.
   *
   * Scale notes: payloads never pass through a shuffle here — featurize is a
   * narrow mapPartitions. Further decoders (FFmpeg-equivalent for video)
@@ -56,19 +59,31 @@ object Multimodal {
   /** Per-partition featurize: decode each payload, emit typed metadata.
     * Narrow (no shuffle); codec init happens once per partition. Image
     * payloads that parse (PNG/JPEG/GIF/BMP) yield their REAL decoded
-    * dimensions via javax.imageio; everything else (audio/video, bytes
-    * that aren't an image) falls back to the deterministic stub. */
+    * dimensions via javax.imageio; audio payloads that parse (WAV/PCM)
+    * yield REAL decoded properties via javax.sound.sampled, mapped onto
+    * the media schema as width=sampleRate, height=16 (bits/sample),
+    * n_frames=sample count; video and undecodable bytes fall back to the
+    * deterministic stub. */
   def featurize(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory decode, no temp files
       it.map { r =>
-        val real =
-          if (r.fmt == "image") ImageCodec.decodeGray(r.payload) else None
+        val real: Option[(Long, Long, Long)] = r.fmt match {
+          case "image" =>
+            ImageCodec.decodeGray(r.payload).map { case (w, h, _) =>
+              (w.toLong, h.toLong, 1L)
+            }
+          case "audio" =>
+            AudioCodec.decodePcm(r.payload).map { case (sr, samples) =>
+              (sr.toLong, 16L, samples.length.toLong)
+            }
+          case _ => None
+        }
         real match {
-          case Some((w, h, _)) =>
-            MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w.toLong, h.toLong, 1L)
+          case Some((w, h, f)) =>
+            MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w, h, f)
           case None =>
             val (w, h, f) = decodeStub(r.payload, r.fmt)
             MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w, h, f)

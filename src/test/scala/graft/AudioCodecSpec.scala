@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{AudioCodec, Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real WAV decode + energy-envelope fingerprinting. The codec path is
+  * the production one (javax.sound.sampled); the synthetic corpus only
+  * supplies payloads. */
+class AudioCodecSpec extends AnyFunSuite with SparkSpec {
+
+  test("WAV encode/decode round-trips samples and rate exactly") {
+    val samples = Array.tabulate(1000)(t => ((t * 37) % 16384) - 8192)
+    val wav = AudioCodec.encodeWav(16000, samples)
+    assert(AudioCodec.looksLikeWav(wav))
+    val Some((sr, got)) = AudioCodec.decodePcm(wav)
+    assert(sr == 16000)
+    assert(got.sameElements(samples), "PCM must round-trip bit-exactly")
+  }
+
+  test("non-WAV bytes are rejected, not mis-decoded") {
+    assert(AudioCodec.decodePcm("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decodePcm(Array[Byte]()).isEmpty)
+    // RIFF magic but garbage body must not throw
+    assert(AudioCodec.decodePcm("RIFFxxxxWAVEgarbage".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("energy fingerprint is exactly invariant under uniform gain") {
+    val base = AudioCodec.synthSamples(42L)
+    val loud = base.map(_ * 2)
+    assert(AudioCodec.energyFp64(base)._1 == AudioCodec.energyFp64(loud)._1)
+  }
+
+  test("planted gain-doubled near-dups hash identically through the REAL codec") {
+    (1L to 200L).filter(_ % 20 == 1).foreach { id =>
+      val fpDup = AudioCodec.energyFp64(
+        AudioCodec.decodePcm(AudioCodec.encodeWav(16000, AudioCodec.synthSamples(id))).get._2)._1
+      val fpBase = AudioCodec.energyFp64(
+        AudioCodec.decodePcm(AudioCodec.encodeWav(16000, AudioCodec.synthSamples(id - 1))).get._2)._1
+      assert(fpDup == fpBase, s"doc $id must hash identically to ${id - 1}")
+    }
+  }
+
+  test("signatures are varied — the corpus doesn't collapse to few fingerprints") {
+    val nonDup = (0L until 300L).filterNot(_ % 20 == 1)
+    val fps = nonDup.map(id => AudioCodec.energyFp64(AudioCodec.synthSamples(id))._1)
+    assert(fps.distinct.size > nonDup.size * 9 / 10,
+      s"expected mostly-distinct fingerprints, got ${fps.distinct.size} of ${nonDup.size}")
+  }
+
+  test("banding recall: simhashPairsFromSigs == brute force over audio fingerprints") {
+    import spark.implicits._
+    val ids = (0L until 200L)
+    val fps = ids.map(id => id -> AudioCodec.energyFp64(AudioCodec.synthSamples(id))._1)
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.simhashPairsFromSigs(
+        fps.toDF("doc_id", "sig"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // the planted dups are in there at hamming 0
+    assert(brute.exists { case (a, b, h) => b == a + 1 && b % 20 == 1 && h == 0 })
+  }
+
+  test("fingerprint dataset decodes through the codec end-to-end") {
+    import spark.implicits._
+    val wavs = AudioCodec.synthAudioTable((0L until 50L).toDF("doc_id"))
+    val rows = AudioCodec.fingerprint(wavs).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.sample_rate == 16000L)
+      val (_, _, n, _) = AudioCodec.synthParams(r.doc_id)
+      assert(r.n_samples == n.toLong)
+      assert(r.fp == AudioCodec.energyFp64(AudioCodec.synthSamples(r.doc_id))._1)
+    }
+  }
+
+  test("featurize reports REAL decoded audio properties for WAV payloads") {
+    import spark.implicits._
+    val samples = AudioCodec.synthSamples(7L)
+    val media = Seq((7L, "audio", AudioCodec.encodeWav(16000, samples)))
+      .toDF("doc_id", "fmt", "payload")
+    val m = Multimodal.featurize(media).collect().head
+    assert(m.width == 16000L, "width carries the real sample rate")
+    assert(m.height == 16L, "height carries bits per sample")
+    assert(m.n_frames == samples.length.toLong, "n_frames carries the real sample count")
+  }
+}
