@@ -1770,6 +1770,38 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
 
+    // Brute-force all-pairs word-2-shingle Jaccard at the driver's scale
+    // (500 docs ≈ 125k pairs — the shared-shingle join prunes to pairs
+    // with inter > 0, which J >= 0.5 requires anyway). Value-equal to the
+    // banded MinHash plan because (a) the verify step emits EXACT Jaccard
+    // on every candidate, so banding can only lose pairs, and (b) 16
+    // bands × 4 rows has miss probability (1 - J^4)^16 ≤ 2e-4 at the
+    // planted pairs' J ≥ 0.8 — recall 1 on this corpus, pinned empirically
+    // by DedupSpec against the same brute force at spec scale. Spark's
+    // Jaccard runs over 64-bit shingle hashes, the oracle over shingle
+    // strings: equal unless a within-pair hash collision (~1e-13/pair).
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS s
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_a
+        |  JOIN cnt cb ON cb.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Re-derives the MD5-half simhash signatures (same integer math as
     // graft.plans.SignatureKernels.simhashMd5: per-token md5, first 8
     // digest bytes as two big-endian u32 halves, ±1 votes per bit, sign
