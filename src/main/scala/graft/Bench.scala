@@ -79,6 +79,10 @@ object Bench {
       * GC benchmark instead of a query benchmark. */
     def cleanup(): Unit = {
       spark.catalog.clearCache()
+      // releaseAll is the library caller's teardown (clears the operator
+      // cache registry); the getPersistentRDDs sweep below then catches
+      // anything persisted outside the registry (e.g. localCheckpoints)
+      graft.operators.OpCaches.releaseAll()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       // Spark's ContextCleaner reclaims dead broadcasts/shuffles/RDD blocks

@@ -127,7 +127,12 @@ object Dedup {
     * Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     * Pipeline: signature (row-local) → band explode (rows × bands) →
     * self-join on (band, band_hash) → distinct candidate pairs → exact
-    * verify on the candidates only. */
+    * verify on the candidates only.
+    *
+    * Caching contract: intermediates the returned plan references stay
+    * persisted (registered in [[OpCaches]]); materialize the result, then
+    * `OpCaches.releaseAll()` — see OpCaches for why they can't be freed
+    * in here. */
   def minhashLshPairs(df: DataFrame, text: Column, id: Column,
                       shingleK: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5,
@@ -202,6 +207,14 @@ object Dedup {
                              shingleK: Int, numHashes: Int,
                              bands: Int, threshold: Double,
                              splitThreshold: Int): LshCore = {
+    // threshold = 0 is degenerate (EVERY pair qualifies — including
+    // empty-shingle docs, where the collapsed and direct regimes would
+    // disagree: the verify emits empty∩empty at jaccard 0.0 >= 0 while
+    // the collapse's intra_ok gate excludes empty-set cliques). Real
+    // dedup thresholds are well above 0; refuse the corner instead of
+    // carrying a convention only one regime honors.
+    require(threshold > 0.0,
+      s"minhash LSH threshold must be > 0 (got $threshold)")
     val rows = numHashes / bands
     import org.apache.spark.storage.StorageLevel
     // Shingle SETS are carried as distinct 64-bit hashes (native kernel —
@@ -211,10 +224,14 @@ object Dedup {
     // runs twice. Eager counts throughout: multiple consumers otherwise
     // race to populate each cache (block-lock contention + duplicated
     // compute).
-    val raw = df.select(id.as("doc_id"),
+    // Cache lifecycle: every persist below registers with OpCaches; blocks
+    // the returned (lazy) plan still references are freed by the caller
+    // via OpCaches.releaseAll() once results materialize, blocks whose
+    // last consumer runs in here are freed in here.
+    val raw = OpCaches.track(df.select(id.as("doc_id"),
         graft.plans.Signatures.shingleHashes(
           graft.functions.TextFns.tokens(text), shingleK).as("sh_hashes"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val nRaw = raw.count()
     // Clique-collapse decision (same move as simhashPairsFromSigs, same
     // reason): every member of an m-copy exact-dup clique carries the
@@ -230,20 +247,26 @@ object Dedup {
     // than the collapse saves, and the direct pipeline over all docs is
     // equally correct (intra-clique pairs surface as ordinary candidates
     // that verify at 1.0) — so it is used as-is.
-    val distinct = raw.groupBy(col("sh_hashes")).agg(min(col("doc_id")).as("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val distinct = OpCaches.track(
+      raw.groupBy(col("sh_hashes")).agg(min(col("doc_id")).as("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val collapsed = distinct.count() < (nRaw * collapseDupFraction).toLong
-    val docs = if (collapsed) distinct else { distinct.unpersist(); raw }
+    val docs = if (collapsed) distinct
+      else { distinct.unpersist(); OpCaches.untrack(distinct); raw }
     // member → representative map (array-equality hash join, one
     // shuffle); `intra_ok` marks members of NON-EMPTY-set cliques — the
     // only ones whose intra pairs exist (empty sets verify at 0.0)
     val memb = if (!collapsed) null else {
-      val m = raw
+      val m = OpCaches.track(raw
         .join(docs.select(col("sh_hashes"), col("doc_id").as("rep")), Seq("sh_hashes"))
         .select(col("rep"), col("doc_id"),
           (size(col("sh_hashes")) > 0).as("intra_ok"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       m.count()
+      // raw's last consumer was the member-map join just materialized —
+      // from here everything reads `distinct` or `memb`; free it now
+      raw.unpersist(blocking = false)
+      OpCaches.untrack(raw)
       m
     }
     // Band rows carry (band, band_hash, doc_id) plus the next band's
@@ -306,7 +329,7 @@ object Dedup {
     // broadcasts it when genuinely small and shuffle-joins otherwise.
     // (For clique-heavy corpora, run exact dedup first — the pair OUTPUT
     // is quadratic regardless of plan; see the simhashPairs note.)
-    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = OpCaches.track(candidates.persist(StorageLevel.MEMORY_AND_DISK))
     val slim = cand.count() <= maxBroadcastCandidates
     val a = docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
@@ -404,7 +427,8 @@ object Dedup {
     * 64-bit similarity-preserving fingerprint (text SimHash, an image
     * aHash/dHash from [[ImageCodec]], an audio chromaprint) gets the same
     * pigeonhole 4×16-band candidate generation, hot-bucket sub-splits and
-    * exact hamming verify. */
+    * exact hamming verify. Caching contract: materialize, then
+    * `OpCaches.releaseAll()` (see [[OpCaches]]). */
   def simhashPairsFromSigs(withSig: DataFrame,
                            maxHamming: Int = 3, splitThreshold: Int = 256): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding guarantees recall only for hamming <= 3, got $maxHamming")
@@ -422,10 +446,11 @@ object Dedup {
     // of a join instead of through a shuffle. (Measured at 100× bench
     // scale with 100-copy cliques: 110 s direct → 18 s collapsed; see
     // SCALE.md.)
-    val sigs = withSig.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = OpCaches.track(withSig.persist(StorageLevel.MEMORY_AND_DISK))
     val nDocs = sigs.count()
-    val sigTab = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds banding + member map
+    val sigTab = OpCaches.track(
+      sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) // feeds banding + member map
     // Collapse only when duplicate mass is substantial (see
     // collapseDupFraction): with sparse duplicates the banding pipeline
     // over all docs is equally correct — identical signatures land in the
@@ -434,17 +459,22 @@ object Dedup {
     val collapsed = sigTab.count() < (nDocs * collapseDupFraction).toLong
     if (!collapsed) {
       sigTab.unpersist()
+      OpCaches.untrack(sigTab)
       simhashBandPairs(sigs, maxHamming, splitThreshold)
     } else {
       // representative pairs at hamming 1..maxHamming (0 is impossible
       // between distinct signatures) via the banding machinery
       val repPairs = simhashBandPairs(sigTab, maxHamming, splitThreshold)
       // member → representative map: one hash join on the signature value
-      val memb = sigs
+      val memb = OpCaches.track(sigs
         .join(sigTab.select(col("sig"), col("doc_id").as("rep")), Seq("sig"))
         .select(col("rep"), col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // feeds 3 expansion joins
+        .persist(StorageLevel.MEMORY_AND_DISK)) // feeds 3 expansion joins
       memb.count()
+      // sigs' last consumer was the member-map join just materialized —
+      // everything downstream reads sigTab or memb; free it now
+      sigs.unpersist(blocking = false)
+      OpCaches.untrack(sigs)
       // inter-clique expansion: every member of a's clique pairs with
       // every member of b's clique at the reps' hamming — pure join output
       val inter = repPairs

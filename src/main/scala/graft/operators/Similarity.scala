@@ -103,7 +103,9 @@ object Similarity {
     * (deterministic seeded planes, reproducible in plain SQL — see the
     * q_dedup_embedding oracle, which carries the same plane constants as
     * literals), not a best-effort approximation: output is exactly
-    * checkable, and at 10^9 vectors the plan is the one you'd want. */
+    * checkable, and at 10^9 vectors the plan is the one you'd want.
+    * Caching contract: materialize, then `OpCaches.releaseAll()` (see
+    * [[OpCaches]]). */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          sampleMod: Int = 1, nPlanes: Int = 6, dim: Int = 64,
                          probeRadius: Int = 1): DataFrame = {
@@ -119,16 +121,17 @@ object Similarity {
     // (1.0 after rounding for any non-degenerate vector — computed, not
     // assumed, so zero-norm embeddings drop exactly as the direct path
     // drops them). Sparse-duplicate corpora keep the direct plan.
-    val sampled = vectors.filter(col("vec_id") % sampleMod === 0)
+    val sampled = OpCaches.track(vectors.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("embedding"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val nAll = sampled.count()
-    val distinctEmb = sampled.groupBy(col("embedding"))
+    val distinctEmb = OpCaches.track(sampled.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val collapsed =
       distinctEmb.count() < (nAll * Dedup.collapseDupFraction).toLong
-    val base = if (collapsed) distinctEmb else { distinctEmb.unpersist(); sampled }
+    val base = if (collapsed) distinctEmb
+      else { distinctEmb.unpersist(); OpCaches.untrack(distinctEmb); sampled }
 
     val v = base.select(col("vec_id"), col("embedding"),
       bucketOf(col("embedding"), planes).as("bucket"))
@@ -148,12 +151,15 @@ object Similarity {
 
     if (!collapsed) verified
     else {
-      val memb = sampled
+      val memb = OpCaches.track(sampled
         .join(distinctEmb.select(col("embedding"), col("vec_id").as("rep")),
           Seq("embedding"))
         .select(col("rep"), col("vec_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       memb.count()
+      // sampled's last consumer was the member-map join just materialized
+      sampled.unpersist(blocking = false)
+      OpCaches.untrack(sampled)
       val inter = verified
         .join(memb.select(col("rep").as("id_a"), col("vec_id").as("va")), Seq("id_a"))
         .join(memb.select(col("rep").as("id_b"), col("vec_id").as("vb")), Seq("id_b"))

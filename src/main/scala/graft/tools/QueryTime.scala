@@ -48,6 +48,7 @@ object QueryTime {
       // Bench-style teardown so runs are independent: drop cached plans
       // AND persisted/localCheckpoint'd RDDs a query pinned while built.
       spark.catalog.clearCache()
+      graft.operators.OpCaches.releaseAll()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
