@@ -31,6 +31,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietKnownNoise()
     // absorb session/JIT/codegen-compiler startup so it isn't attributed
     // to whichever query happens to run first. Purely generic engine
     // paths on synthetic/tiny data — no actual benchmark query (or its
