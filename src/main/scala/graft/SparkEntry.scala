@@ -1065,6 +1065,14 @@ object SparkEntry {
       // The n_tokens > 0 filter mirrors the inner join of the old
       // explode shape (and the oracle): token-less docs have no
       // repetition signals.
+      //
+      // HASH-DOMAIN CONVENTION (shared with the dedup family's "Jaccard
+      // over hash sets" caveat): n_distinct_bigrams counts distinct
+      // 64-bit SHINGLE HASHES, not distinct bigram strings — a per-doc
+      // collision between distinct bigrams (~n²/2^64) would undercount
+      // vs the string domain. The oracle counts the same hash-free
+      // quantity only because no collision occurs on this corpus; if a
+      // parity failure ever points here, this convention is why.
       Tables.documents(s, dir)
         .select($"doc_id", TextFns.tokens($"text").as("toks"))
         .select($"doc_id",

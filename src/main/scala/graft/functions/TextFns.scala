@@ -25,7 +25,14 @@ object TextFns {
     graft.plans.TextKernels.wsTokenCount(text).cast(LongType)
 
   /** Count of [[tokens]] without materializing the token array — native
-    * run-count kernel, for count-only callers. */
+    * run-count kernel, for count-only callers.
+    *
+    * Known boundary: equals size(tokens(text)) except on code points whose
+    * full-Unicode lowercase maps INTO [a-z] (U+212A KELVIN SIGN → 'k',
+    * U+0130 → 'i'+U+0307): the byte-walk counts raw bytes, the regex form
+    * counts the lowercased expansion. Normalize such text upstream if
+    * exact parity on arbitrary Unicode matters (KernelPropertySpec
+    * documents the exclusion). */
   def tokenCount(text: Column): Column =
     graft.plans.TextKernels.wordRunCount(text).cast(LongType)
 

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  /** Far above any key in the source data (sf0.1 tops out ~600k). */
+  /** Far above any key in the DRIVER-SHIPPED source data (sf0.1 tops out
+    * ~600k). Re-scaling a previous ScaleGen OUTPUT needs a larger stride —
+    * its keys already reach (n-1)·stride — or replica key spaces collide
+    * and every keyed operator silently sees duplicate keys; main() derives
+    * the stride from the actual max key (see strideFor). */
   val KEY_STRIDE = 100000000L
 
   /** Key columns to shift per table; absent tables copy unchanged. */
@@ -47,12 +51,23 @@ object ScaleGen {
 
   val fixedDims = Set("region", "nation")
 
-  def replicate(df: DataFrame, keys: Seq[String], n: Int): DataFrame =
+  def replicate(df: DataFrame, keys: Seq[String], n: Int,
+                stride: Long = KEY_STRIDE): DataFrame =
     (0 until n).map { i =>
       keys.foldLeft(df) { (d, k) =>
-        d.withColumn(k, col(k) + lit(i * KEY_STRIDE))
+        d.withColumn(k, col(k) + lit(i * stride))
       }
     }.reduce(_ unionAll _)
+
+  /** Smallest power of 10 strictly above `maxKey` (floor KEY_STRIDE):
+    * the stride that keeps replica key spaces disjoint. It must be ONE
+    * value across all tables — orderkey/custkey/... span tables, and a
+    * per-table stride would break those FKs. */
+  def strideFor(maxKey: Long): Long = {
+    var s = KEY_STRIDE
+    while (s <= maxKey) s *= 10
+    s
+  }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -69,11 +84,23 @@ object ScaleGen {
     // (see Tables.events) and write them back as plain int64 — the
     // loader's `ts div 1000` shim works identically on either encoding.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one global stride above every key in the source: re-scaling a
+    // previous ScaleGen output would otherwise collide replica key
+    // spaces (its keys already reach (n-1)·KEY_STRIDE), silently
+    // de-duplicating keyed tables downstream
+    val maxKey = (for {
+      t <- graft.Tables.names if keyCols.contains(t)
+      in = spark.read.parquet(s"$src/$t.parquet")
+      k <- keyCols(t)
+      r = in.agg(max(col(k).cast("long"))).head if !r.isNullAt(0)
+    } yield r.getLong(0)).max
+    val stride = strideFor(maxKey)
+    println(s"scalegen: max source key $maxKey -> stride $stride")
     for (t <- graft.Tables.names) {
       val in = spark.read.parquet(s"$src/$t.parquet")
       val scaled =
         if (fixedDims(t)) in
-        else replicate(in, keyCols.getOrElse(t, Seq.empty), n)
+        else replicate(in, keyCols.getOrElse(t, Seq.empty), n, stride)
       // repartition so downstream scans see multi-task parallelism
       // instead of N× row groups stacked into the source's file layout.
       // Byte-aware: a row-count heuristic alone wrote sf1's 50k-doc
@@ -82,7 +109,18 @@ object ScaleGen {
       // 2 MiB/file target: tiny for parquet, right for THIS harness —
       // these tables feed CPU-bound per-row work (tokenize/decode/hash)
       // where a task should hold ~50k rows, not ~128 MB
-      val srcBytes = new java.io.File(s"$src/$t.parquet").length()
+      // srcBytes must survive BOTH source layouts: the driver ships each
+      // table as a single parquet FILE, but re-scaling a previous ScaleGen
+      // output reads a Spark-written DIRECTORY — where File.length() is
+      // the ~4 KiB directory entry, which would silently regress the
+      // byte heuristic back to row-count-only (the exact single-file trap
+      // it exists to fix). Sum the data files when it's a directory.
+      val srcPath = new java.io.File(s"$src/$t.parquet")
+      val srcBytes =
+        if (srcPath.isDirectory)
+          srcPath.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")).map(_.length()).sum
+        else srcPath.length()
       val byParts = math.max(
         (scaled.count() / 50000).toInt,
         (srcBytes * (if (fixedDims(t)) 1 else n) / (2L << 20)).toInt)
