@@ -70,6 +70,69 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared CTE chain deriving the brute-force word-2-shingle near-dup
+    * PAIR set (the q_dedup_minhash semantics) — composed into the
+    * minhash, clusters, and keep-best oracles so all three check against
+    * the same independently-derived pair set. Ends with
+    * `pairs(id_a, id_b, jaccard)`. */
+  private def minhashPairCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS s
+      |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b),
+      |pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)""".stripMargin
+
+  /** q_ann_lsh oracle: the SAME seeded hyperplane constants as SQL
+    * literals (the dedupEmbeddingOracle recipe); a query's probe set at
+    * radius 1 contains a candidate's bucket iff their sign-buckets are
+    * within Hamming distance 1, so the bucket-join is an explicit
+    * hamming predicate here; exact cosine rerank, top-k per query. */
+  private def annLshOracle: String = {
+    val planes = operators.Similarity.hyperplanes(6, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * ('$lst'::DOUBLE[])[j])) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  $bucket AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS qb
+       |  FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    round(
+       |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+       |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+       |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+       |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+       |    , 6) AS cosine
+       |  FROM q JOIN b c
+       |    ON bit_count(xor(q.qb, c.bucket)) <= 1 AND c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cosine, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_mixture_sample's target language shares — one definition feeds
     * both the Spark query and the generated oracle SQL literals. */
   private val mixtureTargets: Map[String, Double] =
@@ -702,7 +765,9 @@ object SparkEntry {
       // end-to-end near-dup removal: LSH pairs → connected components →
       // one canonical representative per cluster. minhashLshClusters runs
       // the iterative CC on the REP graph when exact-dup cliques dominate
-      // (identical output, thousands of edges instead of millions)
+      // (identical output, thousands of edges instead of millions). The
+      // oracle closes the same pair set transitively with a RECURSIVE
+      // CTE — an independent derivation of the Hash-Min fixpoint.
       Dedup.minhashLshClusters(Tables.documents(s, dir), $"text", $"doc_id",
           shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy($"doc_id")
@@ -729,8 +794,8 @@ object SparkEntry {
       // the full near-dup removal pipeline with a QUALITY keep-policy
       // (SemDeDup-style): LSH pairs → connected components → within each
       // cluster keep the longest document (row_number=1 rewrites to the
-      // bounded TopKPerGroup); singletons keep themselves. No oracle —
-      // CC is iterative — but every stage is independently verified.
+      // bounded TopKPerGroup); singletons keep themselves. Oracle:
+      // recursive-CTE components + the same keep policy in SQL.
       graft.plans.GraftExtensions.install(s)
       val docs = Tables.documents(s, dir)
       val clusters = Dedup.minhashLshClusters(docs, $"text", $"doc_id",
@@ -1789,26 +1854,58 @@ object SparkEntry {
     // Jaccard runs over 64-bit shingle hashes, the oracle over shingle
     // strings: equal unless a within-pair hash collision (~1e-13/pair).
     "q_dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS s
-        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (
-        |  SELECT id_a, id_b,
-        |    round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-        |  FROM inter
-        |  JOIN cnt ca ON ca.doc_id = id_a
-        |  JOIN cnt cb ON cb.doc_id = id_b)
-        |SELECT id_a, id_b, jaccard FROM j
-        |WHERE jaccard >= 0.5
+      s"""WITH $minhashPairCtes
+        |SELECT id_a, id_b, jaccard FROM pairs
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components as a SQL oracle: the near-dup pair set (same
+    // brute-force CTEs as q_dedup_minhash) symmetrized into an edge list,
+    // closed transitively with a RECURSIVE CTE (UNION dedups rows, so the
+    // fixpoint terminates; cluster sizes at oracle scale are tiny), and
+    // each node labeled min(reachable ∪ self) — exactly Hash-Min's
+    // fixpoint, derived independently of the iterative implementation.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, CAST(least(min(v), u) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY u
+        |ORDER BY doc_id""".stripMargin,
+
+    // The keep-best pipeline end-to-end: recursive-CTE components (above)
+    // + every unpaired doc its own cluster + keep the longest member
+    // (token count, doc_id tie-break) — the SemDeDup-style policy.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (
+        |  SELECT u AS doc_id, least(min(v), u) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT cluster_id, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM lab)
+        |SELECT cluster_id, doc_id AS keep_id, n_tokens
+        |FROM r WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin,
 
     // Re-derives the MD5-half simhash signatures (same integer math as
     // graft.plans.SignatureKernels.simhashMd5: per-token md5, first 8
@@ -1843,6 +1940,8 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_embedding" -> dedupEmbeddingOracle,
+
+    "q_ann_lsh" -> annLshOracle,
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
