@@ -812,6 +812,21 @@ object SparkEntry {
         .orderBy($"cluster_id")
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      // incremental dedup — the production arrival shape: docs with
+      // doc_id % 5 == 0 play today's increment against the rest as the
+      // existing corpus; an increment doc is kept iff it has no near-dup
+      // partner in the existing corpus and none among earlier (smaller
+      // id) increment docs. One-pass greedy (documented), not CC.
+      Dedup.minhashIncrementalKeep(Tables.documents(s, dir), $"text",
+          $"doc_id", isExisting = $"doc_id" % 5 =!= 0,
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        .select($"doc_id", $"n_existing_dups", $"n_earlier_incoming_dups",
+          $"kept".cast(LongType).as("kept"))
+        .orderBy($"doc_id")
+    }),
+
     // ================= similarity search ==============================
 
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -1906,6 +1921,29 @@ object SparkEntry {
         |SELECT cluster_id, doc_id AS keep_id, n_tokens
         |FROM r WHERE rn = 1
         |ORDER BY cluster_id""".stripMargin,
+
+    // Same brute-force pair set; per increment doc count partners that
+    // are existing (doc_id % 5 <> 0) or earlier increment — the greedy
+    // keep policy replayed declaratively.
+    "q_dedup_incremental" ->
+      s"""WITH $minhashPairCtes,
+        |dirp AS (
+        |  SELECT id_a AS partner, id_b AS doc FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |inc AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |st AS (
+        |  SELECT i.doc_id,
+        |    CAST(count(CASE WHEN p.partner % 5 <> 0 THEN 1 END) AS BIGINT)
+        |      AS n_existing_dups,
+        |    CAST(count(CASE WHEN p.partner % 5 = 0 AND p.partner < i.doc_id
+        |      THEN 1 END) AS BIGINT) AS n_earlier_incoming_dups
+        |  FROM inc i LEFT JOIN dirp p ON p.doc = i.doc_id
+        |  GROUP BY 1)
+        |SELECT doc_id, n_existing_dups, n_earlier_incoming_dups,
+        |  CAST(CASE WHEN n_existing_dups = 0 AND n_earlier_incoming_dups = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM st
+        |ORDER BY doc_id""".stripMargin,
 
     // Re-derives the MD5-half simhash signatures (same integer math as
     // graft.plans.SignatureKernels.simhashMd5: per-token md5, first 8

@@ -166,6 +166,54 @@ object Dedup {
     }
   }
 
+  /** Incremental corpus dedup — the production shape of near-dup removal:
+    * an INCREMENT (today's crawl) arrives against an EXISTING corpus and
+    * only increment docs may be dropped. Emits one row per increment doc:
+    * (doc_id, n_existing_dups, n_earlier_incoming_dups, kept) with
+    * `kept` = no near-dup partner in the existing corpus AND none among
+    * increment docs with a smaller id (existing always wins; first-wins
+    * inside the increment — the deterministic one-pass greedy policy, NOT
+    * transitive closure: an increment doc is judged on its OWN partners,
+    * so a chain a~b~c with only a dup-of-existing keeps c if c itself has
+    * no dropped-or-existing partner; use [[minhashLshClusters]] when
+    * component-level semantics are wanted).
+    *
+    * Built compositionally on [[minhashLshPairs]] over the tagged union —
+    * all banding/collapse/verify machinery applies. At production scale
+    * the existing side's signatures come from a stored index and banding
+    * restricts to buckets containing an increment member (the existing ×
+    * existing candidate work is skipped entirely); the compositional form
+    * here verifies a superset of pairs, with identical output. */
+  def minhashIncrementalKeep(df: DataFrame, text: Column, id: Column,
+                             isExisting: Column,
+                             shingleK: Int = 3, numHashes: Int = 64,
+                             bands: Int = 16, threshold: Double = 0.5,
+                             splitThreshold: Int = 4096): DataFrame = {
+    val pairs = minhashLshPairs(df, text, id, shingleK, numHashes, bands,
+      threshold, splitThreshold)
+    val tags = df.select(id.as("doc_id"), isExisting.as("is_existing"))
+    // both directed views of each undirected pair: (partner -> doc)
+    val dir = pairs.select(col("id_a").as("partner"), col("id_b").as("doc"))
+      .unionByName(pairs.select(col("id_b").as("partner"), col("id_a").as("doc")))
+    val partnerTag = tags.select(col("doc_id").as("partner"),
+      col("is_existing").as("partner_existing"))
+    val stats = tags.filter(!col("is_existing"))
+      .select(col("doc_id"))
+      .join(dir.join(partnerTag, Seq("partner")),
+        col("doc_id") === col("doc"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("partner_existing"), 1L).otherwise(0L))
+          .as("n_existing_dups"),
+        sum(when(!col("partner_existing") && col("partner") < col("doc_id"), 1L)
+          .otherwise(0L)).as("n_earlier_incoming_dups"))
+    stats.select(col("doc_id"),
+      coalesce(col("n_existing_dups"), lit(0L)).as("n_existing_dups"),
+      coalesce(col("n_earlier_incoming_dups"), lit(0L)).as("n_earlier_incoming_dups"),
+      (coalesce(col("n_existing_dups"), lit(0L)) === 0 &&
+        coalesce(col("n_earlier_incoming_dups"), lit(0L)) === 0).as("kept"))
+  }
+
   /** Near-duplicate CLUSTERS via MinHash LSH + connected components,
     * (doc_id, cluster_id = min reachable doc id) — only docs that appear
     * in at least one near-dup pair, exactly [[DedupClusters.clusters]]

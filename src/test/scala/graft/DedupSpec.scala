@@ -34,6 +34,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((lsh -- bruteForcePairs).isEmpty)
   }
 
+  test("incremental keep agrees with the brute-force greedy policy") {
+    import spark.implicits._
+    // increment = doc_id % 5 == 0, existing = the rest (the q_dedup_
+    // incremental split); derive keep/drop from the brute-force pair set
+    val isInc = (id: Long) => id % 5 == 0
+    val expected = docs.select($"doc_id").as[Long].collect().filter(isInc).map { d =>
+      val partners = bruteForcePairs.collect {
+        case (a, b) if a == d => b
+        case (a, b) if b == d => a
+      }
+      val nExisting = partners.count(!isInc(_))
+      val nEarlier = partners.count(p => isInc(p) && p < d)
+      d -> (nExisting.toLong, nEarlier.toLong, nExisting == 0 && nEarlier == 0)
+    }.toMap
+    val got = Dedup.minhashIncrementalKeep(docs, $"text", $"doc_id",
+        isExisting = $"doc_id" % 5 =!= 0,
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == expected)
+    // the increment must contain BOTH dropped and kept docs or the test
+    // proves nothing
+    assert(expected.values.exists(_._3) && expected.values.exists(!_._3),
+      "corpus split should exercise both keep and drop")
+  }
+
   test("simhash finds the planted near-dups at small hamming distance") {
     import spark.implicits._
     val sim = Dedup.simhashPairs(docs, $"text", $"doc_id", maxHamming = 3)

@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"top-k line $topkLine):\n$p")
   }
 
+  test("audio synthesis fans out before the CPU-bound codec stage") {
+    val p = plan("q_audio_fingerprint")
+    // same contract as the image pipeline: codec parallelism pinned to
+    // cores, not the source table's file count
+    assert(p.contains("RoundRobinPartitioning"),
+      s"id fan-out repartition missing before the audio codec stage:\n$p")
+  }
+
   test("image synthesis fans out before the CPU-bound codec stage") {
     val p = plan("q_image_phash")
     // the 8-byte id rows round-robin to full parallelism so the codec
