@@ -18,6 +18,32 @@ class AudioCodecSpec extends AnyFunSuite with SparkSpec {
     assert(got.sameElements(samples), "PCM must round-trip bit-exactly")
   }
 
+  test("fast RIFF path and javax.sound.sampled decode bit-identically") {
+    // both directions: our encoder's output through AudioSystem, and the
+    // canonical walker against AudioSystem on the same payloads — the
+    // lock-free scan path must be indistinguishable from the real codec
+    (0L until 50L).foreach { id =>
+      val wav = AudioCodec.encodeWav(16000, AudioCodec.synthSamples(id))
+      val fast = AudioCodec.decodeCanonicalWav(wav)
+      val real = AudioCodec.decodePcmViaAudioSystem(wav)
+      assert(fast.isDefined && real.isDefined)
+      assert(fast.get._1 == real.get._1)
+      assert(fast.get._2.sameElements(real.get._2),
+        s"fast and AudioSystem decode diverge on doc $id")
+    }
+  }
+
+  test("fast RIFF path declines non-canonical containers (fallback owns them)") {
+    // a WAV declaring a non-PCM format tag must go to AudioSystem, not
+    // be mis-parsed: flip the fmt tag in a valid container
+    val wav = AudioCodec.encodeWav(16000, AudioCodec.synthSamples(1L))
+    wav(20) = 3 // fmt tag 3 = IEEE float
+    assert(AudioCodec.decodeCanonicalWav(wav).isEmpty)
+    // truncated data chunk must be declined, not over-read
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 10)
+    assert(AudioCodec.decodeCanonicalWav(cut).isEmpty)
+  }
+
   test("non-WAV bytes are rejected, not mis-decoded") {
     assert(AudioCodec.decodePcm("not audio at all".getBytes("UTF-8")).isEmpty)
     assert(AudioCodec.decodePcm(Array[Byte]()).isEmpty)
