@@ -1184,6 +1184,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_decontaminate_embedding" -> ((s, dir) => {
+      import s.implicits._
+      // the semantic complement of q_decontaminate: training vectors
+      // whose cosine to ANY (broadcast) benchmark vector reaches the
+      // threshold — paraphrased eval leakage exact n-grams miss. The
+      // corpus side stays a single map-side scan.
+      val e = Tables.embeddings(s, dir)
+      operators.Decontaminate.contaminatedByEmbedding(
+          e.filter($"vec_id" % 97 =!= 0), e.filter($"vec_id" % 97 === 0),
+          threshold = 0.3)
+        .orderBy($"vec_id")
+    }),
+
     "q_pii_mask" -> ((s, dir) => {
       import s.implicits._
       // PII scrub + stable pseudonymization over the customer dimension:
@@ -2294,6 +2307,29 @@ object SparkEntry {
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate_embedding" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bench_id, embedding AS b_emb
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |train AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+        |sc AS (
+        |  SELECT t.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |        i -> CAST(t.embedding[i] AS DOUBLE) * CAST(b.b_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |           i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, len(b.b_emb) + 1),
+        |           i -> CAST(b.b_emb[i] AS DOUBLE) * CAST(b.b_emb[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM train t, bench b)
+        |SELECT vec_id, count(*) AS n_hits,
+        |  max(cosine) AS max_cosine
+        |FROM sc WHERE cosine >= 0.3
+        |GROUP BY 1
+        |ORDER BY vec_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (

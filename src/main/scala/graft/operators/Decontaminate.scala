@@ -41,4 +41,30 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram test: flag training vectors whose cosine to ANY benchmark
+    * vector reaches `threshold` (paraphrased eval leakage that exact
+    * n-grams miss). Emits (vec_id, n_hits, max_cosine) per contaminated
+    * training vector.
+    *
+    * Scale shape mirrors [[contaminated]]: the benchmark side is always
+    * tiny, so it broadcasts and the 100 TB training side is ONE map-side
+    * scan — per row, a codegen cosine against each broadcast bench
+    * vector, then the (rare) hits aggregate per vec_id. No shuffle
+    * touches the corpus; swap in the IVF/LSH index when an eval suite
+    * ever outgrows broadcast. */
+  def contaminatedByEmbedding(train: DataFrame, benchmark: DataFrame,
+                              threshold: Double): DataFrame = {
+    val bench = benchmark.select(col("vec_id").as("bench_id"),
+      col("embedding").as("bench_emb"))
+    train.select(col("vec_id"), col("embedding"))
+      .join(broadcast(bench))
+      .select(col("vec_id"),
+        graft.functions.VectorFns.cosine6(col("embedding"), col("bench_emb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+  }
 }

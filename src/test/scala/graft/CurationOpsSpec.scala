@@ -68,6 +68,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("embedding decontamination flags exactly the vectors past the cosine bar") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val bench = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(1, 0, 0, 0)),        // identical: cosine 1.0
+      (2L, v(0.9, 0.1, 0, 0)),    // near: cosine ~0.994
+      (3L, v(0, 1, 0, 0)),        // orthogonal: cosine 0
+      (4L, v(-1, 0, 0, 0))        // opposite: cosine -1
+    ).toDF("vec_id", "embedding")
+    val hits = Decontaminate.contaminatedByEmbedding(train, bench, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits.keySet == Set(1L, 2L))
+    assert(hits(1L) == (1L, 1.0))
+    assert(hits(2L)._1 == 1L && hits(2L)._2 > 0.99)
+    // the corpus side must stay a broadcast scan — never shuffle
+    val plan = Decontaminate.contaminatedByEmbedding(
+      Tables.embeddings(spark, sf).filter($"vec_id" % 97 =!= 0),
+      Tables.embeddings(spark, sf).filter($"vec_id" % 97 === 0), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
   // ---- BM25 ----------------------------------------------------------
 
   test("bm25 favors rare terms and saturates tf") {
