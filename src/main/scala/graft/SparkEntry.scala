@@ -1189,10 +1189,15 @@ object SparkEntry {
       // the semantic complement of q_decontaminate: training vectors
       // whose cosine to ANY (broadcast) benchmark vector reaches the
       // threshold — paraphrased eval leakage exact n-grams miss. The
-      // corpus side stays a single map-side scan.
+      // corpus side stays a single map-side scan. The benchmark slice is
+      // FIXED-SIZE (vec_id < 5000 pins it to the base id range, so
+      // ScaleGen replication grows only the train side): real eval
+      // suites don't grow with the corpus, and letting the slice scale
+      // made the broadcast loop quadratic in sf (90 s at sf10 — SCALE.md)
       val e = Tables.embeddings(s, dir)
       operators.Decontaminate.contaminatedByEmbedding(
-          e.filter($"vec_id" % 97 =!= 0), e.filter($"vec_id" % 97 === 0),
+          e.filter($"vec_id" % 97 =!= 0),
+          e.filter($"vec_id" % 97 === 0 && $"vec_id" < 5000),
           threshold = 0.3)
         .orderBy($"vec_id")
     }),
@@ -2311,7 +2316,7 @@ object SparkEntry {
     "q_decontaminate_embedding" ->
       """WITH bench AS (
         |  SELECT vec_id AS bench_id, embedding AS b_emb
-        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 5000),
         |train AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
         |sc AS (
