@@ -215,6 +215,40 @@ class SnapshotSwapSpec extends AnyFunSuite with SparkSpec {
     assert(readSnap(dir) == Map(1L -> (1, 10.0), 2L -> (2, 21.0), 3L -> (3, 30.0)))
   }
 
+  test("partitioned sink equals the whole-snapshot merge over random batch sequences") {
+    import spark.implicits._
+    // deterministic pseudo-random changelog: 6 batches of mixed
+    // upserts/deletes over 40 keys spread across 4 partitions, applied
+    // through BOTH the partition-scoped sink and a reference in-memory
+    // fold of CdcMerge semantics (latest version wins per key, D deletes)
+    val dir = s"target/test-tmp/cdc-equiv-${System.nanoTime()}"
+    def h(i: Long, j: Long): Long = {
+      var x = i * 2654435761L + j * 40503L
+      x ^= (x >>> 16); x * 0x9E3779B97F4A7C15L >>> 33
+    }
+    var expected = Map.empty[Long, (Int, Double)] // k -> (d, v)
+    (0 until 6).foreach { b =>
+      val rows = (0 until 25).map { j =>
+        val k = h(b, j) % 40
+        val d = (k % 4).toInt                  // partition derived from key
+        val op = if (h(b, j * 7 + 1) % 5 == 0) "D" else "U"
+        val v = (h(b, j * 13 + 2) % 1000).toDouble
+        (k, d, op, v, b.toLong * 100 + j)      // strictly increasing ver
+      }
+      // reference: apply latest-change-per-key within the batch
+      rows.groupBy(_._1).foreach { case (k, ch) =>
+        val latest = ch.maxBy(_._5)
+        if (latest._3 == "D") expected -= k
+        else expected += k -> (latest._2, latest._4)
+      }
+      StreamOps.mergeBatchPartitioned(
+        rows.toDF("k", "d", "op", "v", "ver"), dir,
+        keys = Seq("k"), opCol = "op", version = Seq("ver"), partitionKey = "d")
+    }
+    assert(readSnap(dir) == expected,
+      "partition-scoped application must equal the reference merge fold")
+  }
+
   test("cdcUpsert end-to-end: snapshot survives an injected crash window between batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
