@@ -1389,6 +1389,22 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      // REAL container-level video metadata: one deterministic ISO-BMFF
+      // (MP4) skeleton per doc is written and parsed back through the
+      // public box-walk format — dimensions from tkhd's 16.16 fields,
+      // frame count from stsz, timescale/duration from mdhd. Frame
+      // DECODE stays behind the documented stub (no pure-JDK codec);
+      // this is everything a pipeline reads before deciding to decode.
+      // Oracle replays the integer synthesis formulae — the container
+      // round-trips losslessly, so encode/parse drops out.
+      val vids = operators.VideoMeta.synthVideoTable(
+        Tables.documents(s, dir).select($"doc_id"))
+      operators.VideoMeta.containerMeta(vids).toDF()
+        .orderBy($"doc_id")
+    }),
+
     "q_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
       // REAL javax.sound.sampled decode: one deterministic synthetic WAV
@@ -2499,6 +2515,16 @@ object SparkEntry {
         |FROM abits a JOIN abits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(320 + 16 * (doc_id % 20) AS BIGINT) AS width,
+        |  CAST(240 + 16 * (doc_id % 15) AS BIGINT) AS height,
+        |  CAST(24 + (doc_id % 97) AS BIGINT) AS n_frames,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST(((24 + (doc_id % 97)) * 25 * 1000) // 600 AS BIGINT) AS duration_ms
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // The audio oracles replay AudioCodec.synthSamples' integer waveform
     // and the 64-frame energy pooling of energyFp64 in SQL — WAV

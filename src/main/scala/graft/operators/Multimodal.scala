@@ -79,6 +79,12 @@ object Multimodal {
             AudioCodec.decodePcm(r.payload).map { case (sr, samples) =>
               (sr.toLong, 16L, samples.length.toLong)
             }
+          case "video" =>
+            // container-level metadata is REAL (ISO-BMFF box walk);
+            // only frame DECODE remains behind the stub
+            VideoMeta.parseMp4Meta(r.payload).map { case (w, h, nf, _, _) =>
+              (w.toLong, h.toLong, nf)
+            }
           case _ => None
         }
         real match {
