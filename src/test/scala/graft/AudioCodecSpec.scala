@@ -9,6 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * supplies payloads. */
 class AudioCodecSpec extends AnyFunSuite with SparkSpec {
 
+  test("property: ARBITRARY 16-bit sample streams round-trip through both decode paths") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val samplesGen = Gen.nonEmptyListOf(Gen.chooseNum(-32768, 32767))
+    val rateGen = Gen.oneOf(8000, 16000, 22050, 44100)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100),
+      Prop.forAll(samplesGen, rateGen) { (xs, sr) =>
+        val samples = xs.toArray
+        val wav = AudioCodec.encodeWav(sr, samples)
+        val fast = AudioCodec.decodeCanonicalWav(wav)
+        val real = AudioCodec.decodePcmViaAudioSystem(wav)
+        fast.exists { case (r, got) => r == sr && got.sameElements(samples) } &&
+          real.exists { case (r, got) => r == sr && got.sameElements(samples) }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("WAV encode/decode round-trips samples and rate exactly") {
     val samples = Array.tabulate(1000)(t => ((t * 37) % 16384) - 8192)
     val wav = AudioCodec.encodeWav(16000, samples)

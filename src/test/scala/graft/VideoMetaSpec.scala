@@ -7,6 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * exactly and DECLINE malformed containers rather than mis-read them. */
 class VideoMetaSpec extends AnyFunSuite with SparkSpec {
 
+  test("property: ARBITRARY metadata tuples round-trip through the container") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(Gen.chooseNum(1, 7680), Gen.chooseNum(1, 4320),
+        Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 90000L),
+        Gen.chooseNum(0L, 100000000L)) { (w, h, nf, ts, dur) =>
+        VideoMeta.parseMp4Meta(VideoMeta.encodeMp4Meta(w, h, nf, ts, dur))
+          .contains((w, h, nf, ts, dur))
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("MP4 skeleton round-trips every metadata field exactly") {
     (0L until 200L).foreach { id =>
       val (w, h, nf, ts, dur) = VideoMeta.synthParams(id)
