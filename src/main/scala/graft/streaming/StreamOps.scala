@@ -219,12 +219,22 @@ object StreamOps {
       if (Files.isDirectory(stagedPart))
         swapSnapshot(stagedPart.toString, live.toString,
           oldDir = Paths.get(snapshotDir, s".old_$part").toString)
-      else if (Files.exists(live))
+      else {
         // the merge deleted every row of this partition: no staged slice to
-        // promote — drop the live dir outright (no `.old` retirement: a
+        // promote — drop the partition outright (no `.old` retirement: a
         // lingering `.old` with no live dir is indistinguishable from a
-        // crashed swap and recovery would resurrect the deleted rows)
-        deleteRec(live)
+        // crashed swap and recovery would resurrect the deleted rows).
+        // Order matters: clear any `.old_<part>` rollback copy left by a
+        // PRIOR upsert's swap FIRST, then the live dir. The reverse order
+        // has a crash window where the stale `.old` survives alone and the
+        // next batch's recoverPartitions would promote it back — reviving
+        // the deleted rows with outdated data. With this order a crash
+        // between the two deletes leaves live intact and the replayed
+        // batch re-applies the deletes idempotently.
+        val old = Paths.get(snapshotDir, s".old_$part")
+        if (Files.exists(old)) deleteRec(old)
+        if (Files.exists(live)) deleteRec(live)
+      }
     }
     deleteRec(staging) // only _SUCCESS/metadata left once parts are promoted
   }

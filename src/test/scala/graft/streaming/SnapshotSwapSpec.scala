@@ -169,6 +169,26 @@ class SnapshotSwapSpec extends AnyFunSuite with SparkSpec {
     assert(readSnap(dir) == Map(1L -> (1, 10.0), 5L -> (2, 50.0)))
   }
 
+  test("delete-all after a prior rewrite does not resurrect rows from the stale .old copy") {
+    // upsert → upsert (leaves a .old_d=2 rollback copy) → delete-all on d=2
+    // → next batch. Before the fix, the delete-all branch removed live but
+    // left the stale .old_d=2, and the next batch's recoverPartitions read
+    // '.old present, live missing' as a crashed swap — moving the RETIRED
+    // v1 data back into the live tree and resurrecting the deleted key.
+    val dir = s"target/test-tmp/cdc-delres-${System.nanoTime()}"
+    mergeBatch(Seq((1L, 1, "U", 10.0, 1L), (2L, 2, "U", 20.0, 1L)), dir)
+    mergeBatch(Seq((2L, 2, "U", 21.0, 2L)), dir) // rewrite d=2 → .old_d=2 kept
+    assert(Files.isDirectory(Paths.get(dir, ".old_d=2")))
+    mergeBatch(Seq((2L, 2, "D", 21.0, 3L)), dir) // delete-all of d=2
+    assert(!Files.exists(Paths.get(dir, "d=2")))
+    assert(!Files.exists(Paths.get(dir, ".old_d=2")),
+      "delete-all must clear the stale rollback copy, or recovery resurrects it")
+    // next batch touches a DIFFERENT partition; recovery must not revive d=2
+    mergeBatch(Seq((3L, 1, "U", 30.0, 1L)), dir)
+    assert(readSnap(dir) == Map(1L -> (1, 10.0), 3L -> (1, 30.0)),
+      "deleted partition must stay deleted across subsequent batches")
+  }
+
   test("partitioned crash window on one partition is recovered, others untouched") {
     val dir = s"target/test-tmp/cdc-partcrash-${System.nanoTime()}"
     mergeBatch(Seq((1L, 1, "U", 10.0, 1L), (2L, 2, "U", 20.0, 1L)), dir)
