@@ -827,6 +827,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_dedup_substring" -> ((s, dir) => {
+      import s.implicits._
+      // span-level EXACT substring dedup (the Lee-et-al. mode doc-level
+      // near-dup can't express): maximal spans whose 40-char grams occur
+      // >= 2 times corpus-wide, via a rolling-hash n-gram index with
+      // exact-gram verification — never a driver-side suffix array
+      graft.operators.SubstringDedup.duplicateSpans(
+          Tables.documents(s, dir), $"doc_id", $"text", n = 40)
+        .orderBy($"doc_id", $"span_start")
+    }),
+
     // ================= similarity search ==============================
 
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -1978,6 +1989,34 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM st
         |ORDER BY doc_id""".stripMargin,
+
+    // Brute force of the definition itself: every 40-char gram string,
+    // corpus-wide occurrence counts, duplicated positions merged into
+    // maximal spans with a lag()-islands pass (all intervals share width
+    // 40, so lag(pos) + 40 IS the previous interval's end). The Spark
+    // plan's rolling-hash index is a pure optimization — its exact-gram
+    // verify step makes hash collisions unobservable — so the two derive
+    // the same spans from opposite directions.
+    "q_dedup_substring" ->
+      """WITH poss AS (
+        |  SELECT doc_id, text, unnest(generate_series(0, length(text) - 40)) AS pos
+        |  FROM documents WHERE length(text) >= 40),
+        |grams AS (SELECT doc_id, pos, substr(text, CAST(pos + 1 AS INT), 40) AS g FROM poss),
+        |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+        |lagged AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM dpos),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM lagged)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 40 AS BIGINT) AS span_end
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Re-derives the MD5-half simhash signatures (same integer math as
     // graft.plans.SignatureKernels.simhashMd5: per-token md5, first 8

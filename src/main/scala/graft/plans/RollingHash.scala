@@ -48,7 +48,83 @@ case class RollingMinHash(child: Expression, window: Int = 8, base: Long = 31L)
     copy(child = newChild)
 }
 
+/** Per-position Rabin-Karp window hashes: element i is the hash of the
+  * `window` code points starting at code-point position i (empty array when
+  * the text is shorter than the window). This is the n-gram INDEX primitive
+  * behind span-level substring dedup: one O(len) scan per document emits
+  * every gram's 64-bit key without materializing a single gram string —
+  * the alternative (substring explode) shuffles window× the corpus bytes.
+  *
+  * The hash is polynomial in the ring Long naturally provides (mod 2^64,
+  * Java arithmetic wraps): h_i = sum_j cp(i+j) * B^(w-1-j), rolled in O(1)
+  * per position. Unlike [[RollingMinHash]] it does NOT need
+  * division-exact arithmetic, so the window is unbounded. Collisions are
+  * possible (callers must verify candidates against exact gram text —
+  * [[graft.operators.SubstringDedup]] does); equality of grams always
+  * implies equality of hashes, so verification only ever REMOVES
+  * false candidates. */
+case class WindowHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 2, s"window hash needs window >= 2, got $window")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMinHash.windowHashes(input.asInstanceOf[UTF8String].toString, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = RollingMinHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.windowHashes($c.toString(), $window);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 object RollingMinHash {
+
+  /** Wrapping-ring multiplier for [[WindowHashes]]: an odd constant with
+    * good bit dispersion (FNV-1a's 64-bit prime). Any odd value is a unit
+    * mod 2^64; odd-ness is what makes distinct gram CONTENT change the
+    * hash in every bit position of the polynomial. */
+  private val WinBase = 0x100000001b3L
+
+  /** All window hashes of s (code-point windows), rolled in O(len). */
+  def windowHashes(s: String,
+                   window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // decode to code points so window positions agree with SQL substring
+    // semantics (both Spark's substring and DuckDB's substr count code
+    // points, not UTF-16 chars)
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(k) = cp; k += 1
+      i += Character.charCount(cp)
+    }
+    val m = math.max(cps.length - window + 1, 0)
+    val out = new Array[Long](m)
+    if (m > 0) {
+      var topPow = 1L
+      var j = 1
+      while (j < window) { topPow *= WinBase; j += 1 }
+      var h = 0L
+      j = 0
+      while (j < window) { h = h * WinBase + cps(j); j += 1 }
+      out(0) = h
+      i = 1
+      while (i < m) {
+        h = (h - cps(i - 1) * topPow) * WinBase + cps(i + window - 1)
+        out(i) = h
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Null (no fingerprint) when the text is shorter than the window. */
   def fingerprint(s: String, window: Int, base: Long): java.lang.Long = {
     val n = s.length
