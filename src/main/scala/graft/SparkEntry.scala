@@ -1416,6 +1416,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      // REAL video FRAME decode — the stub is closed for image-coded
+      // samples: one complete container per doc (lossless PNG frames in
+      // an mdat with a per-sample stsz index, the Motion-JPEG layout),
+      // ~4 evenly spaced frames sampled per video, each sliced out of
+      // the mdat and decoded through the proven javax.imageio path, then
+      // perceptually hashed like stills. Oracle replays the frame pixel
+      // formula + pooling math — PNG samples are lossless, so
+      // encode → store → slice → decode drops out of the algebra.
+      val vids = operators.VideoMeta.synthVideoWithFrames(
+        Tables.documents(s, dir).select($"doc_id"))
+      operators.VideoMeta.framePhashes(vids, perDoc = 4).toDF()
+        .select($"doc_id", $"frame_idx", $"width", $"height",
+          operators.ImageCodec.hexSig($"ahash").as("ahash"),
+          operators.ImageCodec.hexSig($"dhash").as("dhash"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     "q_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
       // REAL javax.sound.sampled decode: one deterministic synthetic WAV
@@ -2564,6 +2583,55 @@ object SparkEntry {
         |  CAST(((24 + (doc_id % 97)) * 25 * 1000) // 600 AS BIGINT) AS duration_ms
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the synthetic frame formula (v = (a·x + b·y + 29·f) % 240
+    // + c over 72×h frames), the sampling rule (stride ceil(nf/4), frame
+    // 0 always included), and the exact integer pooling of both
+    // perceptual hashes — the same recipe as q_image_phash with a frame
+    // axis. PNG samples are lossless, so the container/codec round trip
+    // drops out of the algebra entirely.
+    "q_video_frames" ->
+      """WITH prm AS (
+        |  SELECT doc_id, doc_id % 89 + 1 AS a, doc_id % 97 + 1 AS b,
+        |         doc_id % 13 AS c, 32 + 8 * (doc_id % 3) AS h,
+        |         6 + doc_id % 8 AS nf, (6 + doc_id % 8 + 3) // 4 AS stride
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, a, b, c, h, f.range AS f
+        |  FROM prm, range(13) f
+        |  WHERE f.range < nf AND f.range % stride = 0),
+        |px AS (
+        |  SELECT doc_id, f, h, x.range AS x, y.range AS y,
+        |         (a * x.range + b * y.range + 29 * f) % 240 + c AS v
+        |  FROM fr, range(72) x, range(48) y
+        |  WHERE y.range < h),
+        |a8 AS (
+        |  SELECT doc_id, f, (y // (h // 8)) * 8 + (x // 9) AS k, sum(v) AS bs
+        |  FROM px GROUP BY 1, 2, 3),
+        |atot AS (SELECT doc_id, f, sum(bs) AS ts FROM a8 GROUP BY 1, 2),
+        |abits AS (
+        |  SELECT a8.doc_id, a8.f,
+        |    CAST(sum(CASE WHEN bs * 64 > ts AND k >= 32 THEN (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bs * 64 > ts AND k < 32 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM a8 JOIN atot USING (doc_id, f) GROUP BY 1, 2),
+        |d9 AS (
+        |  SELECT doc_id, f, x // 8 AS cx, y // (h // 8) AS cy, sum(v) AS bs
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |dbits AS (
+        |  SELECT l.doc_id, l.f,
+        |    CAST(sum(CASE WHEN l.bs > r.bs AND l.cy * 8 + l.cx >= 32 THEN (1::BIGINT << CAST(l.cy * 8 + l.cx - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN l.bs > r.bs AND l.cy * 8 + l.cx < 32 THEN (1::BIGINT << CAST(l.cy * 8 + l.cx AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM d9 l JOIN d9 r ON l.doc_id = r.doc_id AND l.f = r.f
+        |    AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_id, CAST(p.f AS BIGINT) AS frame_idx,
+        |  CAST(72 AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+        |  printf('%08x%08x', a.hi, a.lo) AS ahash,
+        |  printf('%08x%08x', d.hi, d.lo) AS dhash
+        |FROM fr p
+        |JOIN abits a ON a.doc_id = p.doc_id AND a.f = p.f
+        |JOIN dbits d ON d.doc_id = p.doc_id AND d.f = p.f
+        |ORDER BY p.doc_id, frame_idx""".stripMargin,
 
     // The audio oracles replay AudioCodec.synthSamples' integer waveform
     // and the 64-frame energy pooling of energyFp64 in SQL — WAV

@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * (pure JDK) via [[ImageCodec.decodeGray]], exercised end-to-end by the
   * image perceptual-hash queries. AUDIO payloads decode for REAL too —
   * javax.sound.sampled (pure JDK) via [[AudioCodec.decodePcm]], exercised
-  * by the audio fingerprint/dedup queries. VIDEO is the one remaining
-  * stub: the JDK ships no video codec and the container has no codec
-  * libraries, so video payloads (and any bytes that fail their modality's
-  * decoder) fall back to [[Multimodal.decodeStub]], clearly marked, which
-  * derives dimensions deterministically from the payload bytes so tests
-  * and oracles can pin the plumbing end-to-end regardless of content.
+  * by the audio fingerprint/dedup queries. VIDEO container metadata is
+  * REAL ([[VideoMeta.parseMp4Meta]], ISO-BMFF box walk) and frame DECODE
+  * is real for image-coded samples (the Motion-JPEG layout —
+  * [[VideoMeta.framePhashes]] slices samples out of the mdat and decodes
+  * them through the same javax.imageio path as stills). Only payloads in
+  * formats with NO pure-JDK codec at all (inter-frame-predicted video,
+  * and any bytes that fail their modality's decoder) fall back to
+  * [[Multimodal.decodeStub]], clearly marked, which derives dimensions
+  * deterministically from the payload bytes so tests and oracles can pin
+  * the plumbing end-to-end regardless of content.
   *
   * Scale notes: payloads never pass through a shuffle here — featurize is a
   * narrow mapPartitions. Further decoders (FFmpeg-equivalent for video)
@@ -29,12 +33,14 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long,
                              width: Long, height: Long, n_frames: Long)
 
-  /** ==== STUB (audio/video + non-image bytes only) ====
-    * Deterministic fake decode for the modalities without a pure-JDK
-    * codec: real deployments replace this with an actual codec. Output
+  /** ==== STUB (undecodable bytes only) ====
+    * Deterministic fake decode for payloads NO pure-JDK codec can read
+    * (inter-frame-predicted video codecs, compressed audio, arbitrary
+    * bytes): real deployments replace this with a native codec. Output
     * depends only on (payload length, fmt) so the pipeline stays
-    * reproducible and oracle-checkable. Image payloads never reach this
-    * when they actually decode — see [[featurize]]. */
+    * reproducible and oracle-checkable. Payloads that actually decode —
+    * images, WAV audio, ISO-BMFF containers, image-coded video samples
+    * ([[VideoMeta.framePhashes]]) — never reach this; see [[featurize]]. */
   def decodeStub(payload: Array[Byte], fmt: String): (Long, Long, Long) = {
     val n = payload.length.toLong
     val width = 64L + (n * 7919L) % 1024L

@@ -98,6 +98,12 @@ object VideoMeta {
     else Some((width, height, nFrames, timescale, duration))
   }
 
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
   /** Write the minimal well-formed metadata skeleton: ftyp + moov
     * containing one video trak (tkhd with 16.16 dimensions, mdhd with
     * timescale/duration, stbl/stsz with the frame count). The exact
@@ -105,11 +111,6 @@ object VideoMeta {
     * which is the point of the boundary. */
   def encodeMp4Meta(width: Int, height: Int, nFrames: Long,
                     timescale: Long, durationTicks: Long): Array[Byte] = {
-    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
-      val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
-      b.array()
-    }
     val ftyp = box("ftyp", {
       val b = ByteBuffer.allocate(8)
       b.put("isom".getBytes("US-ASCII")).putInt(0)
@@ -171,6 +172,155 @@ object VideoMeta {
     }
   }
 
+  // ---- real frame storage (MJPEG-style: independently coded samples) ---
+
+  /** Write a COMPLETE video container: the metadata skeleton of
+    * [[encodeMp4Meta]] plus the coded frames themselves — each sample an
+    * independently decodable image (the Motion-JPEG layout: no inter-frame
+    * prediction, every sample stands alone), concatenated in an `mdat`
+    * box, with a REAL per-sample `stsz` size table and a `stco` chunk
+    * offset pointing at the mdat body. This closes the frame-decode stub:
+    * any image format javax.imageio reads (PNG/JPEG/GIF/BMP) works as the
+    * sample codec through the one proven [[ImageCodec.decodeGray]] path —
+    * the synthetic corpus uses lossless PNG samples so decoded pixels are
+    * bit-replayable by an external oracle, and a real MJPEG file's JPEG
+    * samples ride the identical plumbing. */
+  def encodeMp4WithSamples(width: Int, height: Int, timescale: Long,
+                           durationTicks: Long,
+                           samples: Array[Array[Byte]]): Array[Byte] = {
+    val ftyp = box("ftyp", {
+      val b = ByteBuffer.allocate(8)
+      b.put("isom".getBytes("US-ASCII")).putInt(0)
+      b.array()
+    })
+    val mdatBody = samples.foldLeft(Array.emptyByteArray)(_ ++ _)
+    def buildMoov(chunkOff: Long): Array[Byte] = {
+      val tkhd = box("tkhd", {
+        val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0)
+        b.putInt(durationTicks.toInt)
+        b.putLong(0L)
+        b.putShort(0).putShort(0).putShort(0).putShort(0)
+        b.putInt(0x10000).putInt(0).putInt(0)
+        b.putInt(0).putInt(0x10000).putInt(0)
+        b.putInt(0).putInt(0).putInt(0x40000000)
+        b.putInt(width << 16).putInt(height << 16)
+        b.array()
+      })
+      val mdhd = box("mdhd", {
+        val b = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0).putInt(0).putInt(0)
+        b.putInt(timescale.toInt).putInt(durationTicks.toInt)
+        b.putShort(0x55C4.toShort).putShort(0)
+        b.array()
+      })
+      val stsz = box("stsz", {
+        val b = ByteBuffer.allocate(12 + 4 * samples.length)
+          .order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0)                    // version + flags
+        b.putInt(0)                    // sample_size 0 -> per-sample table
+        b.putInt(samples.length)
+        samples.foreach(s => b.putInt(s.length))
+        b.array()
+      })
+      val stco = box("stco", {
+        val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0)                    // version + flags
+        b.putInt(1)                    // one chunk: all samples contiguous
+        b.putInt(chunkOff.toInt)
+        b.array()
+      })
+      box("moov", box("trak", tkhd ++ box("mdia", mdhd ++ box("minf",
+        box("stbl", stsz ++ stco)))))
+    }
+    // stco stores an ABSOLUTE file offset, which depends on moov's own
+    // size — but that size is offset-independent (the offset field is
+    // fixed-width), so one sizing pass with a placeholder pins it
+    val moovLen = buildMoov(0L).length
+    val off = ftyp.length + moovLen + 8 // + mdat header
+    ftyp ++ buildMoov(off.toLong) ++ box("mdat", mdatBody)
+  }
+
+  /** Locate the coded samples: (per-sample sizes from stsz, absolute
+    * offset of the mdat body). None when the container lacks a sample
+    * table or the sizes overrun the mdat — truncated payloads are
+    * declined, never sliced out of bounds. */
+  def parseSampleIndex(p: Array[Byte]): Option[(Array[Int], Int)] = {
+    if (!looksLikeMp4(p)) return None
+    var sizes: Array[Int] = null
+    var mdatOff = -1
+    var mdatLen = -1
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = be32(p, off)
+        if (size < 8 || off + size > to) return false
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val body = off + 8
+        typ match {
+          case t if containers(t) =>
+            if (!walk(body, off + size.toInt)) return false
+          case "stsz" if sizes == null =>
+            if (size >= 8 + 12) {
+              val uniform = be32(p, body + 4)
+              val n = be32(p, body + 8).toInt
+              if (uniform > 0L) sizes = Array.fill(n)(uniform.toInt)
+              else if (size >= 8 + 12 + 4L * n)
+                sizes = Array.tabulate(n)(i => be32(p, body + 12 + 4 * i).toInt)
+            }
+          case "mdat" =>
+            mdatOff = body; mdatLen = size.toInt - 8
+          case _ => ()
+        }
+        off += size.toInt
+      }
+      true
+    }
+    if (!walk(0, p.length) || sizes == null || mdatOff < 0) return None
+    var total = 0L
+    sizes.foreach(total += _)
+    if (total > mdatLen) None else Some((sizes, mdatOff))
+  }
+
+  final case class FrameHashRow(doc_id: Long, frame_idx: Long, width: Long,
+                                height: Long, ahash: Long, dhash: Long)
+
+  /** REAL frame decode: sample ~`perDoc` evenly spaced frames per video
+    * (stride ceil(n/perDoc), always including frame 0 — the same rule as
+    * [[Multimodal.sampleFrames]]), slice each sampled frame's bytes out of
+    * the mdat via the stsz index, decode through [[ImageCodec.decodeGray]]
+    * and emit its perceptual hashes. One narrow mapPartitions: payloads
+    * never shuffle, only (id, frame_idx, 2×8-byte sig) rows travel, and
+    * skipped frames are never even sliced — at 100 TB the decode cost is
+    * sampled-frames only, the I/O cost the container scan. */
+  def framePhashes(videos: DataFrame, perDoc: Int): Dataset[FrameHashRow] = {
+    require(perDoc >= 1, s"framePhashes needs perDoc >= 1, got $perDoc")
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.as[VideoRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        parseSampleIndex(r.payload) match {
+          case Some((sizes, off)) if sizes.length > 0 =>
+            val n = sizes.length
+            val stride = math.max(1L, (n.toLong + perDoc - 1) / perDoc).toInt
+            val prefix = sizes.scanLeft(0)(_ + _)
+            Iterator.range(0, n, stride).flatMap { i =>
+              val frame = java.util.Arrays.copyOfRange(
+                r.payload, off + prefix(i), off + prefix(i + 1))
+              ImageCodec.decodeGray(frame).map { case (fw, fh, gray) =>
+                FrameHashRow(r.doc_id, i.toLong, fw.toLong, fh.toLong,
+                  ImageCodec.ahash64(fw, fh, gray),
+                  ImageCodec.dhash64(fw, fh, gray))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   // ---- deterministic synthetic containers ------------------------------
 
   /** Synthetic container parameters for doc `id` — dimensions, frame
@@ -197,6 +347,59 @@ object VideoMeta {
         it.map { id =>
           val (w, h, nf, ts, dur) = synthParams(id)
           VideoRow(id, encodeMp4Meta(w, h, nf, ts, dur))
+        }
+      }.toDF()
+  }
+
+  /** Synthetic FRAME-corpus parameters for doc `id`: (a, b, c, w, h, nf).
+    * Width is 72 (divisible by both hash grids, matching the image
+    * corpus); pixel values follow `(a·x + b·y + 29·f) % 240 + c` with
+    * frame index f — a temporal gradient, so consecutive frames of one
+    * video differ while staying bit-replayable by the SQL oracle. */
+  def synthFrameParams(id: Long): (Int, Int, Int, Int, Int, Int) = {
+    val a = (id % 89 + 1).toInt
+    val b = (id % 97 + 1).toInt
+    val c = (id % 13).toInt
+    val w = 72
+    val h = (32 + 8 * (id % 3)).toInt
+    val nf = (6 + id % 8).toInt
+    (a, b, c, w, h, nf)
+  }
+
+  /** Render frame `f` of doc `id`'s synthetic video. */
+  def synthFrameGray(id: Long, f: Int): (Int, Int, Array[Int]) = {
+    val (a, b, c, w, h, _) = synthFrameParams(id)
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = (a * x + b * y + 29 * f) % 240 + c
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, gray)
+  }
+
+  /** One COMPLETE synthetic video per id: nf lossless PNG frames coded
+    * independently inside a real container (see [[encodeMp4WithSamples]]).
+    * Narrow map after an id fan-out — frame ENCODING is the CPU cost here
+    * and must use every core, not the id list's inherited file count. */
+  def synthVideoWithFrames(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (_, _, _, w, h, nf) = synthFrameParams(id)
+          val frames = Array.tabulate(nf) { f =>
+            val (_, _, gray) = synthFrameGray(id, f)
+            ImageCodec.encodeGrayPng(w, h, gray)
+          }
+          VideoRow(id, encodeMp4WithSamples(w, h, 600L, nf * 25L, frames))
         }
       }.toDF()
   }

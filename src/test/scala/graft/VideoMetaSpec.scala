@@ -60,4 +60,78 @@ class VideoMetaSpec extends AnyFunSuite with SparkSpec {
     val m = Multimodal.featurize(media).collect().head
     assert(m.width == 640L && m.height == 480L && m.n_frames == 48L)
   }
+
+  // ---- real frame storage + decode --------------------------------------
+
+  test("sample-carrying container round-trips metadata, sizes and frame bytes") {
+    val frames = Array(
+      Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6, 7, 8, 9))
+    val mp4 = VideoMeta.encodeMp4WithSamples(320, 240, 600L, 75L, frames)
+    assert(VideoMeta.parseMp4Meta(mp4).contains((320, 240, 3L, 600L, 75L)),
+      "the metadata walk must read the per-sample stsz's count unchanged")
+    val Some((sizes, off)) = VideoMeta.parseSampleIndex(mp4)
+    assert(sizes.toSeq == Seq(3, 1, 5))
+    val prefix = sizes.scanLeft(0)(_ + _)
+    frames.indices.foreach { i =>
+      val got = java.util.Arrays.copyOfRange(mp4, off + prefix(i), off + prefix(i + 1))
+      assert(got.toSeq == frames(i).toSeq, s"frame $i bytes differ")
+    }
+    // the stco chunk offset is the REAL absolute mdat body offset
+    val stcoOff = {
+      // locate stco by scanning for the fourcc (test-only convenience)
+      val idx = mp4.indices.find(i => i + 4 <= mp4.length &&
+        mp4(i) == 's' && mp4(i + 1) == 't' && mp4(i + 2) == 'c' && mp4(i + 3) == 'o').get
+      ((mp4(idx + 12) & 0xFF) << 24) | ((mp4(idx + 13) & 0xFF) << 16) |
+        ((mp4(idx + 14) & 0xFF) << 8) | (mp4(idx + 15) & 0xFF)
+    }
+    assert(stcoOff == off, "stco must point at the mdat body")
+  }
+
+  test("truncated mdat and missing sample table are declined") {
+    val frames = Array(Array[Byte](1, 2, 3, 4), Array[Byte](5, 6, 7, 8))
+    val mp4 = VideoMeta.encodeMp4WithSamples(64, 64, 600L, 50L, frames)
+    // chop half the mdat: declared sample sizes overrun the remaining body
+    assert(VideoMeta.parseSampleIndex(
+      java.util.Arrays.copyOf(mp4, mp4.length - 5)).isEmpty)
+    // the metadata-only skeleton has no usable sample index
+    val skeleton = VideoMeta.encodeMp4Meta(64, 64, 4, 600, 100)
+    assert(VideoMeta.parseSampleIndex(skeleton).isEmpty)
+  }
+
+  test("framePhashes decodes REAL PNG samples to the planted pixel hashes") {
+    import spark.implicits._
+    import graft.operators.ImageCodec
+    val vids = VideoMeta.synthVideoWithFrames((0L until 40L).toDF("doc_id"))
+    val rows = VideoMeta.framePhashes(vids, perDoc = 4).collect()
+    val byDoc = rows.groupBy(_.doc_id)
+    (0L until 40L).foreach { id =>
+      val (_, _, _, w, h, nf) = VideoMeta.synthFrameParams(id)
+      val stride = (nf + 3) / 4
+      val wantIdx = Range(0, nf, stride)
+      val got = byDoc(id).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == wantIdx.map(_.toLong),
+        s"doc $id sampled frames")
+      got.foreach { fr =>
+        val (fw, fh, gray) = VideoMeta.synthFrameGray(id, fr.frame_idx.toInt)
+        assert(fr.width == w && fr.height == h)
+        assert(fr.ahash == ImageCodec.ahash64(fw, fh, gray),
+          s"doc $id frame ${fr.frame_idx} ahash: decoded pixels must equal the formula")
+        assert(fr.dhash == ImageCodec.dhash64(fw, fh, gray))
+      }
+    }
+  }
+
+  test("uniform-size stsz (sample_size > 0) yields the sample index too") {
+    // hand-build: take a per-sample container of equal-size frames and
+    // rewrite its stsz to the uniform encoding
+    val frames = Array.fill(3)(Array[Byte](9, 8, 7, 6))
+    val mp4 = VideoMeta.encodeMp4WithSamples(64, 64, 600L, 75L, frames)
+    val idx = mp4.indices.find(i => i + 4 <= mp4.length &&
+      mp4(i) == 's' && mp4(i + 1) == 't' && mp4(i + 2) == 's' && mp4(i + 3) == 'z').get
+    // stsz body starts at idx+4: ver/flags, sample_size, count, table...
+    val uni = mp4.clone()
+    uni(idx + 4 + 4 + 3) = 4 // sample_size = 4 (other three bytes already 0)
+    val Some((sizes, _)) = VideoMeta.parseSampleIndex(uni)
+    assert(sizes.toSeq == Seq(4, 4, 4))
+  }
 }
