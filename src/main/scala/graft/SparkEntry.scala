@@ -133,6 +133,73 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_ann_ivf's oracle needs the TRAINED centroids as SQL literals (the
+    * hyperplane recipe) — but unlike the seeded planes the quantizer is
+    * data-dependent, so the literals can only exist after training on the
+    * verified dir. The query caches its deterministic model per sfDir
+    * here; Verify dumps oracleSql AFTER running every query, so the
+    * emitted literals always describe exactly the model the verified
+    * output used. (Training is deterministic — id-ordered bounded sample,
+    * fixed Lloyd rounds, lower-id tie-breaks — so re-running the query
+    * can never produce a different model for the same dir.) */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
+  @volatile private var lastIvfModel: operators.IvfAnn.Model = null
+  private def ivfModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
+    val m = ivfModels.computeIfAbsent(dir, d =>
+      operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 16))
+    lastIvfModel = m
+    m
+  }
+
+  /** Replays IvfAnn.topK in SQL with the trained centroids as DOUBLE[]
+    * literals: per-vector cell dots as the same sequential left fold the
+    * codegen kernel runs, assignment = rank-1 cell (ties toward the lower
+    * cell id, the kernel's rule), each query probing its 4 nearest cells,
+    * exact cosine rerank with per-query row_number. */
+  private def ivfOracle(m: operators.IvfAnn.Model): String = {
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |dots AS (
+       |  SELECT e.vec_id, ctr.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM embeddings e, ctr),
+       |rc AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rk
+       |  FROM dots),
+       |cand AS (
+       |  SELECT e.vec_id AS cand_id, e.embedding AS c_emb, rc.cell
+       |  FROM embeddings e JOIN rc ON rc.vec_id = e.vec_id AND rc.rk = 1),
+       |probe AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS q_emb, rc.cell
+       |  FROM embeddings e JOIN rc ON rc.vec_id = e.vec_id AND rc.rk <= 4
+       |  WHERE e.vec_id < 10),
+       |scored AS (
+       |  SELECT p.query_id, c.cand_id,
+       |    round(
+       |      list_sum(list_transform(range(1, len(p.q_emb) + 1),
+       |        i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(p.q_emb) + 1),
+       |           i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(range(1, len(c.c_emb) + 1),
+       |           i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))))
+       |    , 6) AS cosine
+       |  FROM probe p JOIN cand c USING (cell)
+       |  WHERE c.cand_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_mixture_sample's target language shares — one definition feeds
     * both the Spark query and the generated oracle SQL literals. */
   private val mixtureTargets: Map[String, Double] =
@@ -858,10 +925,12 @@ object SparkEntry {
       import s.implicits._
       // IVF: driver-trained coarse quantizer (bounded deterministic
       // sample), cell assignment in the scan stage, nProbe-cell search +
-      // exact cosine rerank — the second ANN scale path next to LSH
+      // exact cosine rerank — the second ANN scale path next to LSH.
+      // The trained model is cached per dir so oracleSql can emit its
+      // centroids as SQL literals (see ivfModel).
       graft.plans.GraftExtensions.install(s)
       val e = Tables.embeddings(s, dir)
-      val model = operators.IvfAnn.train(e, "vec_id", "embedding", k = 16)
+      val model = ivfModel(s, dir)
       operators.IvfAnn.topK(e.filter($"vec_id" < 10), e, k = 5, model, nProbe = 4)
         .orderBy($"query_id", $"rank")
     }),
@@ -2651,7 +2720,11 @@ object SparkEntry {
         |FROM fbits a JOIN fbits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
-  )
+  ) ++
+    // data-dependent oracle: only emittable once the q_ann_ivf query has
+    // trained its quantizer for the dir being verified (see ivfModel) —
+    // absent, the driver records the weaker rows-only check it always did
+    Option(lastIvfModel).map(m => "q_ann_ivf" -> ivfOracle(m))
 
   /** Shared CTE prefix for the audio-fingerprint oracles: synthetic
     * waveform formula (= AudioCodec.synthSamples, including the ×2 gain
