@@ -196,13 +196,27 @@ object AudioCodec {
     var total = 0L
     var k = 0
     while (k < 64) { total += frames(k); k += 1 }
+    (envelopeBits(frames, total), total)
+  }
+
+  /** The envelope's bit decisions: bit k set when frame k's energy
+    * exceeds the mean — mathematically `frames(k) * 64 > total`, computed
+    * as `frames(k) > total / 64` (floor): for non-negative energies the
+    * two are exactly equivalent (a·64 > b ⟺ a ≥ ⌊b/64⌋+1 ⟺ a > ⌊b/64⌋),
+    * but the division form cannot overflow, while the product form
+    * silently flips bits once a frame's energy crosses 2^57 — hours of
+    * near-full-scale audio, beyond the synthetic corpus but not beyond
+    * real recordings. Gain invariance is untouched: the equivalence is
+    * exact, so scaling every energy by g² still flips no comparison. */
+  private[graft] def envelopeBits(frames: Array[Long], total: Long): Long = {
+    val mean = total / 64L
     var sig = 0L
-    k = 0
+    var k = 0
     while (k < 64) {
-      if (frames(k) * 64L > total) sig |= (1L << k)
+      if (frames(k) > mean) sig |= (1L << k)
       k += 1
     }
-    (sig, total)
+    sig
   }
 
   /** Decode each payload and emit its fingerprint + real decoded

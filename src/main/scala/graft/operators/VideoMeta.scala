@@ -46,20 +46,29 @@ object VideoMeta {
     ((p(o) & 0xFFL) << 24) | ((p(o + 1) & 0xFFL) << 16) |
       ((p(o + 2) & 0xFFL) << 8) | (p(o + 3) & 0xFFL)
 
-  /** Parse (width, height, n_frames, timescale, durationTicks) from the
-    * box tree. None when the bytes aren't a well-formed MP4 skeleton or
-    * any required field is missing — malformed containers are declined,
-    * never mis-read. */
-  def parseMp4Meta(p: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
-    if (!looksLikeMp4(p)) return None
-    var width = -1
-    var height = -1
-    var nFrames = -1L
-    var timescale = -1L
-    var duration = -1L
-    // which box types are pure containers we descend into
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
-    def walk(from: Int, to: Int): Boolean = { // false = structurally broken
+  /** Per-trak field accumulator: every field a trak's subtree may carry.
+    * Fields stay scoped to THEIR trak — the multi-track pitfall is a
+    * last-wins merge across traks, where an audio trak's zero-width tkhd
+    * clobbers the video dimensions or one trak's mdhd pairs with
+    * another's stsz into a plausible-but-wrong result. */
+  private final class TrakAcc {
+    var w: Int = -1; var h: Int = -1
+    var timescale: Long = -1L; var duration: Long = -1L
+    var nFrames: Long = -1L
+    var sizes: Array[Int] = null
+    def isVideo: Boolean = w > 0 && h > 0
+  }
+
+  /** Structural walk of the whole box tree: traks in document order (each
+    * with its OWN tkhd/mdhd/stsz fields), plus the top-level mdat body
+    * extent. None when any box is truncated or corrupt — malformed
+    * containers are declined, never mis-read. */
+  private def walkBoxes(p: Array[Byte]): Option[(Seq[TrakAcc], Int, Int)] = {
+    var mdatOff = -1
+    var mdatLen = -1
+    val traks = scala.collection.mutable.ListBuffer.empty[TrakAcc]
+    val containers = Set("moov", "mdia", "minf", "stbl")
+    def walk(from: Int, to: Int, cur: TrakAcc): Boolean = {
       var off = from
       while (off + 8 <= to) {
         val size = be32(p, off)
@@ -67,35 +76,62 @@ object VideoMeta {
         val typ = new String(p, off + 4, 4, "US-ASCII")
         val body = off + 8
         typ match {
+          case "trak" =>
+            val t = new TrakAcc
+            traks += t
+            if (!walk(body, off + size.toInt, t)) return false
           case t if containers(t) =>
-            if (!walk(body, off + size.toInt)) return false
-          case "tkhd" =>
+            if (!walk(body, off + size.toInt, cur)) return false
+          case "tkhd" if cur != null =>
             // v0 layout: ver/flags(4) ctime(4) mtime(4) track(4) rsvd(4)
             // duration(4) rsvd(8) layer(2) group(2) volume(2) rsvd(2)
             // matrix(36) width(4) height(4) — width at body+76, 16.16
             if (size >= 8 + 84 && p(body) == 0) {
-              width = (be32(p, body + 76) >> 16).toInt
-              height = (be32(p, body + 80) >> 16).toInt
+              cur.w = (be32(p, body + 76) >> 16).toInt
+              cur.h = (be32(p, body + 80) >> 16).toInt
             }
-          case "mdhd" =>
+          case "mdhd" if cur != null =>
             // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
             if (size >= 8 + 20 && p(body) == 0) {
-              timescale = be32(p, body + 12)
-              duration = be32(p, body + 16)
+              cur.timescale = be32(p, body + 12)
+              cur.duration = be32(p, body + 16)
             }
-          case "stsz" =>
-            // ver/flags(4) sample_size(4) sample_count(4)
-            if (size >= 8 + 12) nFrames = be32(p, body + 8)
-          case _ => () // ftyp, free, mdat, codec-specific boxes: skip
+          case "stsz" if cur != null =>
+            // ver/flags(4) sample_size(4) sample_count(4) [sizes...]
+            if (size >= 8 + 12) {
+              val uniform = be32(p, body + 4)
+              val n = be32(p, body + 8).toInt
+              cur.nFrames = n.toLong
+              if (uniform > 0L) cur.sizes = Array.fill(n)(uniform.toInt)
+              else if (size >= 8 + 12 + 4L * n)
+                cur.sizes = Array.tabulate(n)(i => be32(p, body + 12 + 4 * i).toInt)
+            }
+          case "mdat" =>
+            mdatOff = body; mdatLen = size.toInt - 8
+          case _ => () // ftyp, free, codec-specific boxes: skip
         }
         off += size.toInt
       }
       true
     }
-    if (!walk(0, p.length)) return None
-    if (width <= 0 || height <= 0 || nFrames < 0 || timescale <= 0 ||
-        duration < 0) None
-    else Some((width, height, nFrames, timescale, duration))
+    if (!walk(0, p.length, null)) None else Some((traks.toSeq, mdatOff, mdatLen))
+  }
+
+  /** Parse (width, height, n_frames, timescale, durationTicks) from the
+    * FIRST VIDEO trak — the first trak whose tkhd carries nonzero
+    * dimensions (audio traks write zero-width tkhds), with mdhd/stsz
+    * taken from that same trak's subtree. Multi-track files (video +
+    * audio, the common real-world layout) therefore parse to the video
+    * trak's fields instead of a cross-trak mixture. None when the bytes
+    * aren't a well-formed MP4 or the video trak misses a field. */
+  def parseMp4Meta(p: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (!looksLikeMp4(p)) return None
+    walkBoxes(p).flatMap { case (traks, _, _) =>
+      traks.find(_.isVideo).flatMap { t =>
+        if (t.nFrames < 0 || t.timescale <= 0 || t.duration < 0) None
+        else Some((t.w, t.h, t.nFrames, t.timescale, t.duration))
+      }
+    }
   }
 
   private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
@@ -241,46 +277,25 @@ object VideoMeta {
     ftyp ++ buildMoov(off.toLong) ++ box("mdat", mdatBody)
   }
 
-  /** Locate the coded samples: (per-sample sizes from stsz, absolute
-    * offset of the mdat body). None when the container lacks a sample
-    * table or the sizes overrun the mdat — truncated payloads are
-    * declined, never sliced out of bounds. */
+  /** Locate the coded samples of the FIRST VIDEO trak: (per-sample sizes
+    * from its stsz, absolute offset of the mdat body). Scoped to the same
+    * trak [[parseMp4Meta]] reads, so a multi-track file can never pair
+    * the audio trak's sample sizes with the video frames. None when the
+    * container lacks a video trak with a sample table, or the sizes
+    * overrun the mdat — truncated payloads are declined, never sliced
+    * out of bounds. */
   def parseSampleIndex(p: Array[Byte]): Option[(Array[Int], Int)] = {
     if (!looksLikeMp4(p)) return None
-    var sizes: Array[Int] = null
-    var mdatOff = -1
-    var mdatLen = -1
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
-    def walk(from: Int, to: Int): Boolean = {
-      var off = from
-      while (off + 8 <= to) {
-        val size = be32(p, off)
-        if (size < 8 || off + size > to) return false
-        val typ = new String(p, off + 4, 4, "US-ASCII")
-        val body = off + 8
-        typ match {
-          case t if containers(t) =>
-            if (!walk(body, off + size.toInt)) return false
-          case "stsz" if sizes == null =>
-            if (size >= 8 + 12) {
-              val uniform = be32(p, body + 4)
-              val n = be32(p, body + 8).toInt
-              if (uniform > 0L) sizes = Array.fill(n)(uniform.toInt)
-              else if (size >= 8 + 12 + 4L * n)
-                sizes = Array.tabulate(n)(i => be32(p, body + 12 + 4 * i).toInt)
-            }
-          case "mdat" =>
-            mdatOff = body; mdatLen = size.toInt - 8
-          case _ => ()
+    walkBoxes(p).flatMap { case (traks, mdatOff, mdatLen) =>
+      traks.find(_.isVideo).flatMap { t =>
+        if (t.sizes == null || mdatOff < 0) None
+        else {
+          var total = 0L
+          t.sizes.foreach(total += _)
+          if (total > mdatLen) None else Some((t.sizes, mdatOff))
         }
-        off += size.toInt
       }
-      true
     }
-    if (!walk(0, p.length) || sizes == null || mdatOff < 0) return None
-    var total = 0L
-    sizes.foreach(total += _)
-    if (total > mdatLen) None else Some((sizes, mdatOff))
   }
 
   final case class FrameHashRow(doc_id: Long, frame_idx: Long, width: Long,

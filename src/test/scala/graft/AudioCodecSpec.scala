@@ -129,4 +129,40 @@ class AudioCodecSpec extends AnyFunSuite with SparkSpec {
     assert(m.height == 16L, "height carries bits per sample")
     assert(m.n_frames == samples.length.toLong, "n_frames carries the real sample count")
   }
+
+  test("envelope bit decisions survive frame energies past 2^57 (no Long overflow)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // reference decision in BigInt — immune to overflow by construction
+    def ref(frames: Array[Long], total: BigInt): Long = {
+      var sig = 0L
+      frames.indices.foreach { k =>
+        if (BigInt(frames(k)) * 64 > total) sig |= (1L << k)
+      }
+      sig
+    }
+    // explicit regression: hours-of-loud-audio scale energies, where the
+    // old `frames(k) * 64L > total` product wrapped negative and silently
+    // cleared bits that are genuinely above the mean
+    val hot = Array.fill(64)(1L << 40)
+    hot(5) = (1L << 58) + 7L   // * 64 overflows Long
+    hot(6) = 1L << 57
+    val hotTotal = hot.foldLeft(BigInt(0))(_ + _)
+    assert(hotTotal.isValidLong, "totals at this scale still fit a Long")
+    assert(AudioCodec.envelopeBits(hot, hotTotal.toLong) == ref(hot, hotTotal),
+      "huge-but-valid frame energies must keep exact mean comparisons")
+    // property: the division form equals the BigInt product form for ANY
+    // non-negative energies whose total fits a Long
+    val frameGen = Gen.oneOf(
+      Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(0L, (1L << 50)),
+      Gen.chooseNum((1L << 52), (1L << 57) - 1))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(Gen.containerOfN[Array, Long](64, frameGen)) { frames =>
+        val total = frames.foldLeft(BigInt(0))(_ + _)
+        total.isValidLong ==> // 64 frames < 2^57 always fit; keep the guard honest
+          (AudioCodec.envelopeBits(frames, total.toLong) == ref(frames, total))
+      })
+    assert(res.passed, res.status.toString)
+  }
 }

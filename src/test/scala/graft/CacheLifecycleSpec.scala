@@ -94,6 +94,30 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("scoped handles isolate concurrent pipelines from releaseAll") {
+    freshStart()
+    import spark.implicits._
+    // build one pipeline under a private scope: its caches must land in
+    // the handle, NOT the shared registry — so another caller's
+    // releaseAll() (the concurrent-pipeline hazard) can't unpersist them
+    val (pairs, handle) = OpCaches.scoped {
+      Dedup.minhashLshPairs(dupHeavyDocs(), $"text", $"doc_id",
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+    }
+    assert(OpCaches.trackedCount == 0,
+      "a scoped build must register nothing in the shared registry")
+    assert(handle.count == 3, s"handle should own the 3 live caches, got ${handle.count}")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    OpCaches.releaseAll() // a concurrent caller's global cleanup...
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "...must not unpersist the scoped pipeline's intermediates")
+    assert(pairs.count() > 0)
+    handle.release()
+    assert(handle.count == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releasing the handle frees exactly its own blocks")
+  }
+
   test("releaseAll is idempotent and results recompute correctly after release") {
     freshStart()
     import spark.implicits._

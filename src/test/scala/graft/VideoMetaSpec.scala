@@ -61,6 +61,57 @@ class VideoMetaSpec extends AnyFunSuite with SparkSpec {
     assert(m.width == 640L && m.height == 480L && m.n_frames == 48L)
   }
 
+  /** Test-only box builder for hand-made multi-track containers. */
+  private def mkBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  private def mkTrak(w: Int, h: Int, ts: Long, dur: Long, nf: Long): Array[Byte] = {
+    val tkhd = mkBox("tkhd", {
+      val b = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(dur.toInt)
+      b.putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+      b.putInt(0x10000).putInt(0).putInt(0).putInt(0).putInt(0x10000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.putInt(w << 16).putInt(h << 16) // audio traks carry 0×0 here
+      b.array()
+    })
+    val mdhd = mkBox("mdhd", {
+      val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0).putInt(0).putInt(0).putInt(ts.toInt).putInt(dur.toInt)
+      b.putShort(0x55C4.toShort).putShort(0)
+      b.array()
+    })
+    val stsz = mkBox("stsz", {
+      val b = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0).putInt(0).putInt(nf.toInt)
+      b.array()
+    })
+    mkBox("trak", tkhd ++ mkBox("mdia", mdhd ++ mkBox("minf", mkBox("stbl", stsz))))
+  }
+
+  test("multi-track containers parse the VIDEO trak, never a cross-trak mixture") {
+    val ftyp = mkBox("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.put("isom".getBytes("US-ASCII")).putInt(0); b.array()
+    })
+    val audio = mkTrak(0, 0, 44100L, 441000L, 431L) // zero-dim tkhd = sound trak
+    val video = mkTrak(640, 480, 600L, 1200L, 48L)
+    // the common layout: video trak first, audio second — and the reverse,
+    // where the last-wins bug read the audio trak's fields
+    val videoFirst = ftyp ++ mkBox("moov", video ++ audio)
+    val audioFirst = ftyp ++ mkBox("moov", audio ++ video)
+    val want = Some((640, 480, 48L, 600L, 1200L))
+    assert(VideoMeta.parseMp4Meta(videoFirst) == want)
+    assert(VideoMeta.parseMp4Meta(audioFirst) == want,
+      "an audio trak BEFORE the video trak must not shadow or mix its fields")
+    // a file with only sound traks has no video metadata to report
+    assert(VideoMeta.parseMp4Meta(ftyp ++ mkBox("moov", audio)).isEmpty)
+  }
+
   // ---- real frame storage + decode --------------------------------------
 
   test("sample-carrying container round-trips metadata, sizes and frame bytes") {
