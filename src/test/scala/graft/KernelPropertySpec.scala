@@ -134,6 +134,28 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("the ASCII-folding divergence is ASSERTED, not just avoided") {
+    import graft.plans.TextKernelOps
+    // The two known code points whose full-Unicode LOWERCASING maps into
+    // ascii [a-z]: U+212A KELVIN SIGN → 'k', U+0130 LATIN CAPITAL I WITH
+    // DOT → 'i' + U+0307. The byte-walk kernel counts raw bytes (neither
+    // is an ASCII alnum run), the regex form counts the lowercased
+    // expansion — so they MUST diverge by exactly one run per occurrence.
+    // This pins the documented domain boundary of the kernels (and of
+    // TextFns.tokenCount, which shares it); if a future kernel change
+    // starts folding these, this test fails and the docs must move too.
+    Seq("\u212A", "\u0130", "5 degrees \u212A here", "\u0130stanbul")
+      .foreach { s =>
+        val u = UTF8String.fromString(s)
+        val folded = "[a-z0-9]+".r.findAllIn(s.toLowerCase).length
+        val kernel = TextKernelOps.wordRunCount(u)
+        assert(kernel < folded,
+          s"'$s': kernel must NOT count the ASCII-folded form (kernel=$kernel, regex=$folded)")
+      }
+    // outside those two code points (plus their lowercased forms), no
+    // divergence: the general property test's pool samples that domain
+  }
+
   test("misra-gries: k bound, lower-bound counts, error bound under arbitrary merge trees") {
     import graft.plans.MGKernel
     val stream = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"w$i"))
