@@ -117,6 +117,64 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
   }
 
+  test("stream-stream join state is EVICTED as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the 100 TB property: buffered join state must be bounded by
+    // (horizon × rate), not by stream history — i.e. rows older than the
+    // watermark minus the horizon actually leave the state store
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF(),
+        horizon = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_evict").start()
+    def hour(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // batch 1: 40 purchases + 40 clicks at hour 1 — all buffered
+    purchases.addData((0 until 40).map(i => Event(1000 + i, hour(1), i, "p", 1.0)): _*)
+    clicks.addData((0 until 40).map(i => Event(2000 + i, hour(1), i, "c", 1.0)): _*)
+    q.processAllAvailable()
+    val afterB1 = stateRows()
+    assert(afterB1 >= 80, s"both sides buffered, got $afterB1")
+    // batch 2: advance BOTH watermarks far past hour 1 + horizon; the
+    // batch-1 state is now unreachable and must be evicted, so total
+    // state cannot keep the 80 batch-1 rows plus the 2 new ones
+    purchases.addData(Event(3000, hour(20), 999, "p", 1.0))
+    clicks.addData(Event(3001, hour(20), 999, "c", 1.0))
+    q.processAllAvailable()
+    // one more empty-ish cycle lets the store finalize eviction metrics
+    purchases.addData(Event(3002, hour(21), 998, "p", 1.0))
+    clicks.addData(Event(3003, hour(21), 998, "c", 1.0))
+    q.processAllAvailable()
+    val afterB3 = stateRows()
+    assert(afterB3 < afterB1,
+      s"watermark must evict horizon-expired join state ($afterB1 -> $afterB3)")
+    q.stop()
+  }
+
+  test("sessionization state is bounded by open sessions, not events processed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_bound").start()
+    // 3 batches × 200 events over the SAME 10 users: state must stay at
+    // 10 rows (one open session per user) no matter how many events flow
+    (0 until 3).foreach { b =>
+      in.addData((0 until 200).map { i =>
+        Event(b * 1000 + i, ts(b * 10 + i / 100), (i % 10).toLong, "click", 1.0)
+      }: _*)
+      q.processAllAvailable()
+    }
+    val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(state == 10,
+      s"session state must equal open sessions (10 users), got $state")
+    q.stop()
+  }
+
   test("stream-static enrichment joins each event to its dim row, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
