@@ -378,7 +378,9 @@ object Dedup {
     // (For clique-heavy corpora, run exact dedup first — the pair OUTPUT
     // is quadratic regardless of plan; see the simhashPairs note.)
     val cand = OpCaches.track(candidates.persist(StorageLevel.MEMORY_AND_DISK))
-    val slim = cand.count() <= maxBroadcastCandidates
+    val candCount = cand.count()
+    val slim = candCount <= maxBroadcastCandidates
+    lastVerifyPlan = (candCount, slim)
     val a = docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
     val withA = a.join(if (slim) broadcast(cand) else cand, Seq("id_a"))
@@ -393,6 +395,13 @@ object Dedup {
     * broadcasting the pair list: 10M (id_a, id_b) rows ≈ 160 MB raw —
     * a comfortable build side, far below the 8 GiB HashedRelation cap. */
   val maxBroadcastCandidates: Long = 10000000L
+
+  /** Telemetry: the last verify-fetch plan decision as (candidate count,
+    * broadcast?). Production pipelines log this per run (a sudden lane
+    * flip is the first symptom of a duplication regime change), and the
+    * scale study uses it to PROVE which join lane a measurement actually
+    * exercised instead of inferring it from the corpus shape. */
+  @volatile var lastVerifyPlan: (Long, Boolean) = (-1L, true)
 
   /** Distinct-fingerprint fraction below which the LSH/banding pipelines
     * collapse to one representative per clique (and re-expand member
