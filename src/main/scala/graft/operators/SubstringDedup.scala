@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 import graft.plans.WindowHashes
 
@@ -81,10 +82,21 @@ object SubstringDedup {
     val cand = grams.join(dupHash, Seq("h"))
     // exact verification: only candidate positions materialize their gram
     // text; grouping by (h, g) keeps the exact string check while the
-    // shuffle still partitions on the cheap 8-byte hash prefix
-    val withG = cand.join(d, Seq("doc_id"))
+    // shuffle still partitions on the cheap 8-byte hash prefix.
+    // withG feeds BOTH the gram-count aggregation and the verified-
+    // position join below; without a persist that diamond recomputes the
+    // whole candidate subtree — including TWO more corpus-wide rolling-
+    // hash scans — once per consumer (measured: 6 parquet scans / 4
+    // WindowHashes passes in the unpersisted plan, 3 / 2 with it).
+    // withG is duplication-sized (one 40-char gram per CANDIDATE
+    // position), so the cache is bounded by duplicate content, never the
+    // corpus; registered with OpCaches for the caller-release lifecycle
+    // every dedup pipeline uses. The persist also hands AQE a real size
+    // for the (h, g) self-join, letting it pick a broadcast build.
+    val withG = OpCaches.track(cand.join(d, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("h"),
         col("__text").substr(col("pos") + 1, lit(n)).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val dupGram = withG.groupBy(col("h"), col("g"))
       .agg(count(lit(1)).as("gcnt")).filter(col("gcnt") >= 2)
       .select(col("h"), col("g"))
