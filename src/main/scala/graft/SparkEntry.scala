@@ -152,6 +152,45 @@ object SparkEntry {
     m
   }
 
+  /** q_kmeans_topics' quantizer, cached per dir for the same reason as
+    * [[ivfModel]] (k = 8 topics vs IVF's 16 cells — separate models). */
+  private val topicModels =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
+  @volatile private var lastTopicModel: operators.IvfAnn.Model = null
+  private def topicModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
+    val m = topicModels.computeIfAbsent(dir, d =>
+      operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 8))
+    lastTopicModel = m
+    m
+  }
+
+  /** Replays TopicCluster.summary in SQL with the trained topic centroids
+    * as DOUBLE[] literals: assignment = rank-1 cell by dot product (ties
+    * toward the lower cell id, the kernel's rule), then the integer
+    * count/min/max rollup — no floating-point ever reaches the output, so
+    * this oracle is even stabler than q_ann_ivf's rounded cosine. */
+  private def kmeansOracle(m: operators.IvfAnn.Model): String = {
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |dots AS (
+       |  SELECT e.vec_id, ctr.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM embeddings e, ctr),
+       |rc AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rk
+       |  FROM dots)
+       |SELECT CAST(cell AS BIGINT) AS cluster, count(*) AS n_vectors,
+       |  min(vec_id) AS min_id, max(vec_id) AS max_id
+       |FROM rc WHERE rk = 1
+       |GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+  }
+
   /** Replays IvfAnn.topK in SQL with the trained centroids as DOUBLE[]
     * literals: per-vector cell dots as the same sequential left fold the
     * codegen kernel runs, assignment = rank-1 cell (ties toward the lower
@@ -1398,11 +1437,13 @@ object SparkEntry {
       import s.implicits._
       // corpus topic clustering (SemDeDup/domain-balancing primitive):
       // deterministic spherical k-means (IvfAnn.train) + scan-stage argmax
-      // assignment; summarized per cluster. No oracle — Lloyd internals
-      // are engine-specific; TopicClusterSpec checks purity against the
-      // generator's ground-truth label column.
+      // assignment; summarized per cluster. The trained model is cached
+      // per dir so oracleSql can emit its centroids as SQL literals (the
+      // q_ann_ivf recipe — see topicModel/kmeansOracle); TopicClusterSpec
+      // additionally checks purity against the generator's ground-truth
+      // label column.
       operators.TopicCluster.summary(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 8)
+          "vec_id", "embedding", topicModel(s, dir))
         .orderBy($"cluster")
     }),
 
@@ -2721,10 +2762,11 @@ object SparkEntry {
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
   ) ++
-    // data-dependent oracle: only emittable once the q_ann_ivf query has
-    // trained its quantizer for the dir being verified (see ivfModel) —
+    // data-dependent oracles: only emittable once the query has trained
+    // its quantizer for the dir being verified (see ivfModel/topicModel) —
     // absent, the driver records the weaker rows-only check it always did
-    Option(lastIvfModel).map(m => "q_ann_ivf" -> ivfOracle(m))
+    Option(lastIvfModel).map(m => "q_ann_ivf" -> ivfOracle(m)) ++
+    Option(lastTopicModel).map(m => "q_kmeans_topics" -> kmeansOracle(m))
 
   /** Shared CTE prefix for the audio-fingerprint oracles: synthetic
     * waveform formula (= AudioCodec.synthSamples, including the ×2 gain

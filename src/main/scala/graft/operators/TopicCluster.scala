@@ -25,15 +25,22 @@ object TopicCluster {
     vectors.select(col(idCol).as("vec_id"),
       IvfAnn.assignCell(col(embCol), model).cast(LongType).as("cluster"))
 
-  /** Train on `vectors` and summarize the clustering: per cluster, the
-    * member count and the id range. `extra` aggregations (e.g. distinct
-    * ground-truth labels) can be added by the caller on [[assign]]. */
+  /** Summarize a clustering under an already-trained quantizer: per
+    * cluster, the member count and the id range. Taking the model lets a
+    * caller that needs the centroids afterwards (e.g. to emit them as
+    * SQL-oracle literals) train once and share. */
   def summary(vectors: DataFrame, idCol: String, embCol: String,
-              k: Int, iters: Int = 10): DataFrame = {
-    val model = IvfAnn.train(vectors, idCol, embCol, k, iters)
+              model: IvfAnn.Model): DataFrame =
     assign(vectors, idCol, embCol, model)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
-  }
+
+  /** Train on `vectors` and summarize the clustering. `extra`
+    * aggregations (e.g. distinct ground-truth labels) can be added by the
+    * caller on [[assign]]. */
+  def summary(vectors: DataFrame, idCol: String, embCol: String,
+              k: Int, iters: Int = 10): DataFrame =
+    summary(vectors, idCol, embCol,
+      IvfAnn.train(vectors, idCol, embCol, k, iters))
 }
