@@ -944,6 +944,17 @@ object SparkEntry {
         .orderBy($"doc_id", $"span_start")
     }),
 
+    "q_substring_strip" -> ((s, dir) => {
+      import s.implicits._
+      // the REMOVAL half of span-level dedup (the Lee-et-al. policy: cut
+      // every occurrence of every duplicated span): the cleaned corpus a
+      // training pipeline actually writes back out. Removal is a
+      // per-document fold over its sorted span list — no driver work.
+      graft.operators.SubstringDedup.stripSpans(
+          Tables.documents(s, dir), $"doc_id", $"text", n = 40)
+        .orderBy($"doc_id")
+    }),
+
     // ================= similarity search ==============================
 
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -2119,33 +2130,29 @@ object SparkEntry {
         |FROM st
         |ORDER BY doc_id""".stripMargin,
 
-    // Brute force of the definition itself: every 40-char gram string,
-    // corpus-wide occurrence counts, duplicated positions merged into
-    // maximal spans with a lag()-islands pass (all intervals share width
-    // 40, so lag(pos) + 40 IS the previous interval's end). The Spark
-    // plan's rolling-hash index is a pure optimization — its exact-gram
-    // verify step makes hash collisions unobservable — so the two derive
-    // the same spans from opposite directions.
-    "q_dedup_substring" ->
-      """WITH poss AS (
-        |  SELECT doc_id, text, unnest(generate_series(0, length(text) - 40)) AS pos
-        |  FROM documents WHERE length(text) >= 40),
-        |grams AS (SELECT doc_id, pos, substr(text, CAST(pos + 1 AS INT), 40) AS g FROM poss),
-        |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-        |dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
-        |lagged AS (
-        |  SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM dpos),
-        |islands AS (
-        |  SELECT doc_id, pos,
-        |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM lagged)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(pos) + 40 AS BIGINT) AS span_end
-        |FROM islands GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+    "q_dedup_substring" -> substringSpanOracleBase(
+      """SELECT doc_id, span_start, span_end FROM spans
+        |ORDER BY doc_id, span_start""".stripMargin),
+
+    // Removal as a brute force over CHARACTERS: a position survives iff no
+    // duplicated span covers it; surviving characters re-concatenate in
+    // order. The Spark side's fold over the sorted span list is the
+    // O(spans)-per-doc way to compute the same thing.
+    "q_substring_strip" -> substringSpanOracleBase(
+      """chars AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS i
+        |  FROM documents),
+        |kept AS (
+        |  SELECT c.doc_id, c.i FROM chars c
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = c.doc_id AND c.i >= s.span_start AND c.i < s.span_end)),
+        |agg AS (
+        |  SELECT k.doc_id,
+        |    string_agg(substr(d.text, CAST(k.i + 1 AS INT), 1), '' ORDER BY k.i) AS clean_text
+        |  FROM kept k JOIN documents d USING (doc_id) GROUP BY k.doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin, extraCte = true),
 
     // Re-derives the MD5-half simhash signatures (same integer math as
     // graft.plans.SignatureKernels.simhashMd5: per-token md5, first 8
@@ -2796,6 +2803,38 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN e * 64 > te AND k >= 32 THEN (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
        |    CAST(sum(CASE WHEN e * 64 > te AND k < 32 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS lo
        |  FROM fr JOIN tot USING (doc_id) GROUP BY 1)
+       |$select""".stripMargin
+
+  /** Shared CTE prefix for the substring-dedup oracles — brute force of
+    * the definition itself: every 40-char gram string, corpus-wide
+    * occurrence counts, duplicated positions merged into maximal spans
+    * with a lag()-islands pass (all intervals share width 40, so
+    * lag(pos) + 40 IS the previous interval's end). The Spark plan's
+    * rolling-hash index is a pure optimization — its exact-gram verify
+    * step makes hash collisions unobservable — so the two derive the same
+    * spans from opposite directions. With `extraCte`, `select` begins
+    * with further CTEs continuing the WITH chain. */
+  private def substringSpanOracleBase(select: String,
+                                      extraCte: Boolean = false): String =
+    s"""WITH poss AS (
+       |  SELECT doc_id, text, unnest(generate_series(0, length(text) - 40)) AS pos
+       |  FROM documents WHERE length(text) >= 40),
+       |grams AS (SELECT doc_id, pos, substr(text, CAST(pos + 1 AS INT), 40) AS g FROM poss),
+       |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+       |dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+       |lagged AS (
+       |  SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM dpos),
+       |islands AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM lagged),
+       |spans AS (
+       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) + 40 AS BIGINT) AS span_end
+       |  FROM islands GROUP BY doc_id, island)${if (extraCte) "," else ""}
        |$select""".stripMargin
 
   /** Shared CTE prefix for the image-hash oracles: synthetic pixel
