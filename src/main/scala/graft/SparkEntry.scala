@@ -493,6 +493,29 @@ object SparkEntry {
         .orderBy($"user_id", $"session_id")
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      import s.implicits._
+      // z-order layout primitive checked end-to-end: equal-width bucket
+      // both dims (stats = one 4-long driver agg, the ZOrder.cluster
+      // recipe), Morton-interleave in codegen bit math, then summarize the
+      // curve as a per-cell histogram with each cell's (user, time)
+      // bounding box — exactly the min/max footer a z-ordered write gives
+      // every file. The oracle replays the bit ladder arithmetically.
+      val e = Tables.events(s, dir)
+      val tsec = $"ts".cast(LongType)
+      val r = e.agg(min($"user_id").cast(LongType), max($"user_id").cast(LongType),
+        min(tsec), max(tsec)).head()
+      val z = operators.ZOrder.zvalue(
+        operators.ZOrder.bucket($"user_id", r.getLong(0), r.getLong(1), bits = 8),
+        operators.ZOrder.bucket(tsec, r.getLong(2), r.getLong(3), bits = 8))
+      e.select($"user_id", tsec.as("tsec"), z.as("zcell"))
+        .groupBy($"zcell")
+        .agg(count(lit(1)).as("n_events"),
+          min($"user_id").as("u_min"), max($"user_id").as("u_max"),
+          min($"tsec").as("t_min"), max($"tsec").as("t_max"))
+        .orderBy($"zcell")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       import s.implicits._
       // time-series as-of join: each click picks up the latest prior
@@ -1742,6 +1765,35 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // Replays the z-order key arithmetically: equal-width bucketing as
+    // exact integer floor-division (both engines compute (c-min)*256 in
+    // 64-bit), the Morton interleave as a sum of shifted bit extractions
+    // (= the mask-shift ladder, bit by bit), seconds from epoch_us
+    // floor-division (= Spark's timestamp->long cast). Integer-only
+    // output, so no float drift can reach the hash.
+    "q_zorder" ->
+      """WITH st AS (
+        |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |    min(epoch_us(ts) // 1000000) AS tmin,
+        |    max(epoch_us(ts) // 1000000) AS tmax
+        |  FROM events),
+        |bk AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+        |    ((user_id - umin) * 256) // (umax - umin + 1) AS ub,
+        |    (((epoch_us(ts) // 1000000) - tmin) * 256) // (tmax - tmin + 1) AS tb
+        |  FROM events, st),
+        |z AS (
+        |  SELECT user_id, tsec,
+        |    CAST(list_sum(list_transform(range(0, 8),
+        |      i -> (((ub >> i) & 1) << (2 * i)) + (((tb >> i) & 1) << (2 * i + 1))))
+        |      AS BIGINT) AS zcell
+        |  FROM bk)
+        |SELECT zcell, count(*) AS n_events,
+        |  min(user_id) AS u_min, max(user_id) AS u_max,
+        |  min(tsec) AS t_min, max(tsec) AS t_max
+        |FROM z GROUP BY zcell
+        |ORDER BY zcell""".stripMargin,
 
     "q_range_join" ->
       """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
