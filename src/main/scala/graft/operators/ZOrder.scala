@@ -51,13 +51,34 @@ object ZOrder {
   def zvalue(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Spread the low 21 bits of `c` to every third bit position — the
+    * 3-D ladder (stride-3 masks, 21×3 = 63 bits). */
+  def spread21(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val m4 = m3.bitwiseOR(shiftleft(m3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    m4.bitwiseOR(shiftleft(m4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Morton code of three bucket ids in [0, 2^21) — Delta's
+    * `ZORDER BY a, b, c` shape (21 bits per dimension, 63 bits total;
+    * `a` on bits 0,3,6…, `b` offset 1, `c` offset 2). */
+  def zvalue3(a: Column, b: Column, c: Column): Column =
+    spread21(a)
+      .bitwiseOR(shiftleft(spread21(b), 1))
+      .bitwiseOR(shiftleft(spread21(c), 2))
+
   /** Equal-width bucket of long-valued `c` over [min, max] into 2^bits
     * buckets — 0-based, max falls in the last bucket. Equal-width is the
     * right transform for roughly-uniform keys (surrogate ids,
     * timestamps); a heavily skewed dimension wants a rank transform
     * upstream (the same caveat Delta documents for its z-order). */
   def bucket(c: Column, min: Long, max: Long, bits: Int): Column = {
-    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    // 16 is the 2-dim interleave width, 21 the 3-dim one; clusterBy
+    // enforces the per-arity cap, this guard only stops overflow
+    require(bits >= 1 && bits <= 21, s"bits must be in [1,21], got $bits")
     val n = 1L << bits
     val range = max - min + 1
     require(range > 0, s"empty bucket range [$min, $max]")
@@ -75,15 +96,31 @@ object ZOrder {
     * primary-key sort), which is exactly what row-group min/max pruning
     * needs. */
   def cluster(df: DataFrame, a: String, b: String,
-              bits: Int = 16, numPartitions: Int = 0): DataFrame = {
-    val r = df.agg(
-      min(col(a)).cast(LongType), max(col(a)).cast(LongType),
-      min(col(b)).cast(LongType), max(col(b)).cast(LongType)).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      "z-order cluster() needs non-null dimension values")
-    val z = zvalue(
-      bucket(col(a), r.getLong(0), r.getLong(1), bits),
-      bucket(col(b), r.getLong(2), r.getLong(3), bits))
+              bits: Int = 16, numPartitions: Int = 0): DataFrame =
+    clusterBy(df, Seq(a, b), bits, numPartitions)
+
+  /** N-dimension form (2 or 3 dims — the shapes the 64-bit key fits):
+    * one stats agg over all dims, one interleaved key, one range
+    * shuffle. 3-dim keys use the stride-3 ladder at up to 21 bits per
+    * dimension. */
+  def clusterBy(df: DataFrame, dims: Seq[String],
+                bits: Int = 16, numPartitions: Int = 0): DataFrame = {
+    require(dims.size == 2 || dims.size == 3,
+      s"z-order supports 2 or 3 dimensions, got ${dims.size}")
+    val maxBits = if (dims.size == 2) 16 else 21
+    require(bits >= 1 && bits <= maxBits,
+      s"bits must be in [1,$maxBits] for ${dims.size} dims, got $bits")
+    val statCols = dims.flatMap(d =>
+      Seq(min(col(d)).cast(LongType), max(col(d)).cast(LongType)))
+    val r = df.agg(statCols.head, statCols.tail: _*).head()
+    val bucketed = dims.zipWithIndex.map { case (d, i) =>
+      require(!r.isNullAt(2 * i), s"z-order cluster() needs non-null $d")
+      bucket(col(d), r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+    }
+    val z = bucketed match {
+      case Seq(ba, bb) => zvalue(ba, bb)
+      case Seq(ba, bb, bc) => zvalue3(ba, bb, bc)
+    }
     val withZ = df.withColumn("__z", z)
     val ranged =
       if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))

@@ -37,6 +37,86 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Reference 3-D interleave: bit i of each dim to bits 3i, 3i+1, 3i+2. */
+  private def morton3Ref(a: Long, b: Long, c: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((a >> i) & 1L) << (3 * i)
+      z |= ((b >> i) & 1L) << (3 * i + 1)
+      z |= ((c >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
+  test("zvalue3 matches the reference 3-D interleave over random 21-bit triples") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val top = (1L << 21) - 1
+    val triples = Seq.fill(1000)(
+      (rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong,
+        rnd.nextInt(1 << 21).toLong)) ++
+      Seq((0L, 0L, 0L), (top, 0L, 0L), (0L, top, 0L), (0L, 0L, top),
+        (top, top, top))
+    val got = triples.toDF("a", "b", "c")
+      .select($"a", $"b", $"c", ZOrder.zvalue3($"a", $"b", $"c").as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == morton3Ref(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"3-D interleave mismatch at (${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
+  test("3-D curve: aligned contiguous z-blocks are exact sub-cubes") {
+    import spark.implicits._
+    // the property pruning rests on, pinned deterministically (Spark's
+    // repartitionByRange draws SAMPLED boundaries, so its splits can
+    // straddle octants — the curve itself never does): chunking the 16^3
+    // grid's z order into 8 aligned 512-cell blocks must yield 8x8x8
+    // cubes, narrow in EVERY dim, where an a-sorted chunking leaves b and
+    // c full-width
+    val grid = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    val withZ = grid.toDF("a", "b", "c")
+      .select($"a", $"b", $"c", ZOrder.zvalue3($"a", $"b", $"c").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    withZ.sortBy(_._4).grouped(512).foreach { block =>
+      Seq[((Long, Long, Long, Long)) => Long](_._1, _._2, _._3).zipWithIndex
+        .foreach { case (dim, i) =>
+          val ext = block.map(dim).max - block.map(dim).min
+          assert(ext == 7L,
+            s"dim $i extent $ext: an aligned 512-cell z-block must be an 8-cube")
+        }
+    }
+    val bFull = withZ.sortBy(_._1).grouped(512).map(b =>
+      b.map(_._2).max - b.map(_._2).min).max
+    assert(bFull == 15L, "a-sorted chunking leaves b full-width")
+  }
+
+  test("clusterBy with 3 dims preserves rows and keeps mean extents narrow") {
+    import spark.implicits._
+    val grid = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    val laid = ZOrder.clusterBy(grid.toDF("a", "b", "c"), Seq("a", "b", "c"),
+      bits = 4, numPartitions = 8)
+    val got = laid.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == grid.sorted, "3-dim clustering must not drop rows")
+    // sampled range boundaries may straddle an octant (full-width extent
+    // in ONE partition), so pin the MEAN: mostly-cubes average well under
+    // the 1-D layout's full-width 15 in dims b and c
+    val boxes = laid.withColumn("pid", spark_partition_id())
+      .groupBy($"pid")
+      .agg((max($"a") - min($"a")).as("ea"), (max($"b") - min($"b")).as("eb"),
+        (max($"c") - min($"c")).as("ec"))
+      .collect()
+    Seq(1, 2, 3).foreach { i =>
+      val mean = boxes.map(_.getLong(i)).sum.toDouble / boxes.length
+      assert(mean <= 12.0,
+        s"dim $i mean extent $mean: z-clustered splits must stay mostly cubic")
+    }
+  }
+
   test("bucket boundaries are exact integer floor division, max in last bucket") {
     import spark.implicits._
     // a range deliberately NOT divisible by the bucket count, plus huge
