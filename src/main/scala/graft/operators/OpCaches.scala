@@ -72,7 +72,13 @@ object OpCaches {
     val h = new CacheHandle
     val prev = current.get()
     current.set(h)
-    try (f, h) finally {
+    try {
+      // If the build throws mid-way, caches it already persisted live
+      // only in `h`, which the caller never receives — release them here
+      // or they leak for the session lifetime (releaseAll can't see them).
+      val r = try f catch { case e: Throwable => h.release(); throw e }
+      (r, h)
+    } finally {
       if (prev == null) current.remove() else current.set(prev)
     }
   }

@@ -98,13 +98,31 @@ object VideoMeta {
             }
           case "stsz" if cur != null =>
             // ver/flags(4) sample_size(4) sample_count(4) [sizes...]
+            // Validate count/sizes against the container itself before
+            // allocating: a crafted sample_count would otherwise drive a
+            // multi-GB Array.fill, and a size with the top bit set turns
+            // into a negative Int that survives parseSampleIndex's total
+            // check and crashes the frame slicer. No real sample table
+            // can exceed the payload that holds it — decline instead.
             if (size >= 8 + 12) {
               val uniform = be32(p, body + 4)
               val n = be32(p, body + 8).toInt
-              cur.nFrames = n.toLong
-              if (uniform > 0L) cur.sizes = Array.fill(n)(uniform.toInt)
-              else if (size >= 8 + 12 + 4L * n)
-                cur.sizes = Array.tabulate(n)(i => be32(p, body + 12 + 4 * i).toInt)
+              if (n >= 0) {
+                // The frame COUNT may legitimately exceed the payload
+                // (metadata-only skeletons carry no sample bytes); only
+                // the sample-size ARRAYS must fit inside the container.
+                cur.nFrames = n.toLong
+                if (n <= p.length) {
+                  if (uniform > 0L && uniform <= p.length.toLong)
+                    cur.sizes = Array.fill(n)(uniform.toInt)
+                  else if (uniform == 0L && size >= 8 + 12 + 4L * n) {
+                    val sizes =
+                      Array.tabulate(n)(i => be32(p, body + 12 + 4 * i).toInt)
+                    if (sizes.forall(s => s >= 0 && s <= p.length))
+                      cur.sizes = sizes
+                  }
+                }
+              }
             }
           case "mdat" =>
             mdatOff = body; mdatLen = size.toInt - 8
@@ -229,7 +247,17 @@ object VideoMeta {
       b.put("isom".getBytes("US-ASCII")).putInt(0)
       b.array()
     })
-    val mdatBody = samples.foldLeft(Array.emptyByteArray)(_ ++ _)
+    // Single pre-sized concatenation — a fold of `++` re-copies the
+    // accumulated prefix per sample (quadratic in total bytes once frame
+    // counts reach real-video sizes).
+    val mdatBody = {
+      val out = new Array[Byte](samples.iterator.map(_.length).sum)
+      var o = 0
+      samples.foreach { s =>
+        System.arraycopy(s, 0, out, o, s.length); o += s.length
+      }
+      out
+    }
     def buildMoov(chunkOff: Long): Array[Byte] = {
       val tkhd = box("tkhd", {
         val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)

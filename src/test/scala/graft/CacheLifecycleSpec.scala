@@ -118,6 +118,25 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
       "releasing the handle frees exactly its own blocks")
   }
 
+  test("scoped build that throws releases its already-persisted caches") {
+    freshStart()
+    import spark.implicits._
+    // the handle never reaches the caller on a throw, and scoped caches
+    // are invisible to releaseAll — they must be freed on the error path
+    val ex = intercept[RuntimeException] {
+      OpCaches.scoped {
+        val pairs = Dedup.minhashLshPairs(dupHeavyDocs(), $"text", $"doc_id",
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        pairs.count() // materialize so the persists are live blocks
+        throw new RuntimeException("build failed")
+      }
+    }
+    assert(ex.getMessage == "build failed")
+    assert(OpCaches.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "a failed scoped build must not leak unreleasable caches")
+  }
+
   test("releaseAll is idempotent and results recompute correctly after release") {
     freshStart()
     import spark.implicits._

@@ -185,4 +185,28 @@ class VideoMetaSpec extends AnyFunSuite with SparkSpec {
     val Some((sizes, _)) = VideoMeta.parseSampleIndex(uni)
     assert(sizes.toSeq == Seq(4, 4, 4))
   }
+
+  test("crafted stsz counts and sizes are declined before any allocation") {
+    val frames = Array(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6))
+    val mp4 = VideoMeta.encodeMp4WithSamples(64, 64, 600L, 50L, frames)
+    val idx = mp4.indices.find(i => i + 4 <= mp4.length &&
+      mp4(i) == 's' && mp4(i + 1) == 't' && mp4(i + 2) == 's' && mp4(i + 3) == 'z').get
+    // stsz body at idx+4: sample_size at idx+8, sample_count at idx+12,
+    // per-sample table at idx+16.
+    // count = 2^30 with uniform size 1: would be a ~4 GiB Array.fill if
+    // the count weren't validated against the payload — must decline
+    val hugeCount = mp4.clone()
+    hugeCount(idx + 8 + 3) = 1 // uniform sample_size = 1
+    hugeCount(idx + 12) = 0x40.toByte
+    hugeCount(idx + 13) = 0; hugeCount(idx + 14) = 0; hugeCount(idx + 15) = 0
+    assert(VideoMeta.parseSampleIndex(hugeCount).isEmpty,
+      "a sample count exceeding the container must yield no sample index")
+    // a table entry with the top bit set reads as a NEGATIVE Int size: it
+    // shrinks the mdat total (passing the overrun check) and then feeds
+    // from > to bounds into the frame slicer — must be declined here
+    val negSize = mp4.clone()
+    negSize(idx + 16) = 0x80.toByte
+    assert(VideoMeta.parseSampleIndex(negSize).isEmpty,
+      "negative per-sample sizes must be declined")
+  }
 }

@@ -171,11 +171,17 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("a", "b"), "__z must not leak")
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.sorted.toSeq == rows.sorted, "clustering must not drop/dup rows")
-    // range partitioning on z: partition ids are globally ordered by z
+    // range partitioning on z: partition ids are globally ordered by z.
+    // Recompute z with the DATA's min/max (what cluster() derives) — a
+    // seeded sample rarely spans the full [0,1000) domain, and assumed
+    // bounds shift bucket edges enough to flip top Morton bits.
+    val (aMin, aMax) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (bMin, bMax) = (rows.map(_._2).min, rows.map(_._2).max)
     val zmaxMin = out
       .select(spark_partition_id().as("pid"),
         ZOrder.zvalue(
-          ZOrder.bucket($"a", 0L, 999L, 8), ZOrder.bucket($"b", 0L, 999L, 8)).as("z"))
+          ZOrder.bucket($"a", aMin, aMax, 8),
+          ZOrder.bucket($"b", bMin, bMax, 8)).as("z"))
       .groupBy($"pid").agg(min($"z").as("zmin"), max($"z").as("zmax"))
       .orderBy($"pid").collect()
     zmaxMin.sliding(2).foreach {
