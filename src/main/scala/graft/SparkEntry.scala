@@ -493,6 +493,55 @@ object SparkEntry {
         .orderBy($"user_id", $"session_id")
     }),
 
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      // Conversion funnel view → click → purchase with GREEDY
+      // earliest-completion semantics: step k's time is the user's first
+      // step-k event strictly after step k-1's time (the standard,
+      // well-defined funnel — not "any subsequence"). One shuffle: all
+      // three step times come from unbounded per-user windows over the
+      // SAME partitioning (user-bounded groups, no whole-dataset sort),
+      // then a 3-row summary agg.
+      val w = Window.partitionBy($"user_id")
+      val steps = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        .groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+      steps
+        .select(explode(array(
+          struct(lit("step1_view").as("step"), $"t1".isNotNull.as("hit")),
+          struct(lit("step2_click").as("step"), $"t2".isNotNull.as("hit")),
+          struct(lit("step3_purchase").as("step"), $"t3".isNotNull.as("hit"))))
+          .as("s"))
+        .groupBy($"s.step".as("step"))
+        .agg(sum(when($"s.hit", 1L).otherwise(0L)).as("n_users"))
+        .orderBy($"step")
+    }),
+
+    "q_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      // Cohort retention grid: cohort = ISO week (Monday trunc) of the
+      // user's FIRST event; cell (cohort, k) = distinct cohort users
+      // active k weeks later. Both aggs shuffle on user_id, so the
+      // enrich join is co-partitioned with the first-event agg; the grid
+      // agg output is weeks² — tiny at any scale.
+      val e = Tables.events(s, dir).select($"user_id", $"ts")
+      val firstWeek = e.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cw"))
+      e.join(firstWeek, Seq("user_id"))
+        .select($"user_id", $"cw".cast(DateType).as("cohort_week"),
+          (datediff(date_trunc("week", $"ts"), $"cw") / lit(7))
+            .cast(LongType).as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
     "q_zorder" -> ((s, dir) => {
       import s.implicits._
       // z-order layout primitive checked end-to-end: equal-width bucket
@@ -1745,6 +1794,35 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'step1_view' AS step, count(*) AS n_users FROM t1
+        |UNION ALL SELECT 'step2_click', count(*) FROM t2
+        |UNION ALL SELECT 'step3_purchase', count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH fu AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(fu.cw AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', fu.cw, date_trunc('week', e.ts)) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fu ON e.user_id = fu.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH flagged AS (
