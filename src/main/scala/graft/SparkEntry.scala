@@ -1662,6 +1662,122 @@ object SparkEntry {
         .select($"id_a", $"id_b", $"hamming".cast(LongType).as("hamming"))
         .orderBy($"id_a", $"id_b")
     }),
+
+    "q_containment" -> ((s, dir) => {
+      import s.implicits._
+      // Containment scoring over the verified near-dup candidate set:
+      // for each LSH pair the ASYMMETRIC containment C(A in B) =
+      // |A∩B|/|A| separates symmetric near-dups (both sides ≈ J) from
+      // subset/quote relations (the contained side → 1.0) — the measure
+      // doc-level Jaccard can't express. Shingle sets are the same
+      // distinct 64-bit hash domain the verify uses (set algebra over
+      // hashes equals set algebra over shingle strings, collision odds
+      // documented in §6); the slim pair list broadcasts into the two
+      // set fetches, so the corpus is never shuffled. Scope: candidates
+      // come from the J >= 0.5 banding — a needle-in-haystack subset
+      // (tiny A inside huge B, J << 0.5) needs A-side-only banding,
+      // which is q_dedup_substring's territory.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, $"text", $"doc_id",
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        .select($"id_a", $"id_b", $"jaccard")
+      val sets = docs.select($"doc_id",
+        graft.plans.Signatures.shingleHashes(TextFns.tokens($"text"), 2).as("sh"))
+      sets.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+        .join(sets.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+          .join(broadcast(pairs), Seq("id_a")), Seq("id_b"))
+        .select($"id_a", $"id_b", $"jaccard",
+          round(size(array_intersect($"sh_a", $"sh_b"))
+            .cast(DoubleType) / size($"sh_a"), 6).as("cont_a"),
+          round(size(array_intersect($"sh_a", $"sh_b"))
+            .cast(DoubleType) / size($"sh_b"), 6).as("cont_b"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "q_attribution" -> ((s, dir) => {
+      import s.implicits._
+      // Last-touch conversion attribution: each purchase credits the
+      // user's most recent prior view/click (inclusive) within a 3-day
+      // lookback, unmatched purchases fall in the 'none' lane. Runs on
+      // the as-of operator — one key shuffle + one sort — never a
+      // per-purchase range probe. Touches are collapsed to one row per
+      // (user, ts) (highest event_id wins) BEFORE the join so both
+      // engines resolve timestamp ties identically.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", dec2($"value").as("value"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"event_type", $"event_id").as("touch_type"))
+      operators.AsOfJoin.backward(purchases, touches,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("touch_type"), tolerance = Some("INTERVAL 3 DAY"))
+        .groupBy(coalesce($"asof_touch_type", lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum($"value").as("attributed_value"))
+        .orderBy($"touch_type")
+    }),
+
+    "q_path_transitions" -> ((s, dir) => {
+      import s.implicits._
+      // Session path analysis — the Markov-transition view of the event
+      // log: consecutive event pairs within a 30-minute-gap session
+      // (same convention as the sessionizer: same-session iff the gap is
+      // <= 30 min), counted per (from, to). One per-user window on one
+      // key shuffle; transitions never cross a session break, and the
+      // output is at most |event_type|² rows at any corpus size.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .filter($"prev_type".isNotNull &&
+          $"ts" <= $"prev_ts" + expr("INTERVAL 30 MINUTE"))
+        .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
+    "q_rfm" -> ((s, dir) => {
+      import s.implicits._
+      // RFM segmentation: per-customer recency/frequency/monetary from
+      // ONE orders pass, quartile scores assigned by comparing each
+      // metric against exact-percentile thresholds broadcast from a
+      // 1-row agg — never a global ntile (an unpartitioned window puts
+      // every customer on a single task; threshold assignment stays in
+      // the scan stage at any scale). All three metrics live in integer
+      // domains (days, counts, cents), where linear-interpolated
+      // percentiles are bit-equal across engines ((n-1)·q has an exact
+      // binary fraction and integer deltas scale exactly), so the
+      // quartile comparisons — and the hash — match. q=1 is the lowest
+      // quartile of each metric (for recency: the most recent).
+      val cust = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("f"),
+          sum(dec2($"o_totalprice")).as("m"))
+      val anchored = cust
+        .crossJoin(broadcast(cust.agg(max($"last_order").as("anchor"))))
+        .select($"o_custkey",
+          datediff($"anchor", $"last_order").cast(LongType).as("r_days"),
+          $"f", ($"m" * 100).cast(LongType).as("m_cents"), $"m")
+      val th = anchored.agg(
+        expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("rth"),
+        expr("percentile(f, array(0.25, 0.5, 0.75))").as("fth"),
+        expr("percentile(m_cents, array(0.25, 0.5, 0.75))").as("mth"))
+      def q(v: Column, t: Column): Column =
+        (lit(1) + when(v > t.getItem(0), 1).otherwise(0)
+          + when(v > t.getItem(1), 1).otherwise(0)
+          + when(v > t.getItem(2), 1).otherwise(0)).cast(LongType)
+      anchored.crossJoin(broadcast(th))
+        .select(q($"r_days", $"rth").as("r_q"), q($"f", $"fth").as("f_q"),
+          q($"m_cents", $"mth").as("m_q"), $"m")
+        .groupBy($"r_q", $"f_q", $"m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum($"m").as("total_monetary"))
+        .orderBy($"r_q", $"f_q", $"m_q")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2898,6 +3014,76 @@ object SparkEntry {
         |FROM fbits a JOIN fbits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Same brute-force CTE chain as the minhash oracles; the inter/cnt
+    // CTEs it already derives give containment directly (i/|A|, i/|B|)
+    // over the same distinct-shingle domain.
+    "q_containment" ->
+      s"""WITH $minhashPairCtes
+        |SELECT p.id_a, p.id_b, p.jaccard,
+        |  round(CAST(i.i AS DOUBLE) / ca.n, 6) AS cont_a,
+        |  round(CAST(i.i AS DOUBLE) / cb.n, 6) AS cont_b
+        |FROM pairs p
+        |JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |JOIN cnt ca ON ca.doc_id = p.id_a
+        |JOIN cnt cb ON cb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // DuckDB's native ASOF JOIN replays the as-of operator; the 3-day
+    // tolerance is the same inclusive bound applied as a post-filter.
+    "q_attribution" ->
+      """WITH p AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.value,
+        |    CASE WHEN t.ts IS NOT NULL AND t.ts >= p.ts - INTERVAL 3 DAY
+        |      THEN t.touch_type ELSE 'none' END AS touch_type
+        |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts)
+        |SELECT touch_type, count(*) AS n_purchases,
+        |  CAST(sum(value) AS DOUBLE) AS attributed_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_path_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER w AS from_type,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT from_type, event_type AS to_type,
+        |  count(*) AS n_transitions, count(DISTINCT user_id) AS n_users
+        |FROM x
+        |WHERE from_type IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTE
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_rfm" ->
+      """WITH c AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS f,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', last_order, (SELECT max(last_order) FROM c)) AS r_days,
+        |    f, CAST(m * 100 AS BIGINT) AS m_cents, m
+        |  FROM c),
+        |t AS (SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rth,
+        |  quantile_cont(f, [0.25, 0.5, 0.75]) AS fth,
+        |  quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mth FROM a)
+        |SELECT
+        |  CAST(1 + (r_days > rth[1])::INT + (r_days > rth[2])::INT
+        |    + (r_days > rth[3])::INT AS BIGINT) AS r_q,
+        |  CAST(1 + (f > fth[1])::INT + (f > fth[2])::INT
+        |    + (f > fth[3])::INT AS BIGINT) AS f_q,
+        |  CAST(1 + (m_cents > mth[1])::INT + (m_cents > mth[2])::INT
+        |    + (m_cents > mth[3])::INT AS BIGINT) AS m_q,
+        |  count(*) AS n_customers,
+        |  CAST(sum(m) AS DOUBLE) AS total_monetary
+        |FROM a, t
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
   ) ++
     // data-dependent oracles: only emittable once the query has trained
     // its quantizer for the dir being verified (see ivfModel/topicModel) —
