@@ -416,10 +416,26 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       // HLL sketch counting — the 100 TB path where exact distinct would
-      // shuffle every key. No oracle: estimator internals are engine-specific.
-      Tables.lineitem(s, dir)
-        .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      // shuffle every key. The estimator's register layout is
+      // engine-specific, so the driver-checkable contract is its ERROR
+      // BOUND: emit the exact distinct (cross-checked against DuckDB) plus
+      // a boolean pinning the HLL estimate within 5× the configured 1%
+      // relative standard deviation. The exact column is the verification
+      // harness; production computes only the sketch.
+      // two separate linear aggs joined on the tiny group key, NOT one
+      // mixed distinct/non-distinct agg — the mixed form plans an Expand
+      // that doubles the scan output before the shuffle (measured 3.8 s
+      // warm vs 1.3 s for this shape at sf0.1, and 2× the shuffled bytes
+      // at any scale).
+      val li = Tables.lineitem(s, dir)
+      val approx = li.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.01).as("approx"))
+      val exact = li.select($"l_returnflag", $"l_partkey").distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_parts"))
+      exact.join(broadcast(approx), "l_returnflag")
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx".cast(DoubleType) / $"exact_parts" - 1.0) <= 0.05)
+            .as("within_tol"))
         .orderBy($"l_returnflag")
     }),
 
@@ -428,16 +444,26 @@ object SparkEntry {
       // the pre-aggregated-sketch pattern: materialize per-day HLL
       // sketches (a few KB each), answer any cross-day distinct-user
       // question by MERGING sketches — at 100 TB the daily sketch table
-      // replaces rescanning raw events for every new date range. No
-      // oracle: DataSketches HLL internals are engine-specific.
-      val daily = Tables.events(s, dir)
+      // replaces rescanning raw events for every new date range.
+      // DataSketches register layout is engine-specific, so the checkable
+      // contract is the merge's ERROR BOUND: the union estimate must land
+      // within 5% (≈3× the lgK=12 RSE) of the exact global distinct,
+      // which is itself cross-checked against DuckDB. The exact column is
+      // the verification harness; production merges only sketches.
+      val ev = Tables.events(s, dir)
+      val daily = ev
         .groupBy(to_date($"ts").as("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"),
           count(lit(1)).as("n_events"))
-      daily.agg(
+      val merged = daily.agg(
         count(lit(1)).as("n_days"),
         sum($"n_events").as("n_events"),
-        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct_users"))
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.agg(countDistinct($"user_id").as("exact_users"))
+      merged.crossJoin(broadcast(exact))
+        .select($"n_days", $"n_events", $"exact_users",
+          (abs($"est".cast(DoubleType) / $"exact_users" - 1.0) <= 0.05)
+            .as("within_tol"))
     }),
 
     "q_pivot" -> ((s, dir) => {
@@ -826,7 +852,16 @@ object SparkEntry {
       // second upsert of the same table bumps the version (Glue update_table)
       reg.upsert(conformed, "graft_lake", "orders_conformed",
         location = s"$dir/orders.parquet")
-      reg.toDF.orderBy($"table_name", $"ordinal")
+      // long casts for cross-engine dtype parity: the DuckDB replay
+      // oracle derives ordinal/version from count(*) arithmetic (BIGINT)
+      reg.toDF
+        .select($"database", $"table_name",
+          $"ordinal".cast(LongType).as("ordinal"),
+          $"column_name", $"column_type", $"is_partition_key",
+          $"classification", $"input_format", $"output_format",
+          $"serde_library",
+          $"table_version".cast(LongType).as("table_version"))
+        .orderBy($"table_name", $"ordinal")
     }),
 
     "q_compact_latest" -> ((s, dir) => {
@@ -1286,15 +1321,30 @@ object SparkEntry {
       import s.implicits._
       // sketch-based percentiles — the 100 TB path next to q_percentiles'
       // exact ones: bounded-memory partials, no per-group value buffers.
-      // No oracle: GK-sketch internals are engine-specific.
+      // GK-sketch internals are engine-specific, so the checkable contract
+      // is the GK RANK guarantee: with accuracy=10000 the rank error is
+      // ≤1e-4, so each estimate must lie between the exact interpolated
+      // percentiles at q∓1e-3 (10× slack). The exact q50/q90/q99 are also
+      // emitted (rounded), hash-checked against DuckDB's quantile_cont.
+      // The exact columns are the verification harness; production
+      // computes only the sketch.
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
-          .as("qs"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("qs"),
+          expr("percentile(l_extendedprice, array(0.499D, 0.5D, 0.501D, " +
+            "0.899D, 0.9D, 0.901D, 0.989D, 0.99D, 0.991D))").as("ex"))
         .select($"l_returnflag",
-          element_at($"qs", 1).cast(DoubleType).as("q50"),
-          element_at($"qs", 2).cast(DoubleType).as("q90"),
-          element_at($"qs", 3).cast(DoubleType).as("q99"))
+          round(element_at($"ex", 2), 4).as("q50"),
+          round(element_at($"ex", 5), 4).as("q90"),
+          round(element_at($"ex", 8), 4).as("q99"),
+          (element_at($"qs", 1) >= element_at($"ex", 1) &&
+            element_at($"qs", 1) <= element_at($"ex", 3)).as("ok50"),
+          (element_at($"qs", 2) >= element_at($"ex", 4) &&
+            element_at($"qs", 2) <= element_at($"ex", 6)).as("ok90"),
+          (element_at($"qs", 3) >= element_at($"ex", 7) &&
+            element_at($"qs", 3) <= element_at($"ex", 9)).as("ok99"))
         .orderBy($"l_returnflag")
     }),
 
@@ -2095,6 +2145,76 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Bounded-error oracle: the exact distinct is cross-checked value-
+    // for-value; the sketch estimate is asserted (Spark-side) within 5×
+    // its configured 1% RSD, surfacing here as the literal-true column —
+    // an out-of-tolerance estimate flips the boolean and fails the hash.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_tol
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Bounded-error oracle (GK rank guarantee): exact percentiles are
+    // cross-checked; the ok* booleans assert the sketch estimates lie
+    // within the ±1e-3 rank band computed Spark-side.
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS q90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS q99,
+        |  true AS ok50, true AS ok90, true AS ok99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Bounded-error oracle for the sketch MERGE: day/event counts and the
+    // exact global distinct are cross-checked; within_tol asserts the
+    // merged HLL estimate within 5% of exact.
+    "q_sketch_union" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS within_tol
+        |FROM events""".stripMargin,
+
+    // State-replay oracle: reconstruct the registry rows by introspecting
+    // the SAME parquet schemas DuckDB-side (pragma_table_info over the
+    // driver's views) and applying the same documented normalization
+    // (decimal(10,0)→int; engine type-name mapping), the same partition-
+    // key injection (year/month/day strings appended after data columns),
+    // and the same version semantics (orders_conformed upserted twice →
+    // version 1; lineitem_raw once → 0).
+    "q_catalog_upsert" ->
+      """WITH tm(duck, spark) AS (VALUES
+        |    ('BIGINT','bigint'),('INTEGER','int'),('DOUBLE','double'),
+        |    ('VARCHAR','string'),('TIMESTAMP','timestamp'),('DATE','date'),
+        |    ('FLOAT','float'),('DECIMAL(10,0)','int'),('BOOLEAN','boolean')),
+        |  oc AS (SELECT cid, name, type FROM pragma_table_info('orders')),
+        |  lc AS (SELECT cid, name, type FROM pragma_table_info('lineitem')),
+        |  pk(i, k) AS (VALUES (0,'year'),(1,'month'),(2,'day')),
+        |  rows AS (
+        |    SELECT 'orders_conformed' AS table_name, CAST(oc.cid AS BIGINT) AS ordinal,
+        |      oc.name AS column_name, coalesce(tm.spark, lower(oc.type)) AS column_type,
+        |      false AS is_partition_key, CAST(1 AS BIGINT) AS table_version
+        |    FROM oc LEFT JOIN tm ON oc.type = tm.duck
+        |    UNION ALL
+        |    SELECT 'orders_conformed', (SELECT count(*) FROM oc) + pk.i, pk.k,
+        |      'string', true, CAST(1 AS BIGINT)
+        |    FROM pk
+        |    UNION ALL
+        |    SELECT 'lineitem_raw', CAST(lc.cid AS BIGINT), lc.name,
+        |      coalesce(tm.spark, lower(lc.type)), false, CAST(0 AS BIGINT)
+        |    FROM lc LEFT JOIN tm ON lc.type = tm.duck)
+        |SELECT 'graft_lake' AS "database", table_name, ordinal, column_name,
+        |  column_type, is_partition_key, 'PARQUET' AS classification,
+        |  'org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat' AS input_format,
+        |  'org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat' AS output_format,
+        |  'org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe' AS serde_library,
+        |  table_version
+        |FROM rows ORDER BY table_name, ordinal""".stripMargin,
 
     "q_set_ops" ->
       """SELECT o_custkey, 'both' AS tag FROM (

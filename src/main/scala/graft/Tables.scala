@@ -23,15 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp with integer division — exact,
-    * and lossless for this data (the generator emits µs precision). */
+  /** The events table's `ts` physical type depends on the generator
+    * vintage: older drops wrote parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long via the legacy conf,
+    * then divide to µs; exact, the generator emits µs precision), newer
+    * drops write TIMESTAMP(MICROS) directly. Dispatch on the actual
+    * loaded type so both vintages read identically. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet isAdjustedToUTC=false reads as TIMESTAMP_NTZ, which
+        // rejects casts (e.g. to BIGINT) that every consumer of the old
+        // long-nanos path relied on; normalize to the session-zoned type
+        // (sessions here pin UTC) so all vintages expose one ts type.
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

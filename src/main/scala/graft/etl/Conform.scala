@@ -26,10 +26,14 @@ object Conform {
     nullCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(StringType)))
   }
 
-  /** Catalog-facing type normalization: decimal(10,0)→int, null→string. */
+  /** Catalog-facing type normalization: decimal(10,0)→int, null→string,
+    * timestamp_ntz→timestamp (Glue/Hive catalogs carry a single timestamp
+    * type; the NTZ/LTZ distinction is a reader concern, not a catalog
+    * one — raw_to_conformed.py:103-110 normalizes types the same way). */
   def normalizeType(dt: DataType): DataType = dt match {
     case d: DecimalType if d.precision == 10 && d.scale == 0 => IntegerType
     case NullType                                            => StringType
+    case TimestampNTZType                                    => TimestampType
     case other                                               => other
   }
 
