@@ -191,6 +191,45 @@ object SparkEntry {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** Replays q_semantic_dedup in SQL with the trained centroid literals:
+    * the same assignment ladder as [[kmeansOracle]], then within-cell
+    * pairs at rounded cosine >= 0.3 and the min-lower-id removal rule. */
+  private def semanticDedupOracle(m: operators.IvfAnn.Model): String = {
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |dots AS (
+       |  SELECT e.vec_id, ctr.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM embeddings e, ctr),
+       |rc AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rk
+       |  FROM dots),
+       |asg AS (
+       |  SELECT e.vec_id, rc.cell, e.embedding AS emb
+       |  FROM embeddings e JOIN rc ON rc.vec_id = e.vec_id AND rc.rk = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id > a.vec_id
+       |  WHERE round(
+       |      list_sum(list_transform(range(1, len(a.emb) + 1),
+       |        i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |           i -> CAST(a.emb[i] AS DOUBLE) * CAST(a.emb[i] AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1),
+       |           i -> CAST(b.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))))
+       |    , 6) >= 0.3),
+       |d AS (SELECT ib AS vec_id, min(ia) AS dup_of FROM pairs GROUP BY 1)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  coalesce(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS kept
+       |FROM asg a LEFT JOIN d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Replays IvfAnn.topK in SQL with the trained centroids as DOUBLE[]
     * literals: per-vector cell dots as the same sequential left fold the
     * codegen kernel runs, assignment = rank-1 cell (ties toward the lower
@@ -986,6 +1025,48 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_record_linkage" -> ((s, dir) => {
+      import s.implicits._
+      // entity resolution with multi-pass blocking: candidates from the
+      // union of two cheap blocking keys (first-name-token+brand,
+      // type+size) with oversized blocks purged, then field-weighted
+      // scoring (trigram-Jaccard name + brand equality + size closeness)
+      // only on block-local pairs — never all-pairs. The oracle replays
+      // blocking, purging, and the weighted score brute-force in SQL.
+      operators.RecordLinkage.linkParts(Tables.part(s, dir), threshold = 0.9)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // SemDeDup (cluster-then-prune, the public recipe): k-means cells
+      // from the SAME deterministic quantizer as q_ann_ivf, then cosine
+      // pruning ONLY within cells — the comparisons are cell-equi-join
+      // local, so the pair space is corpus²/k, not corpus². Cross-cell
+      // near-dups are the documented recall tradeoff (k is the knob; a
+      // production run uses k ~ sqrt(corpus)). Removal rule: a vector is
+      // removed iff a lower-id same-cell vector matches at cosine>=0.3;
+      // dup_of = the lowest such id (deterministic, non-transitive).
+      // Oracle: trained-centroid literals + the same assignment/pair
+      // replay in SQL.
+      val m = ivfModel(s, dir)
+      val v = Tables.embeddings(s, dir).select($"vec_id", $"embedding",
+        operators.IvfAnn.assignCell($"embedding", m).as("cell"))
+      val pairs = v.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"cell")
+        .join(v.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"cell"),
+          Seq("cell"))
+        .filter($"id_a" < $"id_b")
+        .filter(VectorFns.cosine6($"emb_a", $"emb_b") >= 0.3)
+      val dupOf = pairs.groupBy($"id_b".as("vec_id"))
+        .agg(min($"id_a").as("dup_of"))
+      v.select($"vec_id", $"cell".cast(LongType).as("cell"))
+        .join(dupOf, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell",
+          coalesce($"dup_of", lit(-1L)).as("dup_of"),
+          $"dup_of".isNull.as("kept"))
+        .orderBy($"vec_id")
+    }),
+
     "q_edit_distance" -> ((s, dir) => {
       import s.implicits._
       // fuzzy matching surface: Levenshtein distance between neighboring
@@ -1372,6 +1453,54 @@ object SparkEntry {
           count(when(abs($"z") > 2.5, 1)).as("n_outliers"),
           round(max($"z"), 4).as("max_z"))
         .orderBy($"l_returnflag")
+    }),
+
+    "q_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      // robust anomaly detection: median + MAD (median absolute
+      // deviation), the heavy-tail-safe complement of q_outliers'
+      // moment-based z-score (one wild value shifts mean AND sd; the
+      // median/MAD cutoff doesn't move). Two percentile aggregations
+      // (median, then MAD over |x-median| with the 3-row stats
+      // broadcast back over the scan), outliers counted map-side —
+      // never a window over the whole group. The 1.4826 factor is the
+      // standard normal-consistency constant (MAD·1.4826 ≈ σ).
+      val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      val med = li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val mad = li.join(broadcast(med), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(first($"med").as("med"),
+          expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
+      li.join(broadcast(mad), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(first($"med"), 4).as("median"),
+          round(first($"mad"), 4).as("mad"),
+          sum(when(abs($"l_extendedprice" - $"med") > lit(3 * 1.4826) * $"mad",
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_stratified_kfold" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic hash-stratified k-fold: fold = md5-bucket(doc_id)
+      // mod 5 — stable under re-runs, repartitioning, and corpus growth
+      // (a doc's fold never changes when neighbors arrive, unlike
+      // row_number() mod k), and reproducible outside the engine. The
+      // grid reports per-(stratum, fold) counts + id checksums; the
+      // assignment itself is a scan-stage expression, so splitting at
+      // 100 TB is a filter, not a shuffle.
+      Tables.documents(s, dir)
+        .select($"lang", $"doc_id",
+          (operators.Sampling.hashBucket($"doc_id", 100) % 5).cast(LongType)
+            .as("fold"))
+        .groupBy($"lang", $"fold")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_id"),
+          max($"doc_id").as("max_id"),
+          sum($"doc_id").as("sum_id"))
+        .orderBy($"lang", $"fold")
     }),
 
     "q_bm25" -> ((s, dir) => {
@@ -2409,6 +2538,67 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
 
+    // Brute-force replay of the multi-pass-blocked linkage: same two
+    // blocking keys, same >1000-row block purge (HAVING), same weighted
+    // score. Spark's trigram Jaccard runs in the 64-bit hash domain, the
+    // oracle over gram strings — equal modulo ~1e-13/pair collisions.
+    "q_record_linkage" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name, p_brand, p_type, p_size,
+        |    split_part(p_name, ' ', 1) AS tok0 FROM part),
+        |ka AS (SELECT tok0, p_brand FROM p GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |ca AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.tok0 = b.tok0
+        |    AND a.p_brand = b.p_brand AND b.id > a.id
+        |    JOIN ka ON ka.tok0 = a.tok0 AND ka.p_brand = a.p_brand),
+        |kb AS (SELECT p_type, p_size FROM p GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cb AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.p_type = b.p_type
+        |    AND a.p_size = b.p_size AND b.id > a.id
+        |    JOIN kb ON kb.p_type = a.p_type AND kb.p_size = a.p_size),
+        |cand AS (SELECT ia, ib FROM ca UNION SELECT ia, ib FROM cb),
+        |sh AS (SELECT id, p_brand, p_size,
+        |    list_distinct(list_transform(range(1, length(p_name) - 1),
+        |      i -> substr(p_name, CAST(i AS INT), 3))) AS s
+        |  FROM p),
+        |scored AS (SELECT ia, ib,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac,
+        |    CASE WHEN sa.p_brand = sb.p_brand THEN 1.0 ELSE 0.0 END AS beq,
+        |    greatest(0.0, 1.0 - abs(sa.p_size - sb.p_size) / 10.0) AS scl
+        |  FROM cand JOIN sh sa ON sa.id = ia JOIN sh sb ON sb.id = ib)
+        |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS name_sim,
+        |  round(0.6 * jac + 0.2 * beq + 0.2 * scl, 6) AS score
+        |FROM scored
+        |WHERE round(0.6 * jac + 0.2 * beq + 0.2 * scl, 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Median/MAD replay: quantile_cont matches Spark's exact interpolated
+    // percentile (frac=0.5 is binary-exact); the cutoff comparison uses
+    // the same unrounded med/mad and the same (3 * 1.4826) product, so
+    // the boundary arithmetic is bit-identical across engines.
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT l.l_returnflag, any_value(m.med) AS med,
+        |    quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        |  FROM lineitem l JOIN med m USING (l_returnflag) GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n_rows,
+        |  round(any_value(a.med), 4) AS median,
+        |  round(any_value(a.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(l.l_extendedprice - a.med) > (3 * 1.4826) * a.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN st a USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // md5-bucket fold assignment, identical arithmetic to the engine's
+    // hashBucket (first 8 md5 hex chars as a number, mod 100, mod 5).
+    "q_stratified_kfold" ->
+      """WITH f AS (SELECT lang, doc_id,
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 100) % 5 AS fold
+        |  FROM documents)
+        |SELECT lang, fold, count(*) AS n_docs, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Brute-force all-pairs word-2-shingle Jaccard at the driver's scale
     // (500 docs ≈ 125k pairs — the shared-shingle join prunes to pairs
     // with inter > 0, which J >= 0.5 requires anyway). Value-equal to the
@@ -3209,6 +3399,7 @@ object SparkEntry {
     // its quantizer for the dir being verified (see ivfModel/topicModel) —
     // absent, the driver records the weaker rows-only check it always did
     Option(lastIvfModel).map(m => "q_ann_ivf" -> ivfOracle(m)) ++
+    Option(lastIvfModel).map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
     Option(lastTopicModel).map(m => "q_kmeans_topics" -> kmeansOracle(m))
 
   /** Shared CTE prefix for the audio-fingerprint oracles: synthetic
