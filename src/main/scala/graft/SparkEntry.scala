@@ -1047,23 +1047,12 @@ object SparkEntry {
       // production run uses k ~ sqrt(corpus)). Removal rule: a vector is
       // removed iff a lower-id same-cell vector matches at cosine>=0.3;
       // dup_of = the lowest such id (deterministic, non-transitive).
-      // Oracle: trained-centroid literals + the same assignment/pair
-      // replay in SQL.
-      val m = ivfModel(s, dir)
-      val v = Tables.embeddings(s, dir).select($"vec_id", $"embedding",
-        operators.IvfAnn.assignCell($"embedding", m).as("cell"))
-      val pairs = v.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"cell")
-        .join(v.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"cell"),
-          Seq("cell"))
-        .filter($"id_a" < $"id_b")
-        .filter(VectorFns.cosine6($"emb_a", $"emb_b") >= 0.3)
-      val dupOf = pairs.groupBy($"id_b".as("vec_id"))
-        .agg(min($"id_a").as("dup_of"))
-      v.select($"vec_id", $"cell".cast(LongType).as("cell"))
-        .join(dupOf, Seq("vec_id"), "left")
-        .select($"vec_id", $"cell",
-          coalesce($"dup_of", lit(-1L)).as("dup_of"),
-          $"dup_of".isNull.as("kept"))
+      // Exact-dup cliques collapse to one representative when duplicates
+      // dominate (output-identical, SimilaritySpec) — the same guard the
+      // LSH dedup pipelines carry. Oracle: trained-centroid literals +
+      // the same assignment/pair replay in SQL.
+      operators.Similarity.semanticDedup(
+          Tables.embeddings(s, dir), ivfModel(s, dir), threshold = 0.3)
         .orderBy($"vec_id")
     }),
 
@@ -2539,21 +2528,40 @@ object SparkEntry {
         |ORDER BY id_a""".stripMargin,
 
     // Brute-force replay of the multi-pass-blocked linkage: same two
-    // blocking keys, same >1000-row block purge (HAVING), same weighted
-    // score. Spark's trigram Jaccard runs in the 64-bit hash domain, the
-    // oracle over gram strings — equal modulo ~1e-13/pair collisions.
+    // blocking keys, same hot-block degrade (blocks over 256 rows pair
+    // only sorted-(name,id) neighbors instead of all-pairs), same
+    // weighted score. Spark's trigram Jaccard runs in the 64-bit hash
+    // domain, the oracle over gram strings — equal modulo ~1e-13/pair
+    // collisions.
     "q_record_linkage" ->
       """WITH p AS (SELECT p_partkey AS id, p_name, p_brand, p_type, p_size,
         |    split_part(p_name, ' ', 1) AS tok0 FROM part),
-        |ka AS (SELECT tok0, p_brand FROM p GROUP BY 1, 2 HAVING count(*) <= 1000),
-        |ca AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.tok0 = b.tok0
+        |na AS (SELECT tok0, p_brand, count(*) AS n FROM p GROUP BY 1, 2),
+        |caf AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.tok0 = b.tok0
         |    AND a.p_brand = b.p_brand AND b.id > a.id
-        |    JOIN ka ON ka.tok0 = a.tok0 AND ka.p_brand = a.p_brand),
-        |kb AS (SELECT p_type, p_size FROM p GROUP BY 1, 2 HAVING count(*) <= 1000),
-        |cb AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.p_type = b.p_type
+        |    JOIN na ON na.tok0 = a.tok0 AND na.p_brand = a.p_brand AND na.n <= 256),
+        |caw AS (SELECT p.id, p.tok0, p.p_brand, p.p_name,
+        |    row_number() OVER (PARTITION BY p.tok0, p.p_brand
+        |      ORDER BY p.p_name, p.id) AS rn
+        |  FROM p JOIN na ON na.tok0 = p.tok0 AND na.p_brand = p.p_brand
+        |  WHERE na.n > 256),
+        |can AS (SELECT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib
+        |  FROM caw a JOIN caw b ON a.tok0 = b.tok0 AND a.p_brand = b.p_brand
+        |    AND b.rn = a.rn + 1),
+        |nb AS (SELECT p_type, p_size, count(*) AS n FROM p GROUP BY 1, 2),
+        |cbf AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.p_type = b.p_type
         |    AND a.p_size = b.p_size AND b.id > a.id
-        |    JOIN kb ON kb.p_type = a.p_type AND kb.p_size = a.p_size),
-        |cand AS (SELECT ia, ib FROM ca UNION SELECT ia, ib FROM cb),
+        |    JOIN nb ON nb.p_type = a.p_type AND nb.p_size = a.p_size AND nb.n <= 256),
+        |cbw AS (SELECT p.id, p.p_type, p.p_size, p.p_name,
+        |    row_number() OVER (PARTITION BY p.p_type, p.p_size
+        |      ORDER BY p.p_name, p.id) AS rn
+        |  FROM p JOIN nb ON nb.p_type = p.p_type AND nb.p_size = p.p_size
+        |  WHERE nb.n > 256),
+        |cbn AS (SELECT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib
+        |  FROM cbw a JOIN cbw b ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |    AND b.rn = a.rn + 1),
+        |cand AS (SELECT ia, ib FROM caf UNION SELECT ia, ib FROM can
+        |  UNION SELECT ia, ib FROM cbf UNION SELECT ia, ib FROM cbn),
         |sh AS (SELECT id, p_brand, p_size,
         |    list_distinct(list_transform(range(1, length(p_name) - 1),
         |      i -> substr(p_name, CAST(i AS INT), 3))) AS s

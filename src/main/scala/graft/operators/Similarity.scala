@@ -24,6 +24,79 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** SemDeDup (cluster-then-prune): assign each vector to its nearest
+    * k-means cell, then remove every vector that has a LOWER-id same-cell
+    * match at cosine >= threshold; dup_of = the lowest such id. All
+    * comparisons are cell-equi-join local (pair space corpus²/k, k is the
+    * recall/cost knob), never all-pairs.
+    *
+    * Exact-duplicate cliques are the scale hazard: m copies of one
+    * embedding share a cell and alone contribute C(m,2) naive pairs. When
+    * duplicates dominate (same [[Dedup.collapseDupFraction]] heuristic as
+    * the LSH pipelines), the pair work runs on one REPRESENTATIVE per
+    * distinct embedding and member results are derived arithmetically —
+    * output-identical to the naive path (SimilaritySpec pins it), because
+    * with rep_id = min(member id):
+    *  - every member of a clique sits in the rep's cell (same embedding);
+    *  - a member's candidate set is (own clique, if the self-cosine
+    *    qualifies — computed, so zero vectors drop exactly as the naive
+    *    cosine drops them) ∪ (members of matched reps), and the minimal
+    *    candidate below b is min(own rep_id if < b, matched-rep min if
+    *    < b) — member ids never beat their clique's rep_id. */
+  def semanticDedup(vectors: DataFrame, model: IvfAnn.Model,
+                    threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val v = OpCaches.track(vectors.select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nAll = v.count()
+    val reps = OpCaches.track(v.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val collapsed = reps.count() < (nAll * Dedup.collapseDupFraction).toLong
+
+    if (!collapsed) {
+      reps.unpersist(); OpCaches.untrack(reps)
+      val a = v.select(col("vec_id"), col("embedding"),
+        IvfAnn.assignCell(col("embedding"), model).as("cell"))
+      val pairs = a.select(col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("cell"))
+        .join(a.select(col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"), col("cell")), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(VectorFns.cosine6(col("emb_a"), col("emb_b")) >= threshold)
+      val dupOf = pairs.groupBy(col("id_b").as("vec_id"))
+        .agg(min(col("id_a")).as("dup_of"))
+      a.select(col("vec_id"), col("cell").cast(LongType).as("cell"))
+        .join(dupOf, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          col("dup_of").isNull.as("kept"))
+    } else {
+      val r = reps.select(col("rep_id"), col("embedding"),
+        IvfAnn.assignCell(col("embedding"), model).as("cell"),
+        (VectorFns.cosine6(col("embedding"), col("embedding")) >= threshold)
+          .as("intra_ok"))
+      val matched = r.select(col("rep_id"), col("embedding").as("emb_a"),
+          col("cell"))
+        .join(r.select(col("rep_id").as("rep_b"),
+          col("embedding").as("emb_b"), col("cell")), Seq("cell"))
+        .filter(col("rep_id") =!= col("rep_b"))
+        .filter(VectorFns.cosine6(col("emb_a"), col("emb_b")) >= threshold)
+        .groupBy(col("rep_id")).agg(min(col("rep_b")).as("m"))
+      val repInfo = r.select(col("rep_id"), col("embedding"), col("cell"),
+          col("intra_ok"))
+        .join(matched, Seq("rep_id"), "left")
+      v.join(repInfo, Seq("embedding"))
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+          when(col("intra_ok") && col("rep_id") < col("vec_id"), col("rep_id"))
+            .as("own"),
+          when(col("m") < col("vec_id"), col("m")).as("ext"))
+        .select(col("vec_id"), col("cell"),
+          coalesce(least(col("own"), col("ext")), lit(-1L)).as("dup_of"),
+          (col("own").isNull && col("ext").isNull).as("kept"))
+    }
+  }
+
   /** Exact top-k neighbors for each query vector by cosine similarity.
     * Ties broken by candidate id for determinism. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {

@@ -5,6 +5,41 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite with SparkSpec {
 
+  test("semanticDedup: collapsed clique path is output-identical to naive") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf).filter($"vec_id" < 100)
+    val m = graft.operators.IvfAnn.train(base, "vec_id", "embedding", k = 4)
+    // 5 exact copies of each vector (shifted ids) -> duplicates dominate
+    // (100 distinct / 500 rows), so the operator takes the collapsed
+    // path; the expected result is an independent naive cell-self-join
+    // replay below.
+    val dup = (0 until 5).map(i => base.select(
+      ($"vec_id" + org.apache.spark.sql.functions.lit(i * 1000L))
+        .as("vec_id"), $"embedding")).reduce(_ unionAll _)
+    val out = Similarity.semanticDedup(dup, m, threshold = 0.3)
+      .orderBy($"vec_id").collect()
+    // independent naive replay (cell self-join), no collapse
+    val a = dup.select($"vec_id", $"embedding",
+      graft.operators.IvfAnn.assignCell($"embedding", m).as("cell"))
+    val pairs = a.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"cell")
+      .join(a.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"cell"),
+        Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .filter(graft.functions.VectorFns.cosine6($"emb_a", $"emb_b") >= 0.3)
+    val dupOf = pairs.groupBy($"id_b".as("vec_id"))
+      .agg(org.apache.spark.sql.functions.min($"id_a").as("dup_of"))
+    val naive = a.select($"vec_id", $"cell".cast("long").as("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        org.apache.spark.sql.functions.coalesce($"dup_of",
+          org.apache.spark.sql.functions.lit(-1L)).as("dup_of"),
+        $"dup_of".isNull.as("kept"))
+      .orderBy($"vec_id").collect()
+    assert(out.length == naive.length)
+    out.zip(naive).foreach { case (c, n) => assert(c == n, s"$c != $n") }
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("brute-force top-k returns exactly k ranked neighbors per query") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
