@@ -1840,20 +1840,29 @@ object SparkEntry {
       // doc-level Jaccard can't express. Shingle sets are the same
       // distinct 64-bit hash domain the verify uses (set algebra over
       // hashes equals set algebra over shingle strings, collision odds
-      // documented in §6); the slim pair list broadcasts into the two
-      // set fetches, so the corpus is never shuffled. Scope: candidates
-      // come from the J >= 0.5 banding — a needle-in-haystack subset
-      // (tiny A inside huge B, J << 0.5) needs A-side-only banding,
-      // which is q_dedup_substring's territory.
+      // documented in §6). The pair list drives the two set fetches: a
+      // SLIM list broadcasts (corpus never shuffles), but the pair count
+      // is data-dependent — clique-heavy corpora re-expand pairs
+      // quadratically, and an unconditional broadcast is the same 8 GiB
+      // HashedRelation cliff the dedup verify hit in round 7 (measured
+      // here too: sf10 warm 119 s > cold 91 s from broadcast debris).
+      // Same fix: count, then broadcast only under the dedup family's
+      // cutoff, else plain hash joins. Scope: candidates come from the
+      // J >= 0.5 banding — a needle-in-haystack subset (tiny A inside
+      // huge B, J << 0.5) needs A-side-only banding, which is
+      // q_dedup_substring's territory.
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashLshPairs(docs, $"text", $"doc_id",
-          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
-        .select($"id_a", $"id_b", $"jaccard")
+      val (pairs0, nPairs) = Dedup.countedPairs(
+        Dedup.minhashLshPairs(docs, $"text", $"doc_id",
+            shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+          .select($"id_a", $"id_b", $"jaccard"))
+      val pairs = if (nPairs <= Dedup.maxBroadcastCandidates / 10)
+        broadcast(pairs0) else pairs0
       val sets = docs.select($"doc_id",
         graft.plans.Signatures.shingleHashes(TextFns.tokens($"text"), 2).as("sh"))
       sets.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
         .join(sets.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-          .join(broadcast(pairs), Seq("id_a")), Seq("id_b"))
+          .join(pairs, Seq("id_a")), Seq("id_b"))
         .select($"id_a", $"id_b", $"jaccard",
           round(size(array_intersect($"sh_a", $"sh_b"))
             .cast(DoubleType) / size($"sh_a"), 6).as("cont_a"),

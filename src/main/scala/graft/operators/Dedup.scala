@@ -396,6 +396,17 @@ object Dedup {
     * a comfortable build side, far below the 8 GiB HashedRelation cap. */
   val maxBroadcastCandidates: Long = 10000000L
 
+  /** Materialize a pair list under the OpCaches lifecycle and COUNT it,
+    * so a composition query can make the broadcast-vs-hash-join decision
+    * on the measured size instead of assuming "pair lists are slim" —
+    * the round-7 broadcast-cliff guard, exposed for queries that join a
+    * data-dependent pair list back against the corpus (q_containment). */
+  def countedPairs(pairs: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.storage.StorageLevel
+    val p = OpCaches.track(pairs.persist(StorageLevel.MEMORY_AND_DISK))
+    (p, p.count())
+  }
+
   /** Telemetry: the last verify-fetch plan decision as (candidate count,
     * broadcast?). Production pipelines log this per run (a sudden lane
     * flip is the first symptom of a duplication regime change), and the
