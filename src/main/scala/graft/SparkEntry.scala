@@ -1025,6 +1025,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      // graph analytics: PageRank over the part co-purchase graph
+      // (parts sharing an order, baskets capped — per-basket pairs are
+      // quadratic in basket size). Five power iterations as edge-linear
+      // join+agg rounds in exact integer micro-units, so the ranks are
+      // bit-identical to the oracle's unrolled-SQL replay (float
+      // PageRank never hash-matches across engines); top-100 via
+      // TakeOrderedAndProject, never a global sort.
+      val edges = operators.PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), $"l_orderkey", $"l_partkey", maxBasket = 64)
+      operators.PageRank.ranks(edges, iterations = 5)
+        .orderBy($"rank_micro".desc, $"node")
+        .limit(100)
+        .select($"node", $"rank_micro")
+    }),
+
     "q_record_linkage" -> ((s, dir) => {
       import s.implicits._
       // entity resolution with multi-pass blocking: candidates from the
@@ -2535,6 +2552,32 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // Exact integer PageRank replay: same basket cap, same symmetric
+    // edge derivation, and the same micro-unit arithmetic (// is
+    // DuckDB's integer floor division, matching Spark's `div`), with
+    // the five power iterations unrolled as chained CTEs.
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT e.dst AS node,
+           |    CAST(b.base + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+           |  FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+           |  CROSS JOIN b
+           |  GROUP BY e.dst, b.base)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 64),
+         |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+         |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+         |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |b AS (SELECT CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS base,
+         |    CAST(1000000000000 // count(*) AS BIGINT) AS init FROM d),
+         |r0 AS (SELECT d.src AS node, b.init AS pr FROM d CROSS JOIN b),
+         |$iters
+         |SELECT node, pr AS rank_micro FROM r5
+         |ORDER BY rank_micro DESC, node LIMIT 100""".stripMargin
+    },
 
     // Brute-force replay of the multi-pass-blocked linkage: same two
     // blocking keys, same hot-block degrade (blocks over 256 rows pair

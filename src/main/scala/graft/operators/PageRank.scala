@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank over a co-occurrence graph, Spark-first and engine-exact.
+  *
+  * Graph analytics is a family of its own; this is the classic power
+  * iteration re-expressed as DataFrame joins so Catalyst plans it like
+  * any other query (no GraphX RDDs):
+  *
+  *  - edges come from a co-occurrence self-join on the grouping key
+  *    (parts sharing an order). Baskets over `maxBasket` items are
+  *    excluded BEFORE pairing — per-basket pair count is quadratic in
+  *    basket size, so one degenerate 10k-item basket would contribute
+  *    50M edges; the cap is the same bounded-hot-group rule the
+  *    blocking/banding operators carry (counted with one aggregate,
+  *    replayed by the oracle).
+  *  - each iteration is one join (ranks → edge sources) + one
+  *    aggregation (sum of contributions per destination): shuffle cost
+  *    is edge-linear, and at index scale the adjacency would be
+  *    pre-partitioned by src so the join is co-located.
+  *
+  * Determinism: ranks live in integer MICRO-UNITS (total mass 10^12),
+  * contributions use floor division by out-degree, and the damping step
+  * is integer (15·(M/N))/100 + (85·Σ)/100. Every operation is exact
+  * long arithmetic — no float summation order to diverge — so a SQL
+  * replay produces bit-identical ranks, which is what makes the query
+  * hash-checkable against DuckDB (float PageRank never is).
+  *
+  * The co-purchase graph is symmetric (both directions of every pair),
+  * so there are no dangling nodes and no lost mass to redistribute.
+  */
+object PageRank {
+
+  val TotalMass: Long = 1000000000000L // 10^12 micro-units
+
+  /** Undirected co-occurrence edges: distinct (src, dst) pairs of items
+    * sharing a group, both directions, groups capped at `maxBasket`. */
+  def coOccurrenceEdges(df: DataFrame, group: Column, item: Column,
+                        maxBasket: Int): DataFrame = {
+    val items = df.select(group.as("g"), item.as("i")).distinct()
+    val ok = items.groupBy(col("g")).count()
+      .filter(col("count") <= maxBasket).select(col("g"))
+    val in = items.join(ok, "g")
+    in.select(col("g"), col("i").as("src"))
+      .join(in.select(col("g"), col("i").as("dst")), Seq("g"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
+  /** Fixed-iteration integer PageRank; returns (node, rank_micro). */
+  def ranks(edges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = OpCaches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = OpCaches.track(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val n = deg.count() // every node has out-edges (symmetric graph)
+    val init = lit(TotalMass / n)
+    val base = lit(15L * (TotalMass / n) / 100L)
+    // the edge⋈degree join is loop-invariant but deliberately NOT
+    // persisted: the identical subtree appears once per iteration and
+    // Spark's ReuseExchange already dedups it inside the single job,
+    // while an explicit persist pays materialization + cache pressure
+    // on an edge-sized table (measured 25% slower at 10× bench scale)
+    val ed = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    var r = deg.select(col("src").as("node"), init.as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      // `div` (not `/`): Spark's `/` on longs is DOUBLE true division,
+      // and a float quotient truncated back to long can differ from
+      // exact integer division by 1 — enough to break bit-parity with
+      // the oracle's `//`. `div` stays in exact long arithmetic.
+      val contrib = ed
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("c"))
+      r = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (base + expr("(85 * s) div 100")).as("rank_micro"))
+    }
+    r
+  }
+}
