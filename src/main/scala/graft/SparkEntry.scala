@@ -1042,6 +1042,19 @@ object SparkEntry {
         .select($"node", $"rank_micro")
     }),
 
+    "q_triangles" -> ((s, dir) => {
+      import s.implicits._
+      // exact triangle participation per node on the co-purchase graph
+      // (degree-ordered orientation bounds wedge fan-out at O(m^1.5) —
+      // the hub-safe classic; see operators.Triangles). Integer counts
+      // → exact SQL replay; top-50 via TakeOrderedAndProject.
+      val und = operators.PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), $"l_orderkey", $"l_partkey", maxBasket = 64)
+      operators.Triangles.perNode(und)
+        .orderBy($"n_triangles".desc, $"node")
+        .limit(50)
+    }),
+
     "q_record_linkage" -> ((s, dir) => {
       import s.implicits._
       // entity resolution with multi-pass blocking: candidates from the
@@ -2552,6 +2565,28 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // Degree-ordered triangle replay: same edge derivation as
+    // q_pagerank's oracle, same (degree, id) orientation and wedge
+    // order, integer counts throughout.
+    "q_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 64),
+        |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+        |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+        |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+        |dg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |o AS (SELECT e.src AS u, e.dst AS v, db.d AS dv
+        |  FROM e JOIN dg da ON da.src = e.src JOIN dg db ON db.src = e.dst
+        |  WHERE da.d < db.d OR (da.d = db.d AND e.src < e.dst)),
+        |wd AS (SELECT a.u, a.v, b.v AS w
+        |  FROM o a JOIN o b ON a.u = b.u
+        |  WHERE a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)),
+        |t AS (SELECT wd.u, wd.v, wd.w FROM wd JOIN o ON o.u = wd.v AND o.v = wd.w),
+        |n AS (SELECT u AS node FROM t
+        |  UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t)
+        |SELECT node, count(*) AS n_triangles FROM n GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
 
     // Exact integer PageRank replay: same basket cap, same symmetric
     // edge derivation, and the same micro-unit arithmetic (// is
