@@ -207,4 +207,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx <= 2, s"expected at most 2 hash shuffles, got $hashEx:\n$p")
   }
+
+  test("record linkage: every comparison is block- or window-local") {
+    val p = plan("q_record_linkage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage planned an all-pairs join:\n$p")
+  }
+
+  test("semantic dedup: pair scoring is a cell equi-join, never all-pairs") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup planned an all-pairs join:\n$p")
+  }
+
+  test("pagerank: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_pagerank")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank planned an all-pairs join:\n$p")
+  }
+
+  test("triangles: wedge closure is equi-join only; top-k never global-sorts") {
+    val p = plan("q_triangles")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure planned an all-pairs join:\n$p")
+  }
+
+  test("MAD outliers: group stats come back as broadcast joins over the scan") {
+    val p = plan("q_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact scan shuffled for the stats join:\n$p")
+  }
+
+  test("stratified k-fold: assignment is scan-stage, one agg shuffle only") {
+    val p = plan("q_stratified_kfold")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
+  }
 }
