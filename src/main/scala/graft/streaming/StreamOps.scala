@@ -377,4 +377,40 @@ object StreamOps {
           closed.iterator
       }
   }
+
+  final case class HHItem(group: String, token: String)
+  final case class HHOut(group: String, token: String, count_lb: Long)
+
+  /** Streaming heavy hitters: one Misra–Gries summary per group carried
+    * across micro-batches in flatMapGroupsWithState. State is the
+    * serialized k-counter buffer — BOUNDED at k entries per group no
+    * matter how long the stream runs or how large the token vocabulary
+    * grows (the streaming form of q_approx_heavy_hitters' batch sketch;
+    * exact streaming counts would grow state with every distinct token).
+    * Each trigger emits the group's refreshed candidate set with
+    * lower-bound counts; the batch-side contract carries over — any
+    * token with true count > n/(k+1) is guaranteed present, and a
+    * periodic exact recount of the ≤ k candidates makes the final set
+    * exact. Emission sorts by (count desc, token) for determinism given
+    * the summary. */
+  def heavyHitters(items: Dataset[HHItem], k: Int): Dataset[HHOut] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Byte], HHOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[HHItem], state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.plans.MGKernel.deserialize)
+            .getOrElse(new graft.plans.MGKernel.Buf())
+          it.foreach(r => graft.plans.MGKernel.update(buf, r.token, k))
+          state.update(graft.plans.MGKernel.serialize(buf))
+          import scala.jdk.CollectionConverters._
+          buf.entrySet().iterator().asScala.toSeq
+            .map(e => HHOut(group, e.getKey, e.getValue))
+            .sortBy(o => (-o.count_lb, o.token))
+            .iterator
+      }
+  }
 }

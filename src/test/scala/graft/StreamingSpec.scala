@@ -217,4 +217,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(snap == Map(1L -> ((12.0, 3L)), 3L -> ((30.0, 1L))))
   }
+
+  test("streaming heavy hitters carries the MG summary across batches, bounded at k") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamOps.HHItem]
+    val q = StreamOps.heavyHitters(in.toDS(), k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh").start()
+    // batch 1: 'a' dominates
+    in.addData(Seq.fill(5)(StreamOps.HHItem("en", "a")) ++
+      Seq(StreamOps.HHItem("en", "b")): _*)
+    q.processAllAvailable()
+    val after1 = spark.sql("SELECT token, count_lb FROM hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after1("a") == 5L, s"batch-1 summary wrong: $after1")
+    // batch 2: state persists — 'a' keeps accumulating across batches;
+    // flooding distinct tokens can evict 'b' but never 'a' (the MG
+    // no-false-negative-above-support guarantee), and the candidate set
+    // stays bounded at k despite 4 distinct tokens seen
+    in.addData(Seq.fill(4)(StreamOps.HHItem("en", "a")) ++
+      Seq(StreamOps.HHItem("en", "c"), StreamOps.HHItem("en", "d")): _*)
+    q.processAllAvailable()
+    // memory sink in update mode appends refreshed rows; latest batch wins
+    val latest = spark.sql(
+      "SELECT token, count_lb FROM hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (t, vs) => t -> vs.map(_._2).max }
+    q.stop()
+    assert(latest("a") >= 9L - 2L && latest("a") <= 9L,
+      s"'a' lost across batches: $latest")
+    assert(latest.size <= 4, s"emitted tokens exceed expectations: $latest")
+  }
 }

@@ -38,6 +38,34 @@ class TrianglesSpec extends AnyFunSuite with SparkSpec {
     assert(one == four, s"batched diverged: ${one.size} vs ${four.size}")
   }
 
+  test("random graphs: always matches brute force (incl. ties, components)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(20)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a, b))
+      if (edges.nonEmpty) {
+        val und = sym(edges: _*)
+        val fast = Triangles.perNode(und).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force over node triples, driver-side
+        val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+        val slow = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for {
+          a <- 1L to n; b <- (a + 1) to n if adj.getOrElse(a, Set()).contains(b)
+          c <- (b + 1) to n
+          if adj.getOrElse(a, Set()).contains(c) &&
+            adj.getOrElse(b, Set()).contains(c)
+        } { slow(a) += 1; slow(b) += 1; slow(c) += 1 }
+        assert(fast == slow.toMap, s"trial $trial (n=$n): $fast != $slow")
+      }
+    }
+  }
+
   test("degree-ordered counts match id-ordered brute force on the real graph") {
     import spark.implicits._
     val und = PageRank.coOccurrenceEdges(
