@@ -1055,6 +1055,101 @@ object SparkEntry {
         .limit(50)
     }),
 
+    "q_graph_components" -> ((s, dir) => {
+      import s.implicits._
+      // connected components over a SAMPLED co-purchase graph (1-in-50
+      // orders, baskets capped at 8): the full graph collapses into one
+      // giant hairball whose transitive-closure oracle is quadratic;
+      // the sampled graph has ~44 real components at sf0.01. CC runs
+      // large-star/small-star (O(log d) rounds of keyed shuffles, edge
+      // set never grows — the same 100 TB-safe machinery the dedup
+      // clustering lane uses); the oracle re-derives the labels with a
+      // recursive-CTE transitive closure over the same edges.
+      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      val edges = operators.PageRank.coOccurrenceEdges(
+        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      operators.DedupClusters.clustersLargeSmallStar(edges, $"src", $"dst")
+        .labels
+        .select($"doc_id".as("node"), $"cluster_id".as("component"))
+        .orderBy($"node")
+    }),
+
+    "q_allpairs" -> ((s, dir) => {
+      import s.implicits._
+      // EXACT all-pairs similarity join via prefix filtering (AllPairs/
+      // PPJoin — see operators.AllPairs): recall-1.0 counterpart to the
+      // MinHash-LSH lane; candidates come from an equi-join on
+      // rarest-first prefix tokens, never an all-pairs cross. Threshold
+      // 0.9 on distinct word unigrams — the templated corpus keeps
+      // lower thresholds from discriminating (J >= 0.6 matches 28% of
+      // ALL pairs). The oracle replays the definition brute-force.
+      operators.AllPairs.jaccardJoin(
+          Tables.documents(s, dir), $"doc_id", $"text", threshold = 0.9)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "q_skyline" -> ((s, dir) => {
+      import s.implicits._
+      // Pareto frontier: parts not dominated on (cheaper, bigger). The
+      // naive form is the O(n²) NOT-EXISTS the oracle runs; the
+      // operator reduces 2-D dominance to per-size-level minima (one
+      // bounded agg) + a running min over the tiny level table + a
+      // broadcast-back map-side filter — see operators.Skyline.
+      operators.Skyline.frontier2d(
+          Tables.part(s, dir), $"p_retailprice", $"p_size")
+        .select($"p_partkey", $"p_retailprice".as("price"), $"p_size")
+        .orderBy($"p_size", $"p_partkey")
+    }),
+
+    "q_resample_ohlc" -> ((s, dir) => {
+      import s.implicits._
+      // time-series downsampling to OHLC bars: one shuffle on
+      // (user, day); open/close picked by row_number inside the same
+      // sorted window pass (the count frame reuses the sort), then a
+      // single partial-aggregable groupBy. Values are PICKED, never
+      // averaged, so the doubles are engine-exact.
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket", date_trunc("day", $"ts"))
+      val wp = Window.partitionBy($"user_id", $"bucket")
+      val w = wp.orderBy($"ts", $"event_id")
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wp))
+        .groupBy($"user_id", $"bucket")
+        .agg(max(when($"rn" === 1, $"value")).as("open"),
+          max(when($"rn" === $"cnt", $"value")).as("close"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"bucket")
+    }),
+
+    "q_regression" -> ((s, dir) => {
+      import s.implicits._
+      // per-group OLS (price-on-quantity slope/intercept) from exact
+      // decimal moments — the q_corr recipe: order-independent decimal
+      // sums in one map-side-partial pass, then a handful of double ops
+      // applied identically in both engines (regr_slope()'s streaming
+      // update order is engine-specific and never hash-matches).
+      val x = $"l_quantity"
+      val y = $"l_extendedprice"
+      val st = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(x)).cast(DoubleType).as("sx"),
+          sum(dec2(y)).cast(DoubleType).as("sy"),
+          sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("sxx"),
+          sum((x * y).cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"))
+      // the slope expression is repeated VERBATIM inside intercept (not
+      // rounded then reused) so both engines evaluate the identical
+      // double-op sequence
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      st.select($"l_returnflag", $"n",
+          round(slope, 6).as("slope"),
+          round(($"sy" - slope * $"sx") / $"n", 6).as("intercept"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_record_linkage" -> ((s, dir) => {
       import s.implicits._
       // entity resolution with multi-pass blocking: candidates from the
@@ -2613,6 +2708,87 @@ object SparkEntry {
          |SELECT node, pr AS rank_micro FROM r5
          |ORDER BY rank_micro DESC, node LIMIT 100""".stripMargin
     },
+
+    // Recursive-CTE transitive closure over the SAME sampled co-purchase
+    // edges (order mod 50, basket cap 8) — an independent derivation of
+    // the large-star/small-star fixpoint: component = min reachable id.
+    "q_graph_components" ->
+      """WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 8),
+        |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+        |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+        |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+        |reach AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION
+        |  SELECT r.u, e.dst FROM reach r JOIN e ON e.src = r.v)
+        |SELECT u AS node, CAST(least(min(v), u) AS BIGINT) AS component
+        |FROM reach GROUP BY u
+        |ORDER BY node""".stripMargin,
+
+    // Brute-force replay of the exact similarity-join definition: every
+    // doc pair, exact unigram Jaccard, no filtering tricks — prefix
+    // filtering must reproduce this EXACTLY (recall 1.0 is the
+    // operator's contract, unlike the LSH lanes).
+    "q_allpairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |    / (a.n + b.n - len(list_intersect(a.t, b.t))), 6) AS jaccard
+        |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |    / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The skyline DEFINITION as an O(n²) strict-dominance NOT EXISTS —
+    // the operator's level-minima reduction must select the identical
+    // row set (equal-point duplicates survive together: neither strictly
+    // dominates).
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_size, p_partkey""".stripMargin,
+
+    "q_resample_ohlc" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS cnt
+        |  FROM events)
+        |SELECT user_id, bucket,
+        |  max(CASE WHEN rn = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn = cnt THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low,
+        |  count(*) AS n_events
+        |FROM b GROUP BY 1, 2
+        |ORDER BY user_id, bucket""".stripMargin,
+
+    // Same decimal-moment recipe as q_corr; the slope expression is
+    // inlined VERBATIM inside intercept in both engines.
+    "q_regression" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept
+        |FROM st
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Brute-force replay of the multi-pass-blocked linkage: same two
     // blocking keys, same hot-block degrade (blocks over 256 rows pair

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.AllPairs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AllPairsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Brute-force exact Jaccard join (the definition): every pair, no
+    * filtering — what prefix filtering must reproduce exactly. */
+  private def brute(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val toks = docs.select(col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= "")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val a = toks.select(col("doc_id").as("id_a"), col("tk").as("ta"))
+    val b = toks.select(col("doc_id").as("id_b"), col("tk").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jac") >= t)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("prefix-filtered join equals brute force (recall AND precision)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    for (t <- Seq(0.5, 0.9)) {
+      val got = asSet(AllPairs.jaccardJoin(docs, $"doc_id", $"text", t))
+      val want = asSet(brute(docs, t))
+      assert(got == want,
+        s"t=$t: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      graft.operators.OpCaches.releaseAll()
+    }
+  }
+
+  test("token-free docs never pair; identical docs pair at threshold 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "...!!!"), (4L, ""), (5L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val out = asSet(AllPairs.jaccardJoin(docs, $"doc_id", $"text", 1.0))
+    assert(out == Set((1L, 2L, 1.0)), s"got $out")
+    graft.operators.OpCaches.releaseAll()
+  }
+
+  test("near-threshold pairs: filter runs on the raw ratio, not rounded") {
+    import spark.implicits._
+    // J(a,b) = 9/13 ≈ 0.6923: below 0.7 — must NOT appear at t=0.7 even
+    // though round(.,6)=0.692308 would also stay below; and MUST appear
+    // at t=0.69. Guards the filter-before-round contract.
+    val a = (1 to 11).map(i => s"t$i").mkString(" ")        // 11 tokens
+    val b = (1 to 9).map(i => s"t$i").mkString(" ") + " x y" // 9 shared + 2
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(asSet(AllPairs.jaccardJoin(docs, $"doc_id", $"text", 0.7)).isEmpty)
+    val hit = asSet(AllPairs.jaccardJoin(docs, $"doc_id", $"text", 0.69))
+    assert(hit.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    graft.operators.OpCaches.releaseAll()
+  }
+}

@@ -250,4 +250,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
   }
+
+  test("allpairs: candidates come from equi-joins, never an all-pairs cross") {
+    val p = plan("q_allpairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering planned an all-pairs join:\n$p")
+    graft.operators.OpCaches.releaseAll()
+  }
+
+  test("skyline: level thresholds broadcast back over the scan") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the threshold join:\n$p")
+  }
+
+  test("OHLC resample: window and groupBy share one (user, bucket) shuffle") {
+    val p = plan("q_resample_ohlc")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
+  }
+
+  test("regression: one partial+final agg shuffle, moments map-side") {
+    val p = plan("q_regression")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
 }
