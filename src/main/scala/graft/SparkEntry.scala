@@ -1088,6 +1088,18 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "q_allpairs_compact" -> ((s, dir) => {
+      import s.implicits._
+      // the LINEAR-SIZE form of the exact similarity join: one row per
+      // pair of distinct token sets (+ per duplicated set), n_pairs
+      // carrying the multiplicity — the form to materialize when the
+      // corpus is duplicate-heavy and the full pair list is quadratic
+      // in replication (see operators.AllPairs.compactJoin; SCALE.md).
+      operators.AllPairs.compactJoin(
+          Tables.documents(s, dir), $"doc_id", $"text", threshold = 0.9)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     "q_skyline" -> ((s, dir) => {
       import s.implicits._
       // Pareto frontier: parts not dominated on (cheaper, bigger). The
@@ -2743,6 +2755,34 @@ object SparkEntry {
         |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
         |    / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force replay of the compact form's definition: group docs
+    // by their SORTED distinct token list (exact set identity), then
+    // exact Jaccard over distinct sets + multiplicities.
+    "q_allpairs_compact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |      AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |g AS (SELECT t, n, min(doc_id) AS rep, count(*) AS m
+        |  FROM nz GROUP BY t, n),
+        |inter AS (
+        |  SELECT a.rep AS id_a, b.rep AS id_b,
+        |    round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |      / (a.n + b.n - len(list_intersect(a.t, b.t))), 6) AS jaccard,
+        |    a.m * b.m AS n_pairs
+        |  FROM g a JOIN g b ON a.rep < b.rep
+        |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |      / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.9),
+        |intra AS (
+        |  SELECT rep AS id_a, rep AS id_b, CAST(1.0 AS DOUBLE) AS jaccard,
+        |    m * (m - 1) // 2 AS n_pairs
+        |  FROM g WHERE m >= 2)
+        |SELECT id_a, id_b, jaccard, CAST(n_pairs AS BIGINT) AS n_pairs
+        |FROM (SELECT * FROM inter UNION ALL SELECT * FROM intra)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // The skyline DEFINITION as an O(n²) strict-dominance NOT EXISTS —

@@ -49,6 +49,64 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("duplicate-heavy corpus: collapsed lane equals brute force") {
+    import spark.implicits._
+    // 4 distinct texts × 12 copies → distinct/raw = 4/48, far under the
+    // collapse gate: the rep pipeline + expansion joins must reproduce
+    // the definition exactly (cross pairs inherit the rep Jaccard,
+    // intra-clique pairs are 1.0, id_a < id_b re-oriented)
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",   // J=5/7 with the first
+      "totally different words here now",
+      "totally different words here then")    // J=4/6 with the third
+    val docs = (for ((t, g) <- base.zipWithIndex; k <- 0 until 12)
+      yield (g * 100L + k, t)).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.72)) {
+      val got = asSet(AllPairs.jaccardJoin(docs, $"doc_id", $"text", t))
+      val want = asSet(brute(docs, t))
+      assert(got == want,
+        s"t=$t: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      graft.operators.OpCaches.releaseAll()
+    }
+  }
+
+  test("compactJoin carries exactly the full pair list's information") {
+    import spark.implicits._
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "totally different words here now",
+      "totally different words here then")
+    val docs = (for ((t, g) <- base.zipWithIndex; k <- 0 until 7)
+      yield (g * 100L + k, t)).toDF("doc_id", "text")
+    val t = 0.6
+    val full = asSet(AllPairs.jaccardJoin(docs, $"doc_id", $"text", t))
+    graft.operators.OpCaches.releaseAll()
+    val compact = AllPairs.compactJoin(docs, $"doc_id", $"text", t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    graft.operators.OpCaches.releaseAll()
+    // multiplicities account for every full pair
+    assert(compact.map(_._4).sum == full.size,
+      s"n_pairs sums to ${compact.map(_._4).sum}, full list has ${full.size}")
+    // expand compact through the member map and compare exactly
+    val rep = docs.collect().map { r =>
+      (r.getLong(0), base(r.getLong(0).toInt / 100))
+    }
+    val members = rep.groupBy(_._2).map { case (_, ds) =>
+      val ids = ds.map(_._1).sorted; (ids.head, ids) }
+    val expanded = compact.flatMap { case (a, b, j, _) =>
+      if (a == b) { val m = members(a)
+        (for (i <- m.indices; k <- i + 1 until m.length)
+          yield (m(i), m(k), j)).toSeq
+      } else (for (x <- members(a); y <- members(b))
+        yield (math.min(x, y), math.max(x, y), j)).toSeq
+    }.toSet
+    assert(expanded == full,
+      s"missing=${(full -- expanded).take(3)} extra=${(expanded -- full).take(3)}")
+  }
+
   test("near-threshold pairs: filter runs on the raw ratio, not rounded") {
     import spark.implicits._
     // J(a,b) = 9/13 ≈ 0.6923: below 0.7 — must NOT appear at t=0.7 even

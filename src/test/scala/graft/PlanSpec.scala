@@ -259,6 +259,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("allpairs compact: distinct-set join is equi-join only") {
+    val p = plan("q_allpairs_compact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"compact join planned an all-pairs cross:\n$p")
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("skyline: level thresholds broadcast back over the scan") {
     val p = plan("q_skyline")
     assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast in:\n$p")
