@@ -1162,6 +1162,72 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    "q_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.install(s)
+      // inverted index — the IR primitive TF-IDF/BM25 assume: per-term
+      // document frequency, total term frequency, and a BOUNDED posting
+      // sample (10 lowest doc ids). The sample comes from row_number<=10,
+      // which graft's optimizer rewrites to the bounded TopKPerGroup
+      // heaps — a stop word's posting list never funnels a billion-row
+      // group through one task's full sort.
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id",
+          explode(split(lower($"text"), "[^a-z0-9]+")).as("term"))
+        .filter($"term" =!= "")
+      val stats = toks.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+      val w = Window.partitionBy($"term").orderBy($"doc_id")
+      val posts = toks.select($"term", $"doc_id").distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .groupBy($"term")
+        .agg(concat_ws(",", sort_array(collect_list($"doc_id")))
+          .as("postings"))
+      stats.join(posts, "term").orderBy($"term")
+    }),
+
+    "q_window_fns" -> ((s, dir) => {
+      import s.implicits._
+      // the ranking/distribution window-function surface in one query:
+      // lag/lead (picked values — exact), percent_rank/cume_dist (rank
+      // arithmetic on a peer-free (ts, event_id) order — identical
+      // rationals both engines, rounded at 6), ntile (ANSI distribution
+      // rule). One user shuffle feeds all five functions.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id",
+          lag($"value", 1).over(w).as("prev_value"),
+          lead($"value", 1).over(w).as("next_value"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"),
+          ntile(4).over(w).cast(LongType).as("quartile"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    "q_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      // full-outer reconciliation — the audit join (which activity has
+      // no account record, which accounts are silent): event activity
+      // per user vs a customer key window, both unmatched sides kept
+      // with presence flags. Aggregate-then-join: the shuffle carries
+      // one row per user, never raw events.
+      val ev = Tables.events(s, dir).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2($"value")).cast(DoubleType).as("total_value"))
+      val cust = Tables.customer(s, dir)
+        .filter($"c_custkey".between(50, 199))
+        .select($"c_custkey", $"c_mktsegment")
+      ev.join(cust, $"user_id" === $"c_custkey", "full_outer")
+        .select(coalesce($"user_id", $"c_custkey").as("id"),
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"total_value", lit(0.0)).as("total_value"),
+          $"user_id".isNotNull.as("has_events"),
+          $"c_custkey".isNotNull.as("has_account"),
+          coalesce($"c_mktsegment", lit("none")).as("segment"))
+        .orderBy($"id")
+    }),
+
     "q_record_linkage" -> ((s, dir) => {
       import s.implicits._
       // entity resolution with multi-pass blocking: candidates from the
@@ -2829,6 +2895,45 @@ object SparkEntry {
         |    AS intercept
         |FROM st
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  count(*) AS tf,
+        |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:10], ',')
+        |    AS postings
+        |FROM toks GROUP BY term
+        |ORDER BY term""".stripMargin,
+
+    "q_window_fns" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cum_dist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH ev AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey BETWEEN 50 AND 199)
+        |SELECT coalesce(user_id, c_custkey) AS id,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(total_value, 0.0) AS total_value,
+        |  user_id IS NOT NULL AS has_events,
+        |  c_custkey IS NOT NULL AS has_account,
+        |  coalesce(c_mktsegment, 'none') AS segment
+        |FROM ev FULL OUTER JOIN c ON user_id = c_custkey
+        |ORDER BY id""".stripMargin,
 
     // Brute-force replay of the multi-pass-blocked linkage: same two
     // blocking keys, same hot-block degrade (blocks over 256 rows pair

@@ -267,6 +267,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("inverted index: posting sample rewrites to bounded TopKPerGroup") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("TopKFinal") && p.contains("TopKLocal"),
+      s"posting sample not rewritten to bounded heaps:\n$p")
+  }
+
+  test("window-fn surface: one user shuffle feeds all five functions") {
+    val p = plan("q_window_fns")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
+  }
+
+  test("full outer reconciliation: aggregate before the join") {
+    val p = plan("q_full_outer")
+    // the events side must partial-aggregate below the outer join —
+    // the join carries one row per user, never raw events
+    val idx = p.indexOf("FullOuter")
+    assert(idx >= 0, s"no full outer join in:\n$p")
+    assert(p.indexOf("partial_count", idx) > 0,
+      s"events not pre-aggregated below the join:\n$p")
+  }
+
   test("skyline: level thresholds broadcast back over the scan") {
     val p = plan("q_skyline")
     assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast in:\n$p")
