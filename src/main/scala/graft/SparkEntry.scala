@@ -1074,6 +1074,23 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      // k-core decomposition (graph cohesion): iterative peel to
+      // fixpoint — drop nodes whose IN-CORE degree is < k until stable,
+      // which a plain degree filter can't express (pruning a node can
+      // drop its neighbors below k). Same sampled co-purchase graph as
+      // q_graph_components; each round is one degree agg + two semi
+      // joins with per-round lineage truncation (the CC discipline).
+      // The oracle unrolls 10 peel rounds — idempotent past the
+      // fixpoint (reached in <= 3 rounds here), so bounded SQL checks
+      // the unbounded-iteration operator exactly.
+      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      val edges = operators.PageRank.coOccurrenceEdges(
+        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      operators.KCore.core(edges, k = 4).orderBy($"node")
+    }),
+
     "q_allpairs" -> ((s, dir) => {
       import s.implicits._
       // EXACT all-pairs similarity join via prefix filtering (AllPairs/
@@ -2804,6 +2821,33 @@ object SparkEntry {
         |SELECT u AS node, CAST(least(min(v), u) AS BIGINT) AS component
         |FROM reach GROUP BY u
         |ORDER BY node""".stripMargin,
+
+    // Unrolled peel: a_i = nodes with >= 4 neighbors inside a_{i-1};
+    // 10 rounds >> the 2-3 the graph needs, and peeling is idempotent
+    // past the fixpoint, so a10 IS the 4-core. AS MATERIALIZED is
+    // load-bearing: each round references its predecessor twice, so
+    // DuckDB's default CTE inlining makes the chain exponential (2^10
+    // evaluations of the edge derivation — measured minutes; 0.5 s
+    // materialized).
+    "q_kcore" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT e.src AS id FROM e
+           |  JOIN a${i - 1} s ON s.id = e.src JOIN a${i - 1} t ON t.id = e.dst
+           |  GROUP BY e.src HAVING count(*) >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+         |  FROM lineitem WHERE l_orderkey % 50 = 0),
+         |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 8),
+         |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+         |e AS MATERIALIZED (SELECT DISTINCT a.i AS src, b.i AS dst
+         |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |$rounds
+         |SELECT e.src AS node, count(*) AS core_degree FROM e
+         |JOIN a10 s ON s.id = e.src JOIN a10 t ON t.id = e.dst
+         |GROUP BY e.src
+         |ORDER BY node""".stripMargin
+    },
 
     // Brute-force replay of the exact similarity-join definition: every
     // doc pair, exact unigram Jaccard, no filtering tricks — prefix

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling (Seidman, "Network
+  * structure and minimum degree", Social Networks 1983 — the classic
+  * cohesion measure; the peel is the standard distributed formulation).
+  *
+  * The k-core is the maximal subgraph in which every node has degree
+  * >= k INSIDE the subgraph — "dense enough to survive its neighbors
+  * also being pruned", which plain degree filtering can't express.
+  *
+  * Scale shape (the CC discipline from DedupClusters): each round is
+  * one degree aggregation + two semi joins — edge-linear keyed
+  * shuffles, nothing driver-side but the convergence scalar; the edge
+  * list is localCheckpoint'd every round so iteration N's plan doesn't
+  * embed rounds 1..N-1 (on a cluster with flaky executors swap in
+  * checkpoint() against a reliable dir). Rounds needed = peel depth,
+  * typically O(log n) on real graphs, 2-3 on the co-purchase graph.
+  * Peeling is IDEMPOTENT past the fixpoint — what lets a bounded
+  * unrolled-SQL oracle check an unbounded-iteration operator. */
+object KCore {
+
+  /** Nodes of the k-core of a SYMMETRIC (src, dst) edge list, with
+    * each node's degree inside the core. Self-loops ignored. */
+  def core(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var iter = 0
+    var converged = nEdges == 0L
+    while (iter < maxIter && !converged) {
+      // survivors of this round: degree >= k within the current graph
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("id"))
+      val next = e
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n2 = next.count()
+      e.unpersist(blocking = false)
+      converged = n2 == nEdges // no edge lost → every degree >= k → fixpoint
+      e = next
+      nEdges = n2
+      iter += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+  }
+}
