@@ -28,6 +28,31 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Streaming OHLC bars — the streaming twin of q_resample_ohlc: per
+    * (user, tumbling event-time window) open/close/high/low/count.
+    * open/close are min_by/max_by on the (ts, event_id) struct — an
+    * INCREMENTAL aggregate, so each open bar carries O(1) state (five
+    * scalars + the pick keys) regardless of events per bar, freed when
+    * the watermark closes the window. Events arriving late but inside
+    * the watermark REVISE the bar (update mode re-emits it) — exactly
+    * what a batch backfill would compute, so stream and batch agree on
+    * every closed bar whatever the arrival order (StreamingSpec pins
+    * equality against the batch windowed form under shuffled
+    * multi-batch delivery). */
+  def ohlcBars(events: DataFrame, windowLen: String = "1 day",
+               watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), windowLen).as("w"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("bucket"),
+        col("open"), col("close"), col("high"), col("low"), col("n_events"))
+
   /** Streaming exact dedup: keep only the FIRST occurrence of each
     * content hash; later duplicates are dropped. Batch twin:
     * graft.operators.Dedup.exact. `dropDuplicatesWithinWatermark` frees

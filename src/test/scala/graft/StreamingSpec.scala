@@ -95,6 +95,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(closed.head.total_value == 3.0)
   }
 
+  test("streaming OHLC bars equal the batch windowed form, any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 users × 8 events inside one hour; a fixed permutation scatters
+    // arrival order across three micro-batches — bar values must come
+    // out identical to the batch computation on the same rows
+    val evs = (for (u <- 1 to 3; i <- 0 until 8) yield
+      Event(u * 100L + i, ts((i * 7) % 60), u.toLong, "e",
+        math.sin(u * 10 + i) * 100)).toVector
+    val perm = Vector(17, 3, 21, 8, 0, 14, 23, 5, 11, 19, 2, 9,
+      22, 6, 13, 1, 18, 10, 4, 16, 7, 20, 12, 15).map(evs)
+    val in = MemoryStream[Event]
+    val q = StreamOps.ohlcBars(in.toDF(), windowLen = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bars").start()
+    perm.grouped(8).foreach { b => in.addData(b); q.processAllAvailable() }
+    val got = spark.sql("SELECT * FROM bars").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    q.stop()
+    // batch reference: the q_resample_ohlc recipe on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val want = evs.toDF()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+      .groupBy($"user_id")
+      .agg(max(when($"rn" === 1, $"value")).as("open"),
+        max(when($"rn" === $"cnt", $"value")).as("close"),
+        max($"value").as("high"), min($"value").as("low"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(got == want, s"stream bars ${got} != batch ${want}")
+  }
+
   test("stream-stream join matches clicks to purchases within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
