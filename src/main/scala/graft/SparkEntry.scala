@@ -1074,6 +1074,52 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "q_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      // unpivot / melt (the inverse of q_pivot): four measure columns
+      // into (measure, amount) rows via stack — a scan-stage generator,
+      // no shuffle until the output sort. Sampled keys keep the
+      // correctness dump bounded; at scale unpivot is map-side only.
+      Tables.lineitem(s, dir)
+        .filter($"l_orderkey" % 100 === 0)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(4,
+            |  'discount', l_discount,
+            |  'extendedprice', l_extendedprice,
+            |  'quantity', l_quantity,
+            |  'tax', l_tax) AS (measure, amount)""".stripMargin)
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+    }),
+
+    "q_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      // incremental aggregate maintenance — the materialized-view
+      // primitive behind every "update the daily rollup without
+      // recomputing history" pipeline: aggregate the BASE and the DELTA
+      // separately (in production the base agg is a stored table), then
+      // MERGE states — count/sum add, min/min, max/max. The merge input
+      // is agg-state-sized (|keys|), not corpus-sized; sums stay decimal
+      // through both levels so merged == recomputed exactly, which is
+      // precisely what the oracle checks (it aggregates the full table
+      // in one pass).
+      val li = Tables.lineitem(s, dir)
+      val cut = lit("1997-01-01").cast(TimestampType)
+      def state(df: DataFrame) = df.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).as("sq"),
+          min($"l_shipdate").as("first_ship"),
+          max($"l_shipdate").as("last_ship"))
+      val base  = state(li.filter($"l_shipdate" < cut))
+      val delta = state(li.filter($"l_shipdate" >= cut))
+      base.unionByName(delta)
+        .groupBy($"l_suppkey")
+        .agg(sum($"n").as("n_items"),
+          sum($"sq").cast(DoubleType).as("total_qty"),
+          min($"first_ship").as("first_ship"),
+          max($"last_ship").as("last_ship"))
+        .orderBy($"l_suppkey")
+    }),
+
     "q_kcore" -> ((s, dir) => {
       import s.implicits._
       // k-core decomposition (graph cohesion): iterative peel to
@@ -2821,6 +2867,30 @@ object SparkEntry {
         |SELECT u AS node, CAST(least(min(v), u) AS BIGINT) AS component
         |FROM reach GROUP BY u
         |ORDER BY node""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, measure, amount FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+        |    l_discount AS amount FROM src
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |    l_extendedprice FROM src
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'quantity',
+        |    l_quantity FROM src
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM src)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    // The oracle aggregates the FULL table in one pass — the merged
+    // base+delta states must equal a from-scratch recompute exactly
+    // (decimal sums are associative; count/sum/min/max are mergeable).
+    "q_incremental_agg" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  min(l_shipdate) AS first_ship,
+        |  max(l_shipdate) AS last_ship
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
 
     // Unrolled peel: a_i = nodes with >= 4 neighbors inside a_{i-1};
     // 10 rounds >> the 2-3 the graph needs, and peeling is idempotent

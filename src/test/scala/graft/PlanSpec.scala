@@ -267,6 +267,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("incremental agg: base/delta cutoffs push to both parquet scans") {
+    val p = plan("q_incremental_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate") &&
+      p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"cutoff filters not pushed to the scans:\n$p")
+    assert(p.contains("partial_count"), s"no partial aggregation in:\n$p")
+  }
+
   test("inverted index: posting sample rewrites to bounded TopKPerGroup") {
     val p = plan("q_inverted_index")
     assert(p.contains("TopKFinal") && p.contains("TopKLocal"),
