@@ -1074,6 +1074,68 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "q_cms_freq" -> ((s, dir) => {
+      import s.implicits._
+      // Count-Min sketch frequency estimation (operators.CountMin):
+      // d·w bounded counters regardless of key cardinality — exact
+      // per-key counting shuffles the key universe, the sketch shuffles
+      // 3×256 counters with map-side combine. The seeded 2-universal
+      // hashes stay below 2⁶² in 64-bit integer arithmetic, so the
+      // DuckDB oracle replays the sketch BIT-FOR-BIT (the hyperplane
+      // recipe) — an approximate estimator, hash-checked exactly. The
+      // exact count is joined alongside to exhibit the one-sided error
+      // (overcount >= 0 always; CountMinSpec pins the property).
+      val ev = Tables.events(s, dir)
+      val est = operators.CountMin.estimates(ev, $"user_id", width = 256)
+      val exact = ev.groupBy($"user_id".as("key"))
+        .agg(count(lit(1)).as("true_count"))
+      est.join(exact, "key")
+        .select($"key".as("user_id"), $"est_count", $"true_count",
+          ($"est_count" - $"true_count").as("overcount"))
+        .orderBy($"user_id")
+    }),
+
+    "q_dq_checks" -> ((s, dir) => {
+      import s.implicits._
+      // data-quality rule engine (the reference's etl_job_auditor
+      // surface, generalized): null / range / sign scan rules, primary-
+      // key uniqueness, and referential-integrity checks, each one row
+      // (rule, n_violations, n_checked). Scan rules are one conditional
+      // agg over the fact scan; FK rules are keyed left joins counting
+      // unmatched probes; the PK rule sums (cnt-1) over the key agg.
+      // Passing rules still emit their row — an audit that only
+      // reports failures can't prove it ran.
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      def scanRule(df: DataFrame, name: String, viol: Column) = df
+        .agg(sum(when(viol, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit(name).as("rule"), $"n_violations", $"n_checked")
+      val fkLi = scanRule(
+        li.join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+          "left"),
+        "lineitem_fk_orders", $"o_orderkey".isNull)
+      val fkO = scanRule(
+        o.join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey",
+          "left"),
+        "orders_fk_customer", $"c_custkey".isNull)
+      val pk = li.groupBy($"l_orderkey", $"l_linenumber")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum($"cnt" - 1).as("n_violations"), sum($"cnt").as("n_checked"))
+        .select(lit("lineitem_pk_unique").as("rule"),
+          $"n_violations", $"n_checked")
+      scanRule(li, "lineitem_quantity_not_null", $"l_quantity".isNull)
+        .unionAll(scanRule(li, "lineitem_price_positive",
+          $"l_extendedprice" <= 0))
+        .unionAll(scanRule(li, "lineitem_discount_in_range",
+          $"l_discount" < 0 || $"l_discount" > 0.2))
+        .unionAll(pk)
+        .unionAll(fkLi)
+        .unionAll(fkO)
+        .orderBy($"rule")
+    }),
+
     "q_unpivot" -> ((s, dir) => {
       import s.implicits._
       // unpivot / melt (the inverse of q_pivot): four measure columns
@@ -2867,6 +2929,63 @@ object SparkEntry {
         |SELECT u AS node, CAST(least(min(v), u) AS BIGINT) AS component
         |FROM reach GROUP BY u
         |ORDER BY node""".stripMargin,
+
+    // Bit-for-bit replay of the Count-Min sketch: the SAME seed
+    // literals, modulus, and width, all arithmetic exact in BIGINT
+    // (inputs bounded below 2⁶²), so the approximate estimates
+    // hash-match exactly — the hyperplane-replay recipe applied to a
+    // frequency sketch.
+    "q_cms_freq" -> {
+      val w = 256
+      val rows = operators.CountMin.Seeds.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS r, (($a * user_id + $b) % ${operators.CountMin.P}) % $w AS bucket FROM events"
+      }.mkString("\n  UNION ALL ")
+      val probes = operators.CountMin.Seeds.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT user_id AS key, $i AS r, (($a * user_id + $b) % ${operators.CountMin.P}) % $w AS bucket FROM du"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH du AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+         |st AS MATERIALIZED (
+         |  SELECT r, bucket, count(*) AS cnt FROM ($rows) GROUP BY 1, 2),
+         |pr AS ($probes),
+         |est AS (SELECT key, min(cnt) AS est_count
+         |  FROM pr JOIN st USING (r, bucket) GROUP BY key),
+         |ex AS (SELECT user_id AS key, count(*) AS true_count
+         |  FROM events GROUP BY 1)
+         |SELECT key AS user_id, est_count, true_count,
+         |  est_count - true_count AS overcount
+         |FROM est JOIN ex USING (key)
+         |ORDER BY user_id""".stripMargin
+    },
+
+    // outer CASTs: DuckDB sums are HUGEINT (→ float64 in the compare)
+    "q_dq_checks" ->
+      """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_checked AS BIGINT) AS n_checked FROM (
+        |  SELECT 'lineitem_quantity_not_null' AS rule,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_violations,
+        |    count(*) AS n_checked FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_price_positive',
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), count(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_range',
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.2 THEN 1 ELSE 0 END),
+        |    count(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique', sum(cnt - 1), sum(cnt) FROM (
+        |    SELECT count(*) AS cnt FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders',
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer',
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+        |  FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey)
+        |ORDER BY rule""".stripMargin,
 
     "q_unpivot" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
