@@ -157,6 +157,21 @@ object SparkEntry {
   private val topicModels =
     new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
   @volatile private var lastTopicModel: operators.IvfAnn.Model = null
+
+  /** q_ann_pq's product-quantization codebooks, cached per dir like
+    * [[ivfModel]] (training is deterministic; the oracle re-emits the
+    * trained centroids as literals). The coarse quantizer is ivfModel —
+    * the same 16 cells q_ann_ivf searches. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.PqAnn.Model]()
+  @volatile private var lastPqModel: operators.PqAnn.Model = null
+  private def pqModel(s: SparkSession, dir: String): operators.PqAnn.Model = {
+    val m = pqModels.computeIfAbsent(dir, d =>
+      operators.PqAnn.train(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 4, ksub = 16))
+    lastPqModel = m
+    m
+  }
   private def topicModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
     val m = topicModels.computeIfAbsent(dir, d =>
       operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 8))
@@ -228,6 +243,100 @@ object SparkEntry {
        |  coalesce(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS kept
        |FROM asg a LEFT JOIN d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** Replays PqAnn.adcTopK in SQL: coarse cells from the ivfModel
+    * literals (the ivfOracle ladder), PQ codes from the AUGMENTED
+    * codebook literals (dot + the −‖c‖²/2 tail term, exactly the
+    * kernel's fold), the query-side ADC table from the PLAIN codebook
+    * literals with the same (x−y)² ascending fold, and the m-term ADC
+    * sum as list_sum over sub-ordered terms (left-assoc, matching
+    * Spark's reduceLeft). */
+  private def pqOracle(coarse: operators.IvfAnn.Model,
+                       pq: operators.PqAnn.Model): String = {
+    val cells = coarse.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    val plain = pq.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) =>
+        s"($sub, $code, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+    val augm = pq.codebooks.map(operators.PqAnn.augmented)
+      .zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          s"($sub, $code, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+        }
+      }.mkString(",\n    ")
+    val dsub = pq.dsub
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |pqc(sub, code, v) AS (VALUES
+       |    $plain),
+       |pqa(sub, code, va) AS (VALUES
+       |    $augm),
+       |cdots AS (
+       |  SELECT e.vec_id, ctr.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM embeddings e, ctr),
+       |crk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell)
+       |      AS rk
+       |  FROM cdots),
+       |cellof AS (SELECT vec_id, cell FROM crk WHERE rk = 1),
+       |probes AS (SELECT vec_id, cell FROM crk WHERE rk <= 4 AND vec_id < 10),
+       |edots AS (
+       |  SELECT e.vec_id, p.sub, p.code,
+       |    list_sum(list_transform(range(1, $dsub + 1),
+       |      j -> CAST(e.embedding[p.sub * $dsub + j] AS DOUBLE) * (p.va)[j]))
+       |      + (p.va)[$dsub + 1] AS dot
+       |  FROM embeddings e, pqa p),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dot DESC, code) AS rk
+       |    FROM edots) t
+       |  WHERE rk = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, p.sub, p.code,
+       |    list_sum(list_transform(range(1, $dsub + 1),
+       |      j -> (CAST(q.embedding[p.sub * $dsub + j] AS DOUBLE) - (p.v)[j])
+       |         * (CAST(q.embedding[p.sub * $dsub + j] AS DOUBLE) - (p.v)[j])))
+       |      AS d2
+       |  FROM embeddings q, pqc p WHERE q.vec_id < 10),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, c2.vec_id AS cand_id
+       |  FROM probes p JOIN cellof c2 ON c2.cell = p.cell
+       |  WHERE c2.vec_id != p.vec_id),
+       |est AS (
+       |  SELECT ca.query_id, ca.cand_id,
+       |    round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adc_dist
+       |  FROM cand ca
+       |  JOIN enc t ON t.vec_id = ca.cand_id
+       |  JOIN dt ON dt.query_id = ca.query_id AND dt.sub = t.sub
+       |         AND dt.code = t.code
+       |  GROUP BY ca.query_id, ca.cand_id),
+       |ex AS (
+       |  SELECT ca.query_id, ca.cand_id,
+       |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      j -> (CAST(a.embedding[j] AS DOUBLE) - CAST(b.embedding[j] AS DOUBLE))
+       |         * (CAST(a.embedding[j] AS DOUBLE) - CAST(b.embedding[j] AS DOUBLE)))),
+       |      6) AS exact_dist
+       |  FROM cand ca
+       |  JOIN embeddings a ON a.vec_id = ca.query_id
+       |  JOIN embeddings b ON b.vec_id = ca.cand_id),
+       |ranked AS (
+       |  SELECT est.query_id, est.cand_id, est.adc_dist, ex.exact_dist,
+       |    CAST(row_number() OVER (PARTITION BY est.query_id
+       |      ORDER BY est.adc_dist, est.cand_id) AS BIGINT) AS rank
+       |  FROM est JOIN ex ON ex.query_id = est.query_id
+       |               AND ex.cand_id = est.cand_id)
+       |SELECT query_id, cand_id, adc_dist, exact_dist, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Replays IvfAnn.topK in SQL with the trained centroids as DOUBLE[]
@@ -943,6 +1052,58 @@ object SparkEntry {
         .orderBy($"c_custkey")
     }),
 
+    "q_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      // keyed snapshot diff (etl.SnapshotDiff) — what did the merge DO:
+      // before = a prior snapshot predating every 20th customer, after =
+      // the CDC-merged state (q_cdc_merge's result), every key classified
+      // added / removed / changed / unchanged from ONE full-outer key
+      // join with map-side null-safe payload comparison. Balances compared
+      // as decimal (exact), emitted as double (parity rules).
+      graft.plans.GraftExtensions.install(s)
+      val baseAll = Tables.customer(s, dir)
+        .select($"c_custkey", dec2($"c_acctbal").as("acctbal"))
+      val before = baseAll.filter($"c_custkey" % 20 =!= 7)
+      val changes = Tables.orders(s, dir).select(
+        $"o_custkey".as("c_custkey"),
+        when($"o_orderstatus" === "F", lit("D")).otherwise(lit("U")).as("op"),
+        dec2($"o_totalprice").as("acctbal"),
+        $"o_orderdate", $"o_orderkey")
+      val after = etl.CdcMerge.merge(baseAll, changes, keys = Seq("c_custkey"),
+          opCol = $"op", version = Seq($"o_orderdate", $"o_orderkey"))
+        .select($"c_custkey", $"acctbal")
+      etl.SnapshotDiff.diff(before, after, keys = Seq("c_custkey"),
+          payload = Seq("acctbal"))
+        .select($"c_custkey", $"diff_class",
+          coalesce($"acctbal_before".cast(DoubleType), lit(-1.0))
+            .as("bal_before"),
+          coalesce($"acctbal_after".cast(DoubleType), lit(-1.0))
+            .as("bal_after"))
+        .orderBy($"c_custkey")
+    }),
+
+    "q_compaction_plan" -> ((s, dir) => {
+      import s.implicits._
+      // small-file compaction planning (etl.Compaction.binPack, the
+      // OPTIMIZE bin-packing step): the file inventory — one metadata row
+      // per file, here simulated as (ship month × writer-task) cells of
+      // lineitem — is laid out largest-first per partition and cut at
+      // running-size multiples of the target. One window over metadata;
+      // planning 100 TB of files shuffles megabytes, and the resulting
+      // (partition, bin) drives the rewrite's repartition write.
+      val inv = Tables.lineitem(s, dir)
+        .groupBy(date_trunc("month", $"l_shipdate").cast(DateType)
+            .as("part_month"),
+          ($"l_suppkey" % 40).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"))
+      etl.Compaction.binPack(inv, Seq($"part_month"), $"n_rows",
+          $"file_id", target = 300L)
+        .groupBy($"part_month", $"bin")
+        .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("bin_rows"),
+          min($"file_id").as("first_file"), max($"file_id").as("last_file"))
+        .orderBy($"part_month", $"bin")
+    }),
+
     "q_scd2" -> ((s, dir) => {
       import s.implicits._
       // SCD type-2 history: versioned (effective_from, effective_to)
@@ -1093,6 +1254,60 @@ object SparkEntry {
         .select($"key".as("user_id"), $"est_count", $"true_count",
           ($"est_count" - $"true_count").as("overcount"))
         .orderBy($"user_id")
+    }),
+
+    "q_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      // KMV bottom-k distinct sketch (operators.KmvSketch): k smallest
+      // distinct 2-universal hashes per group — bounded at k values no
+      // matter the cardinality, MERGEABLE (union = keep k smallest), and
+      // integer-exact, so the DuckDB oracle replays the estimator
+      // bit-for-bit (the CountMin recipe for distincts). The rn<=k build
+      // rewrites to TopKPerGroup heaps; exact distinct joined alongside
+      // is the verification harness — production keeps only sketches.
+      graft.plans.GraftExtensions.install(s)
+      val li = Tables.lineitem(s, dir)
+      val sk = operators.KmvSketch.sketch(li, $"l_returnflag", $"l_partkey",
+        k = 256)
+      val est = operators.KmvSketch.estimates(sk, k = 256)
+      val exact = li.select($"l_returnflag".as("g"), $"l_partkey").distinct()
+        .groupBy($"g").agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "g")
+        .select($"g".as("l_returnflag"), $"sketch_size", $"kth_hash",
+          $"est_distinct", $"exact_distinct")
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_kmv_intersect" -> ((s, dir) => {
+      import s.implicits._
+      // the set-operation payoff KMV has over HLL: union AND intersection
+      // estimates between groups straight from the sketches (theta-sketch
+      // trick — below the combined k-th min, sketch membership IS set
+      // membership). Exact union/intersection joined alongside as the
+      // harness; every estimate replays integer-exactly in the oracle.
+      graft.plans.GraftExtensions.install(s)
+      val li = Tables.lineitem(s, dir)
+      val sk = operators.KmvSketch.sketch(li, $"l_returnflag", $"l_partkey",
+        k = 256)
+      val est = operators.KmvSketch.intersectEstimates(sk, k = 256)
+      val keys = li.select($"l_returnflag".as("g"), $"l_partkey".as("key"))
+        .distinct()
+      val exU = keys.select($"g".as("ga"), $"key")
+        .join(keys.select($"g".as("gb"), $"key"), "key")
+        .filter($"ga" < $"gb")
+      val exInter = exU.groupBy($"ga", $"gb")
+        .agg(count(lit(1)).as("exact_inter"))
+      val pairsAll = keys.select($"g".as("ga")).distinct()
+        .crossJoin(keys.select($"g".as("gb")).distinct())
+        .filter($"ga" < $"gb")
+      val exUnion = keys.join(broadcast(pairsAll),
+          $"g" === $"ga" || $"g" === $"gb")
+        .select($"ga", $"gb", $"key").distinct()
+        .groupBy($"ga", $"gb").agg(count(lit(1)).as("exact_union"))
+      est.join(exUnion, Seq("ga", "gb")).join(exInter, Seq("ga", "gb"))
+        .select($"ga", $"gb", $"combined_size", $"theta", $"n_common",
+          $"est_union", $"est_inter", $"exact_union", $"exact_inter")
+        .orderBy($"ga", $"gb")
     }),
 
     "q_dq_checks" -> ((s, dir) => {
@@ -1487,6 +1702,25 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val model = ivfModel(s, dir)
       operators.IvfAnn.topK(e.filter($"vec_id" < 10), e, k = 5, model, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      // IVFADC (operators.PqAnn): candidates restricted to the query's 4
+      // coarse cells (q_ann_ivf's quantizer), then scored by product-
+      // quantization codes — 4 codebook lookups per candidate instead of
+      // a 64-float scan; the 100 TB ANN memory path (codes are 64×
+      // smaller than the vectors). Codes are assigned in the scan stage
+      // by the same codegen kernel as IVF cells (argmin L2 == argmax
+      // augmented dot); exact_dist rides along to exhibit the
+      // approximation. Both trained models replay as oracle literals.
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, dir)
+      val coarse = ivfModel(s, dir)
+      val pq = pqModel(s, dir)
+      operators.PqAnn.adcTopK(e.filter($"vec_id" < 10), e, k = 5, coarse,
+          pq, nProbe = 4)
         .orderBy($"query_id", $"rank")
     }),
 
@@ -2805,6 +3039,59 @@ object SparkEntry {
         |WHERE l.op IS NULL OR l.op != 'D'
         |ORDER BY c_custkey""".stripMargin,
 
+    // replays the CDC merge (above) to build "after", then the keyed
+    // full-outer diff classification; balances compared as DECIMAL(18,2)
+    // (exact) in both engines, emitted as double
+    "q_snapshot_diff" ->
+      """WITH latest AS (
+        |  SELECT c_custkey, op, acctbal FROM (
+        |    SELECT o_custkey AS c_custkey,
+        |      CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |      CAST(o_totalprice AS DECIMAL(18,2)) AS acctbal,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) t
+        |  WHERE rn = 1),
+        |aft AS (
+        |  SELECT coalesce(c.c_custkey, l.c_custkey) AS c_custkey,
+        |    CASE WHEN l.op IS NOT NULL THEN l.acctbal
+        |         ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS acctbal
+        |  FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.c_custkey
+        |  WHERE l.op IS NULL OR l.op != 'D'),
+        |bef AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  FROM customer WHERE c_custkey % 20 != 7)
+        |SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |       WHEN a.c_custkey IS NULL THEN 'removed'
+        |       WHEN b.acctbal IS DISTINCT FROM a.acctbal THEN 'changed'
+        |       ELSE 'unchanged' END AS diff_class,
+        |  coalesce(CAST(b.acctbal AS DOUBLE), -1.0) AS bal_before,
+        |  coalesce(CAST(a.acctbal AS DOUBLE), -1.0) AS bal_after
+        |FROM bef b FULL OUTER JOIN aft a ON b.c_custkey = a.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    // largest-first layout + cut at running-size multiples of the target:
+    // floor(preceding/300) in both engines (Spark's long/long division is
+    // double + truncating cast; non-negative, so identical to floor)
+    "q_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part_month,
+        |    l_suppkey % 40 AS file_id, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |packed AS (
+        |  SELECT part_month, file_id, n_rows,
+        |    coalesce(sum(n_rows) OVER (PARTITION BY part_month
+        |      ORDER BY n_rows DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before_rows
+        |  FROM inv)
+        |SELECT part_month, CAST(floor(before_rows / 300.0) AS BIGINT) AS bin,
+        |  count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM packed
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_scd2" ->
       """WITH ordered AS (
         |  SELECT user_id, event_id, event_type, ts,
@@ -2955,6 +3242,75 @@ object SparkEntry {
          |  est_count - true_count AS overcount
          |FROM est JOIN ex USING (key)
          |ORDER BY user_id""".stripMargin
+    },
+
+    // KMV replay (the CountMin recipe for distincts): the bottom-k of the
+    // seeded 2-universal hash is integer-exact, and the estimate divides
+    // the same exact integers in both engines — bit-identical doubles.
+    "q_kmv_distinct" -> {
+      val (a, b, p, k) = (operators.KmvSketch.A, operators.KmvSketch.B,
+        operators.KmvSketch.P, 256)
+      val num = (k - 1).toLong * p
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+         |    ($a * l_partkey + $b) % $p AS hv FROM lineitem),
+         |r AS (SELECT g, hv,
+         |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h),
+         |st AS (SELECT g, count(*) AS sketch_size, max(hv) AS kth_hash
+         |  FROM r WHERE rk <= $k GROUP BY g),
+         |ex AS (SELECT l_returnflag AS g,
+         |    count(DISTINCT l_partkey) AS exact_distinct
+         |  FROM lineitem GROUP BY 1)
+         |SELECT g AS l_returnflag, sketch_size, kth_hash,
+         |  CASE WHEN sketch_size < $k THEN CAST(sketch_size AS DOUBLE)
+         |       ELSE round(CAST($num AS DOUBLE) / kth_hash, 4)
+         |  END AS est_distinct,
+         |  exact_distinct
+         |FROM st JOIN ex USING (g)
+         |ORDER BY 1""".stripMargin
+    },
+
+    "q_kmv_intersect" -> {
+      val (a, b, p, k) = (operators.KmvSketch.A, operators.KmvSketch.B,
+        operators.KmvSketch.P, 256)
+      val num = (k - 1).toLong * p
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+         |    ($a * l_partkey + $b) % $p AS hv FROM lineitem),
+         |r AS (SELECT g, hv,
+         |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h),
+         |sk AS (SELECT g, hv FROM r WHERE rk <= $k),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+         |  ON a.g < b.g),
+         |comb AS (SELECT p.ga, p.gb, s.hv,
+         |    bool_or(s.g = p.ga) AS in_a, bool_or(s.g = p.gb) AS in_b
+         |  FROM sk s JOIN pairs p ON s.g = p.ga OR s.g = p.gb
+         |  GROUP BY 1, 2, 3),
+         |rc AS (SELECT ga, gb, hv, in_a, in_b,
+         |    row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rk
+         |  FROM comb),
+         |st AS (SELECT ga, gb, count(*) AS combined_size, max(hv) AS theta,
+         |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_common
+         |  FROM rc WHERE rk <= $k GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT l_returnflag AS g, l_partkey AS key
+         |  FROM lineitem),
+         |exi AS (SELECT a.g AS ga, b.g AS gb, count(*) AS exact_inter
+         |  FROM keys a JOIN keys b ON a.key = b.key AND a.g < b.g
+         |  GROUP BY 1, 2),
+         |exu AS (SELECT ga, gb, count(*) AS exact_union FROM (
+         |    SELECT p.ga, p.gb, k2.key FROM keys k2 JOIN pairs p
+         |    ON k2.g = p.ga OR k2.g = p.gb GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)
+         |SELECT st.ga, st.gb, combined_size, theta, n_common,
+         |  CASE WHEN combined_size < $k THEN CAST(combined_size AS DOUBLE)
+         |       ELSE round(CAST($num AS DOUBLE) / theta, 4)
+         |  END AS est_union,
+         |  CASE WHEN combined_size < $k THEN CAST(n_common AS DOUBLE)
+         |       ELSE round((n_common * (CAST($num AS DOUBLE) / theta)) / $k, 4)
+         |  END AS est_inter,
+         |  exact_union, exact_inter
+         |FROM st JOIN exu USING (ga, gb) JOIN exi USING (ga, gb)
+         |ORDER BY ga, gb""".stripMargin
     },
 
     // outer CASTs: DuckDB sums are HUGEINT (→ float64 in the compare)
@@ -4049,7 +4405,9 @@ object SparkEntry {
     // absent, the driver records the weaker rows-only check it always did
     Option(lastIvfModel).map(m => "q_ann_ivf" -> ivfOracle(m)) ++
     Option(lastIvfModel).map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
-    Option(lastTopicModel).map(m => "q_kmeans_topics" -> kmeansOracle(m))
+    Option(lastTopicModel).map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
+    (for (c <- Option(lastIvfModel); p <- Option(lastPqModel))
+      yield "q_ann_pq" -> pqOracle(c, p))
 
   /** Shared CTE prefix for the audio-fingerprint oracles: synthetic
     * waveform formula (= AudioCodec.synthSamples, including the ×2 gain

@@ -23,4 +23,35 @@ object Compaction {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Small-file compaction PLANNING (the OPTIMIZE/bin-packing step of a
+    * lakehouse table service): assign every file of a partition to an
+    * output bin of ~`target` size.
+    *
+    * Files are laid out largest-first (size desc, id asc — total order)
+    * and cut into bins wherever the running size before a file crosses a
+    * `target` multiple: bin = floor(preceding_size / target). Each bin
+    * spans one `target`-wide band of the cumulative size, so a partition
+    * packs into exactly floor(total/target)+1 bins — within one output
+    * file of the size-floor optimum (a bin can undershoot `target` only
+    * by as much as its predecessor's last file overshot, and the
+    * largest-first layout pushes the small files to the tail where
+    * overshoot shrinks).
+    * Unlike greedy first-fit (a sequential fold no engine parallelizes),
+    * the cumulative-sum rule is ONE window over the file inventory —
+    * pure metadata, ~1 row per file: planning 100 TB of files shuffles
+    * megabytes, and the plan then drives the actual rewrite's
+    * repartition-by-bin write.
+    *
+    * Returns the inventory with `bin` appended. */
+  def binPack(files: DataFrame, partKeys: Seq[Column], size: Column,
+              id: Column, target: Long): DataFrame = {
+    val w = Window.partitionBy(partKeys: _*)
+      .orderBy(size.desc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.withColumn("_before", coalesce(sum(size).over(w), lit(0L)))
+      .withColumn("bin", (col("_before") / target).cast(
+        org.apache.spark.sql.types.LongType))
+      .drop("_before")
+  }
 }
