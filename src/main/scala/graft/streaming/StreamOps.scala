@@ -438,4 +438,51 @@ object StreamOps {
             .iterator
       }
   }
+
+  final case class KmvItem(group: String, key: Long)
+  final case class KmvOut(group: String, sketch_size: Long, kth_hash: Long,
+                          est_distinct: Double)
+
+  /** Streaming KMV distinct estimate: one bottom-k hash sketch per group
+    * carried across micro-batches in flatMapGroupsWithState — the
+    * streaming twin of q_kmv_distinct. State is the sorted k-long array
+    * of smallest distinct hashes, BOUNDED at k values per group no
+    * matter the stream's age or key cardinality (exact streaming
+    * distinct grows state with every new key). KMV insertion is
+    * order-independent (the k smallest of a multiset don't care about
+    * arrival order or batching), so the emitted estimate after any
+    * delivery schedule equals the batch sketch over the same rows —
+    * StreamingSpec pins that parity, including the estimate arithmetic
+    * (same integer hash, same (k−1)·P/θ division as
+    * operators.KmvSketch). */
+  def kmvDistinct(items: Dataset[KmvItem], k: Int): Dataset[KmvOut] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    import graft.operators.KmvSketch.{A, B, P}
+    items
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Long], KmvOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[KmvItem], state: GroupState[Array[Long]]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(arr => set ++= arr)
+          it.foreach { r =>
+            val h = (A * r.key + B) % P
+            set += h
+            if (set.size > k) set -= set.last
+          }
+          val arr = set.toArray // ascending
+          state.update(arr)
+          val n = arr.length.toLong
+          if (n == 0) Iterator.empty
+          else {
+            val kth = arr.last
+            val est =
+              if (n < k) n.toDouble
+              else BigDecimal(((k - 1).toLong * P).toDouble / kth)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single(KmvOut(group, n, kth, est))
+          }
+      }
+  }
 }

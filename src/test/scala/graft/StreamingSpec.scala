@@ -288,4 +288,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"'a' lost across batches: $latest")
     assert(latest.size <= 4, s"emitted tokens exceed expectations: $latest")
   }
+
+  test("streaming KMV distinct matches the batch sketch under shuffled delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 64
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.select($"l_returnflag", $"l_partkey").collect()
+      .map(r => StreamOps.KmvItem(r.getString(0), r.getLong(1)))
+    // deterministic shuffle, delivered in uneven batches
+    val perm = rows.sortBy(r => (r.key * 2654435761L + r.group.hashCode) % 104729)
+    val in = MemoryStream[StreamOps.KmvItem]
+    val q = StreamOps.kmvDistinct(in.toDS(), k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv").start()
+    perm.grouped(1234).foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    // final state per group = max sketch_size, then min kth (size only
+    // grows; once at k, the k-th min only shrinks)
+    val got = spark.sql("SELECT * FROM kmv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.minBy(t => (-t._2, t._3))).toMap
+    q.stop()
+    val batch = graft.operators.KmvSketch.estimates(
+      graft.operators.KmvSketch.sketch(li, $"l_returnflag", $"l_partkey", k), k)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("est_distinct"))).toMap
+    assert(got.keySet == batch.keySet)
+    batch.foreach { case (g, (n, kth, est)) =>
+      val (_, gn, gkth, gest) = got(g)
+      assert((gn, gkth) == (n, kth), s"group $g sketch mismatch")
+      assert(gest == est, s"group $g estimate mismatch: $gest vs $est")
+    }
+  }
 }
