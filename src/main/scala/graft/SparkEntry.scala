@@ -1475,6 +1475,33 @@ object SparkEntry {
         .orderBy($"user_id", $"bucket")
     }),
 
+    "q_ewma" -> ((s, dir) => {
+      import s.implicits._
+      // exponentially weighted moving average — the sequential per-key
+      // stateful fold no window frame expresses (each step depends on the
+      // previous RESULT, not previous inputs). Per key: collect the
+      // ordered history once (one key shuffle) and left-fold
+      // acc*(1−α)+α·x with a higher-order aggregate — O(n) per key,
+      // state = one double. The oracle replays the identical float-op
+      // sequence as a recursive CTE, so the smoothed value hash-matches
+      // without tolerance. Emitted: the latest smoothed estimate per key
+      // (the monitoring/forecast-seed use case); at 100 TB this is the
+      // same one-shuffle shape — per-key history folds map-side after
+      // the shuffle, and an incremental refresh only folds the delta
+      // onto the stored acc (EWMA state is mergeable forward).
+      val alpha = 0.25
+      val ev = Tables.events(s, dir)
+      ev.groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value")))
+          .as("h"))
+        .select($"user_id", size($"h").cast(LongType).as("n_events"),
+          round(aggregate($"h", lit(null).cast(DoubleType),
+            (acc, x) => when(acc.isNull, x("value"))
+              .otherwise(acc * lit(1 - alpha) + x("value") * lit(alpha))), 6)
+            .as("ewma_last"))
+        .orderBy($"user_id")
+    }),
+
     "q_regression" -> ((s, dir) => {
       import s.implicits._
       // per-group OLS (price-on-quantity slope/intercept) from exact
@@ -2220,6 +2247,42 @@ object SparkEntry {
         .select($"label".cast(LongType).as("label"), $"pos".cast(LongType).as("pos"),
           $"n", round($"sx".cast(DoubleType) / $"n", 6).as("mean"))
         .orderBy($"label", $"pos")
+    }),
+
+    "q_chisq" -> ((s, dir) => {
+      import s.implicits._
+      // chi-square independence test (event_type × weekday) — the
+      // categorical-association screen a feature/curation pipeline runs
+      // before trusting a segmentation. Observed counts are ONE
+      // partial-aggregable pass; row/col/total margins are cell-table
+      // sized and broadcast back, so the corpus shuffles once at any
+      // scale. Per-cell contributions use pinned double ops; the global
+      // statistic sums the ROUNDED contributions in decimal (exact,
+      // order-independent) — the same parity recipe as every money sum.
+      // weekday(): Monday=0 in Spark; the oracle uses isodow−1.
+      val ev = Tables.events(s, dir)
+        .select($"event_type", weekday($"ts").as("dow"))
+      val obs = ev.groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("observed"))
+      val rt = obs.groupBy($"event_type").agg(sum($"observed").as("rt"))
+      val ct = obs.groupBy($"dow").agg(sum($"observed").as("ct"))
+      val n = obs.agg(sum($"observed").as("n"))
+      val cells = obs.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("expected", ($"rt" * $"ct").cast(DoubleType) / $"n")
+        .withColumn("contrib", round(($"observed" - $"expected")
+          * ($"observed" - $"expected") / $"expected", 6))
+      val total = cells.agg(
+          sum($"contrib".cast(DecimalType(24, 6))).as("chi2d"),
+          sum($"observed").as("nn"))
+        .select(lit("ALL").as("event_type"), lit(-1L).as("dow"),
+          $"nn".as("observed"), lit(0.0).as("expected"),
+          $"chi2d".cast(DoubleType).as("contrib"))
+      cells.select($"event_type", $"dow".cast(LongType).as("dow"),
+          $"observed", round($"expected", 6).as("expected"), $"contrib")
+        .unionByName(total)
+        .orderBy($"event_type", $"dow")
     }),
 
     "q_corr" -> ((s, dir) => {
@@ -3468,6 +3531,26 @@ object SparkEntry {
         |FROM b GROUP BY 1, 2
         |ORDER BY user_id, bucket""".stripMargin,
 
+    // Recursive-CTE replay of the per-key EWMA fold: step r.ewma*0.75 +
+    // value*0.25 in the same (ts, event_id) order Spark's sorted
+    // higher-order aggregate folds in — identical float-op sequence,
+    // so the smoothed doubles hash-match without tolerance.
+    "q_ewma" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |nn AS (SELECT user_id, max(rn) AS n FROM ordered GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn, value AS ewma FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, r.ewma * 0.75 + o.value * 0.25
+        |  FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT r.user_id, nn.n AS n_events, round(r.ewma, 6) AS ewma_last
+        |FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+        |ORDER BY r.user_id""".stripMargin,
+
     // Same decimal-moment recipe as q_corr; the slope expression is
     // inlined VERBATIM inside intercept in both engines.
     "q_regression" ->
@@ -4116,6 +4199,35 @@ object SparkEntry {
         |FROM v
         |GROUP BY 1, 2
         |ORDER BY label, pos""".stripMargin,
+
+    // margins replayed as integer sums; expected/contrib use the same
+    // double-op sequence; the ALL row's statistic sums rounded
+    // contributions in DECIMAL (order-independent) then casts to double
+    "q_chisq" ->
+      """WITH ev AS (SELECT event_type, isodow(ts) - 1 AS dow FROM events),
+        |obs AS (SELECT event_type, dow, count(*) AS observed
+        |  FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(observed) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, sum(observed) AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT sum(observed) AS n FROM obs),
+        |cells AS (
+        |  SELECT o.event_type, o.dow, o.observed,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / n.n AS expected
+        |  FROM obs o JOIN rt USING (event_type) JOIN ct USING (dow), n),
+        |c2 AS (
+        |  SELECT event_type, dow, observed, expected,
+        |    round((observed - expected) * (observed - expected) / expected,
+        |      6) AS contrib
+        |  FROM cells)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(observed AS BIGINT) AS observed,
+        |  round(expected, 6) AS expected, contrib
+        |FROM c2
+        |UNION ALL
+        |SELECT 'ALL', -1, (SELECT CAST(n AS BIGINT) FROM n), 0.0,
+        |  (SELECT CAST(sum(CAST(contrib AS DECIMAL(24,6))) AS DOUBLE)
+        |   FROM c2)
+        |ORDER BY event_type, dow""".stripMargin,
 
     "q_corr" ->
       """WITH st AS (
