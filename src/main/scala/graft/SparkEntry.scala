@@ -739,6 +739,42 @@ object SparkEntry {
         .orderBy($"zcell")
     }),
 
+    "q_zonemap" -> ((s, dir) => {
+      import s.implicits._
+      // zone maps / data skipping — the min/max file footer every
+      // lakehouse scan consults before reading, quantified: the same
+      // table under a SCATTERED layout (files by writer task) vs a
+      // CLUSTERED one (files by key range, what q_zorder/q_compaction
+      // produce), probed by 5 key-range predicates. Zone stats are one
+      // aggregation per layout (metadata-sized output); probe
+      // classification is a broadcast cross of 5 probes × 80 file rows —
+      // at 100 TB this is exactly the planner arithmetic that decides
+      // whether a query reads 40 files or 1. Integer key arithmetic
+      // only, so the oracle replays everything.
+      val li = Tables.lineitem(s, dir)
+      val mx = li.agg(max($"l_orderkey")).head().getLong(0)
+      val stride = mx / 40 + 1
+      def inv(fileCol: Column, tag: String) = li
+        .groupBy(fileCol.as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_orderkey").as("k_min"), max($"l_orderkey").as("k_max"))
+        .select(lit(tag).as("layout"), $"file_id", $"n_rows", $"k_min",
+          $"k_max")
+      val files = inv(expr("l_suppkey % 40"), "scattered")
+        .unionByName(inv(expr(s"l_orderkey div $stride"), "clustered"))
+      val probes = s.range(5).select($"id".as("probe_id"),
+        ($"id" * lit(mx / 5)).as("lo"),
+        ($"id" * lit(mx / 5) + lit(mx / 10)).as("hi"))
+      files.crossJoin(broadcast(probes))
+        .withColumn("pruned", $"k_max" < $"lo" || $"k_min" >= $"hi")
+        .groupBy($"layout", $"probe_id")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when($"pruned", 1L).otherwise(0L)).as("n_pruned"),
+          sum(when($"pruned", $"n_rows").otherwise(0L)).as("rows_pruned"),
+          sum(when(!$"pruned", $"n_rows").otherwise(0L)).as("rows_scanned"))
+        .orderBy($"layout", $"probe_id")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       import s.implicits._
       // time-series as-of join: each click picks up the latest prior
@@ -1232,6 +1268,26 @@ object SparkEntry {
       operators.DedupClusters.clustersLargeSmallStar(edges, $"src", $"dst")
         .labels
         .select($"doc_id".as("node"), $"cluster_id".as("component"))
+        .orderBy($"node")
+    }),
+
+    "q_bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      // multi-source BFS (operators.Bfs): minimum hop distance from a
+      // seed set over the sampled co-purchase graph — the reachability/
+      // distance lane of the graph family ("how far does a recall set
+      // propagate"). Each round expands only the CURRENT frontier (one
+      // keyed join + one anti-join, edge-linear), per-round
+      // localCheckpoint keeps plans flat, and every node settles exactly
+      // once so total work is O(edges) no matter the rounds. The oracle
+      // unrolls 6 neighbor expansions (MATERIALIZED — the k-core lesson)
+      // and takes the min round per node.
+      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      val edges = operators.PageRank.coOccurrenceEdges(
+        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      val seeds = edges.select($"src".as("node")).distinct()
+        .filter($"node" % 10 === 0)
+      operators.Bfs.minHops(edges, seeds, maxHops = 6)
         .orderBy($"node")
     }),
 
@@ -2768,6 +2824,36 @@ object SparkEntry {
     // (= the mask-shift ladder, bit by bit), seconds from epoch_us
     // floor-division (= Spark's timestamp->long cast). Integer-only
     // output, so no float drift can reach the hash.
+    // integer-only zone/probe arithmetic: DuckDB's // is Spark's div
+    "q_zonemap" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+        |fa AS (
+        |  SELECT 'scattered' AS layout, l_suppkey % 40 AS file_id,
+        |    count(*) AS n_rows, min(l_orderkey) AS k_min,
+        |    max(l_orderkey) AS k_max
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'clustered', l_orderkey // (SELECT mx // 40 + 1 FROM mx),
+        |    count(*), min(l_orderkey), max(l_orderkey)
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT p AS probe_id, p * (SELECT mx // 5 FROM mx) AS lo,
+        |    p * (SELECT mx // 5 FROM mx) + (SELECT mx // 10 FROM mx) AS hi
+        |  FROM range(5) t(p)),
+        |cl AS (
+        |  SELECT fa.layout, pr.probe_id, fa.n_rows,
+        |    (fa.k_max < pr.lo OR fa.k_min >= pr.hi) AS pruned
+        |  FROM fa, pr)
+        |SELECT layout, probe_id, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pruned,
+        |  CAST(sum(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_pruned,
+        |  CAST(sum(CASE WHEN NOT pruned THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned
+        |FROM cl GROUP BY 1, 2
+        |ORDER BY layout, probe_id""".stripMargin,
+
     "q_zorder" ->
       """WITH st AS (
         |  SELECT min(user_id) AS umin, max(user_id) AS umax,
@@ -3279,6 +3365,33 @@ object SparkEntry {
         |SELECT u AS node, CAST(least(min(v), u) AS BIGINT) AS component
         |FROM reach GROUP BY u
         |ORDER BY node""".stripMargin,
+
+    // r_k = neighbors(r_{k-1}) ⊆ {distance <= k} and contains all
+    // distance-k nodes, so min(h) over the unions is the true hop count;
+    // MATERIALIZED because each r_k is referenced twice (successor +
+    // final union) and DuckDB's default inlining would re-derive the
+    // chain exponentially.
+    "q_bfs_hops" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to 6)
+        .map(i => s"SELECT node, $i AS h FROM r$i").mkString("\n  UNION ALL ")
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+         |  FROM lineitem WHERE l_orderkey % 50 = 0),
+         |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 8),
+         |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+         |e AS MATERIALIZED (SELECT DISTINCT a.i AS src, b.i AS dst
+         |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+         |r0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+         |  WHERE src % 10 = 0),
+         |$rounds
+         |SELECT node, CAST(min(h) AS BIGINT) AS hops FROM (
+         |  $unions)
+         |GROUP BY node
+         |ORDER BY node""".stripMargin
+    },
 
     // Bit-for-bit replay of the Count-Min sketch: the SAME seed
     // literals, modulus, and width, all arithmetic exact in BIGINT
