@@ -1283,11 +1283,16 @@ object SparkEntry {
       // unrolls 6 neighbor expansions (MATERIALIZED — the k-core lesson)
       // and takes the min round per node.
       val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      // one materialization of the edge derivation (self-join +
+      // distinct over the fact scan): BOTH the seed set and the BFS
+      // rounds read the pinned copy — unpinned, the derivation would
+      // re-execute once per consumer (measured 2× the query at 100×)
       val edges = operators.PageRank.coOccurrenceEdges(
-        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+          li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+        .localCheckpoint(true)
       val seeds = edges.select($"src".as("node")).distinct()
         .filter($"node" % 10 === 0)
-      operators.Bfs.minHops(edges, seeds, maxHops = 6)
+      operators.Bfs.minHops(edges, seeds, maxHops = 6, edgesPinned = true)
         .orderBy($"node")
     }),
 
@@ -1364,6 +1369,73 @@ object SparkEntry {
         .select($"ga", $"gb", $"combined_size", $"theta", $"n_common",
           $"est_union", $"est_inter", $"exact_union", $"exact_inter")
         .orderBy($"ga", $"gb")
+    }),
+
+    "q_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      // key-distribution diagnostics — the numbers that DECIDE between a
+      // plain join, a broadcast, and the salted lanes (q_salted_join /
+      // q_skew_agg): per candidate join key, cardinality, max/median/p99
+      // key weight and the heaviest key's share. One partial-aggregable
+      // count per key column, then a one-row agg over the |keys|-sized
+      // count table — the whole report is metadata-cost at any corpus
+      // size, which is why it can run BEFORE every scheduled join at
+      // 100 TB.
+      val li = Tables.lineitem(s, dir)
+      def rep(keyCol: Column, name: String) = {
+        val c = li.groupBy(keyCol.as("k")).agg(count(lit(1)).as("cnt"))
+        c.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+            max($"cnt").as("max_cnt"),
+            round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+            round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+          .select(lit(name).as("key_col"), $"n_keys", $"n_rows",
+            $"max_cnt", $"p50_cnt", $"p99_cnt",
+            round($"max_cnt".cast(DoubleType) / $"n_rows", 6)
+              .as("top1_share"))
+      }
+      rep($"l_suppkey", "l_suppkey")
+        .unionByName(rep($"l_partkey", "l_partkey"))
+        .unionByName(rep($"l_orderkey", "l_orderkey"))
+        .orderBy($"key_col")
+    }),
+
+    "q_kmv_trailing" -> ((s, dir) => {
+      import s.implicits._
+      // trailing-window distincts from MERGED daily sketches — the
+      // production shape of q_sketch_union with a sketch that replays
+      // exactly: materialize one bottom-k KMV row set per DAY (bounded,
+      // mergeable), then answer every 7-day-trailing distinct-users
+      // question by merging the window's daily sketches — k·7 rows per
+      // answer, never a rescan of raw events. At 100 TB the daily sketch
+      // table IS the serving layer: any date range, any grouping of
+      // days, one bounded merge. Each day's rows explode to the ≤7
+      // window-ends they serve (row-local), re-rank, re-estimate; exact
+      // trailing distincts ride along as the harness.
+      graft.plans.GraftExtensions.install(s)
+      val k = 256
+      val ev = Tables.events(s, dir)
+      val daily = operators.KmvSketch.sketch(ev, to_date($"ts"), $"user_id", k)
+      val ends = daily
+        .select(explode(sequence($"g", date_add($"g", 6))).as("end_day"),
+          $"hv")
+        .distinct()
+      val w = Window.partitionBy($"end_day").orderBy($"hv")
+      val merged = ends.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter($"rk" <= k)
+        .groupBy($"end_day")
+        .agg(count(lit(1)).as("sketch_size"), max($"hv").as("kth_hash"))
+      val est = merged.select($"end_day", $"sketch_size", $"kth_hash",
+        when($"sketch_size" < k, $"sketch_size".cast(DoubleType))
+          .otherwise(round(lit((k - 1).toLong * operators.KmvSketch.P)
+            .cast(DoubleType) / $"kth_hash", 4)).as("est_distinct"))
+      val exact = ev.select(to_date($"ts").as("day"), $"user_id").distinct()
+        .select(explode(sequence($"day", date_add($"day", 6))).as("end_day"),
+          $"user_id")
+        .distinct()
+        .groupBy($"end_day").agg(count(lit(1)).as("exact_distinct"))
+      val realDays = ev.select(to_date($"ts").as("end_day")).distinct()
+      est.join(exact, "end_day").join(realDays, "end_day")
+        .orderBy($"end_day")
     }),
 
     "q_dq_checks" -> ((s, dir) => {
@@ -3401,10 +3473,10 @@ object SparkEntry {
     "q_cms_freq" -> {
       val w = 256
       val rows = operators.CountMin.Seeds.zipWithIndex.map { case ((a, b), i) =>
-        s"SELECT $i AS r, (($a * user_id + $b) % ${operators.CountMin.P}) % $w AS bucket FROM events"
+        s"SELECT $i AS r, (($a * (user_id % ${operators.CountMin.P}) + $b) % ${operators.CountMin.P}) % $w AS bucket FROM events"
       }.mkString("\n  UNION ALL ")
       val probes = operators.CountMin.Seeds.zipWithIndex.map { case ((a, b), i) =>
-        s"SELECT user_id AS key, $i AS r, (($a * user_id + $b) % ${operators.CountMin.P}) % $w AS bucket FROM du"
+        s"SELECT user_id AS key, $i AS r, (($a * (user_id % ${operators.CountMin.P}) + $b) % ${operators.CountMin.P}) % $w AS bucket FROM du"
       }.mkString("\n  UNION ALL ")
       s"""WITH du AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
          |st AS MATERIALIZED (
@@ -3428,7 +3500,7 @@ object SparkEntry {
         operators.KmvSketch.P, 256)
       val num = (k - 1).toLong * p
       s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
-         |    ($a * l_partkey + $b) % $p AS hv FROM lineitem),
+         |    ($a * (l_partkey % $p) + $b) % $p AS hv FROM lineitem),
          |r AS (SELECT g, hv,
          |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h),
          |st AS (SELECT g, count(*) AS sketch_size, max(hv) AS kth_hash
@@ -3450,7 +3522,7 @@ object SparkEntry {
         operators.KmvSketch.P, 256)
       val num = (k - 1).toLong * p
       s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
-         |    ($a * l_partkey + $b) % $p AS hv FROM lineitem),
+         |    ($a * (l_partkey % $p) + $b) % $p AS hv FROM lineitem),
          |r AS (SELECT g, hv,
          |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h),
          |sk AS (SELECT g, hv FROM r WHERE rk <= $k),
@@ -3487,6 +3559,62 @@ object SparkEntry {
          |  exact_union, exact_inter
          |FROM st JOIN exu USING (ga, gb) JOIN exi USING (ga, gb)
          |ORDER BY ga, gb""".stripMargin
+    },
+
+    // quantile_cont == Spark's interpolated percentile (q_percentiles
+    // parity); integer count domain keeps the interpolation bit-equal
+    "q_skew_report" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS key_col, count(*) AS n_keys,
+           |  CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+           |  round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share
+           |FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY $c)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("l_suppkey")}
+         |UNION ALL
+         |${one("l_partkey")}
+         |UNION ALL
+         |${one("l_orderkey")})
+         |ORDER BY key_col""".stripMargin
+    },
+
+    // daily bottom-k sketches merged per trailing window, replayed with
+    // the same hash/estimate arithmetic; generate_series is Spark's
+    // sequence(day, day+6)
+    "q_kmv_trailing" -> {
+      val (a, b, p, k) = (operators.KmvSketch.A, operators.KmvSketch.B,
+        operators.KmvSketch.P, 256)
+      val num = (k - 1).toLong * p
+      s"""WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    ($a * (user_id % $p) + $b) % $p AS hv FROM events),
+         |r AS (SELECT day, hv,
+         |    row_number() OVER (PARTITION BY day ORDER BY hv) AS rk FROM h),
+         |sk AS (SELECT day, hv FROM r WHERE rk <= $k),
+         |ends AS (SELECT DISTINCT CAST(t.ed AS DATE) AS end_day, sk.hv
+         |  FROM sk, unnest(generate_series(sk.day,
+         |    sk.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) t(ed)),
+         |rc AS (SELECT end_day, hv,
+         |    row_number() OVER (PARTITION BY end_day ORDER BY hv) AS rk
+         |  FROM ends),
+         |st AS (SELECT end_day, count(*) AS sketch_size, max(hv) AS kth_hash
+         |  FROM rc WHERE rk <= $k GROUP BY 1),
+         |exd AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+         |  FROM events),
+         |exe AS (SELECT DISTINCT CAST(t.ed AS DATE) AS end_day, user_id
+         |  FROM exd, unnest(generate_series(exd.day,
+         |    exd.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) t(ed)),
+         |exc AS (SELECT end_day, count(*) AS exact_distinct FROM exe
+         |  GROUP BY 1),
+         |rd AS (SELECT DISTINCT CAST(ts AS DATE) AS end_day FROM events)
+         |SELECT st.end_day, sketch_size, kth_hash,
+         |  CASE WHEN sketch_size < $k THEN CAST(sketch_size AS DOUBLE)
+         |       ELSE round(CAST($num AS DOUBLE) / kth_hash, 4)
+         |  END AS est_distinct,
+         |  exact_distinct
+         |FROM st JOIN exc USING (end_day) JOIN rd USING (end_day)
+         |ORDER BY end_day""".stripMargin
     },
 
     // outer CASTs: DuckDB sums are HUGEINT (→ float64 in the compare)

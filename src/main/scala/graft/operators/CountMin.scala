@@ -34,8 +34,11 @@ object CountMin {
     Seq((1234567891L, 987654321L), (987654323L, 123456789L),
         (7654321237L % P, 192837465L))
 
+  // key reduced mod P FIRST: a·(x mod P) ≡ a·x (mod P) — identical
+  // bucket, but no 64-bit overflow for keys ≥ 2³² (ANSI Spark throws;
+  // ScaleGen-scale ids exceed 2³³)
   private def bucket(key: Column, a: Long, b: Long, width: Int): Column =
-    ((lit(a) * key + lit(b)) % lit(P)) % lit(width)
+    ((lit(a) * (key % lit(P)) + lit(b)) % lit(P)) % lit(width)
 
   /** The sketch table (row, bucket, cnt) for a LONG key column —
     * d = Seeds.size rows, `width` counters each; at most d·width output

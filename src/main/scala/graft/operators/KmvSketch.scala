@@ -45,9 +45,13 @@ object KmvSketch {
   val A: Long = 1203248987L
   val B: Long = 417204511L
 
-  /** The hash — exact in 64-bit arithmetic for any key < 2³¹·sign-safe
-    * domain (a·x + b < 2⁶² for x < 2³¹). */
-  def hv(key: Column): Column = (lit(A) * key + lit(B)) % lit(P)
+  /** The hash — exact in 64-bit arithmetic for ANY non-negative long
+    * key: the key is reduced mod P FIRST (a·(x mod P) ≡ a·x (mod P), so
+    * this is the identical hash value), keeping every intermediate under
+    * 2⁶² where a·x itself would overflow for keys ≥ 2³² (ANSI Spark
+    * throws on long overflow — found at 100× scale where ScaleGen's
+    * key stride pushes ids past 2³³). */
+  def hv(key: Column): Column = (lit(A) * (key % lit(P)) + lit(B)) % lit(P)
 
   /** Per-group sketch: the k smallest distinct hash values, as rows
     * (g, hv, rk). The rn<=k shape rewrites to the bounded TopKPerGroup

@@ -467,7 +467,7 @@ object StreamOps {
           val set = scala.collection.mutable.TreeSet.empty[Long]
           state.getOption.foreach(arr => set ++= arr)
           it.foreach { r =>
-            val h = (A * r.key + B) % P
+            val h = (A * (r.key % P) + B) % P // mod-first: no overflow
             set += h
             if (set.size > k) set -= set.last
           }

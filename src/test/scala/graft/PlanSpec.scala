@@ -316,4 +316,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
+
+  test("KMV sketch build rewrites to bounded TopK heaps") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("TopKFinal") && p.contains("TopKLocal"),
+      s"bottom-k not rewritten to bounded heaps:\n$p")
+  }
+
+  test("IVFADC: cell equi-join with broadcast queries, never all-pairs") {
+    val p = plan("q_ann_pq")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side (probes + dist tables) not broadcast in:\n$p")
+  }
+
+  test("snapshot diff: one full-outer key join, classification map-side") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), s"no full outer join in:\n$p")
+    // exactly one window (the CDC collapse) and no extra diff pass
+    val windows = p.linesIterator.count(_.trim.startsWith("Window")) +
+      p.linesIterator.count(_.contains("TopKFinal"))
+    assert(windows <= 2, s"unexpected extra passes:\n$p")
+  }
+
+  test("chi-square: margins broadcast back, corpus shuffles once") {
+    val p = plan("q_chisq")
+    assert(p.contains("BroadcastHashJoin"), s"margins not broadcast in:\n$p")
+  }
+
+  test("zone maps: probe classification is a broadcast cross of metadata") {
+    val p = plan("q_zonemap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      || p.contains("BroadcastHashJoin"),
+      s"probe table not broadcast over file stats:\n$p")
+    // the corpus itself is only aggregated — per-layout scans + aggs
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"zone stats not partial-aggregated:\n$p")
+  }
+
+  test("EWMA: one key shuffle, fold runs map-side after it") {
+    val p = plan("q_ewma")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
+  }
 }
