@@ -1317,6 +1317,30 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "q_join_size_est" -> ((s, dir) => {
+      import s.implicits._
+      // join-size estimation from sketches (AMS/CMS inner product) — the
+      // planner primitive that prices a join BEFORE running it: per hash
+      // row, Σ_b A[b]·B[b] overestimates Σ_k fA(k)·fB(k) (collisions
+      // only add — one-sided, like the point estimates); min over d rows
+      // tightens. The sketches are d·w counters each, so at 100 TB the
+      // price quote costs two summary scans where the join costs the
+      // job. Size w to the distinct-key scale you price (error is
+      // additive ‖A‖₁‖B‖₁/w). Demo: the events-by-user self-join — 150
+      // users × ~70 events each make real multiplicities. All-integer,
+      // replayed exactly; exact Σc² rides along as the harness.
+      val ev = Tables.events(s, dir)
+      val est = operators.CountMin.joinSizeEstimate(
+        ev, $"user_id", ev, $"user_id", width = 8192)
+      val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * $"c").as("exact_join_size"))
+      est.crossJoin(exact)
+        .select($"est_join_size", $"exact_join_size",
+          ($"est_join_size" - $"exact_join_size").as("overcount"),
+          round($"est_join_size".cast(DoubleType) / $"exact_join_size", 4)
+            .as("ratio"))
+    }),
+
     "q_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       // KMV bottom-k distinct sketch (operators.KmvSketch): k smallest
@@ -3490,6 +3514,27 @@ object SparkEntry {
          |  est_count - true_count AS overcount
          |FROM est JOIN ex USING (key)
          |ORDER BY user_id""".stripMargin
+    },
+
+    // AMS inner product replayed on the same mod-first hash literals;
+    // self-join, so ONE sketch and Σ cnt² per row, min across rows
+    "q_join_size_est" -> {
+      val w = 8192
+      val rows = operators.CountMin.Seeds.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS r, (($a * (user_id % ${operators.CountMin.P}) + $b) % ${operators.CountMin.P}) % $w AS bucket FROM events"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH st AS MATERIALIZED (
+         |  SELECT r, bucket, count(*) AS cnt FROM ($rows) GROUP BY 1, 2),
+         |ip AS (SELECT r, sum(cnt * cnt) AS ipr FROM st GROUP BY r),
+         |est AS (SELECT min(ipr) AS est_join_size FROM ip),
+         |ex AS (SELECT sum(c * c) AS exact_join_size FROM (
+         |  SELECT count(*) AS c FROM events GROUP BY user_id))
+         |SELECT CAST(est_join_size AS BIGINT) AS est_join_size,
+         |  CAST(exact_join_size AS BIGINT) AS exact_join_size,
+         |  CAST(est_join_size - exact_join_size AS BIGINT) AS overcount,
+         |  round(CAST(est_join_size AS DOUBLE) / exact_join_size, 4)
+         |    AS ratio
+         |FROM est, ex""".stripMargin
     },
 
     // KMV replay (the CountMin recipe for distincts): the bottom-k of the

@@ -52,6 +52,25 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join SIZE estimate from two sketches — the AMS/CMS
+    * inner-product estimator (Alon–Matias–Szegedy, STOC'96; CMS form in
+    * Cormode & Muthukrishnan §4.3): |A ⋈ B| = Σ_k fA(k)·fB(k), and each
+    * sketch row's Σ_b A_i[b]·B_i[b] OVERESTIMATES it (collisions only
+    * add); min over the d rows tightens. This is the planner primitive
+    * that prices a join BEFORE running it from two d·w-sized summaries —
+    * at 100 TB the sketches are kilobytes where the join is the job.
+    * All-integer arithmetic → replayable bit-for-bit. */
+  def joinSizeEstimate(a: DataFrame, aKey: Column, b: DataFrame,
+                       bKey: Column, width: Int): DataFrame = {
+    val sa = sketch(a, aKey, width)
+    val sb = sketch(b, bKey, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("inner"))
+      .agg(min(col("inner")).as("est_join_size"))
+  }
+
   /** Point estimates for every distinct key: min over the d rows of the
     * key's counters. The sketch side is d·width rows — broadcast into
     * the probe join, so the keys table never shuffles. */

@@ -41,4 +41,32 @@ class CountMinSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(run(ev) == run(ev.repartition(11)))
   }
+
+  test("join-size estimate never undercounts, and is exact sans collisions") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c")).collect().head.getLong(0)
+    // few distinct users vs a wide sketch: collision-free → exact
+    val wide = CountMin.joinSizeEstimate(ev, $"user_id", ev, $"user_id",
+      width = 65536).collect().head.getLong(0)
+    assert(wide >= exact, "AMS inner product undercounted — impossible")
+    assert(wide == exact,
+      s"collision-free sketch should be exact: $wide vs $exact")
+    // a cramped sketch still never undercounts
+    val cramped = CountMin.joinSizeEstimate(ev, $"user_id", ev, $"user_id",
+      width = 16).collect().head.getLong(0)
+    assert(cramped >= exact)
+  }
+
+  test("join-size estimate on two different tables") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val exact = li.join(o, $"l_orderkey" === $"o_orderkey").count()
+    val est = CountMin.joinSizeEstimate(li, $"l_orderkey", o, $"o_orderkey",
+      width = 65536).collect().head.getLong(0)
+    assert(est >= exact && est <= exact * 2,
+      s"estimate $est implausible vs exact $exact")
+  }
 }
