@@ -439,6 +439,51 @@ object StreamOps {
       }
   }
 
+  final case class CmsItem(group: String, key: Long)
+  final case class CmsCell(group: String, row: Int, bucket: Long, cnt: Long)
+
+  /** Streaming Count-Min sketch: one d·w counter block per group carried
+    * across micro-batches in flatMapGroupsWithState — the third
+    * streaming sketch twin (next to Misra–Gries heavy hitters and KMV
+    * distincts), maintaining the SAME summary q_cms_freq/q_join_size_est
+    * consume in batch. State is exactly d·w longs per group — bounded
+    * regardless of stream age or key cardinality — and counter
+    * increments commute, so the maintained sketch is BIT-IDENTICAL to
+    * the batch sketch over the same rows under any batching/shuffling
+    * (StreamingSpec pins it). Each trigger emits the group's non-zero
+    * cells: the same (row, bucket, cnt) table the batch operators probe,
+    * ready for point estimates or sketch inner products downstream. */
+  def cmsSketch(items: Dataset[CmsItem], width: Int): Dataset[CmsCell] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val seeds = graft.operators.CountMin.Seeds
+    val p = graft.operators.CountMin.P
+    items
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Long], CmsCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[CmsItem], state: GroupState[Array[Long]]) =>
+          val d = seeds.size
+          val buf = state.getOption.getOrElse(new Array[Long](d * width))
+          it.foreach { r =>
+            var i = 0
+            while (i < d) {
+              val (a, b) = seeds(i)
+              val bkt = (((a * (r.key % p) + b) % p) % width).toInt
+              buf(i * width + bkt) += 1
+              i += 1
+            }
+          }
+          state.update(buf)
+          (0 until d).iterator.flatMap { i =>
+            (0 until width).iterator.collect {
+              case bkt if buf(i * width + bkt) != 0 =>
+                CmsCell(group, i, bkt.toLong, buf(i * width + bkt))
+            }
+          }
+      }
+  }
+
   final case class KmvItem(group: String, key: Long)
   final case class KmvOut(group: String, sketch_size: Long, kth_hash: Long,
                           est_distinct: Double)

@@ -289,6 +289,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(latest.size <= 4, s"emitted tokens exceed expectations: $latest")
   }
 
+  test("streaming CMS sketch is bit-identical to the batch sketch, any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = 64
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.select($"l_suppkey").collect()
+      .map(r => StreamOps.CmsItem("all", r.getLong(0)))
+    val perm = rows.sortBy(r => (r.key * 2654435761L) % 104729)
+    val in = MemoryStream[StreamOps.CmsItem]
+    val q = StreamOps.cmsSketch(in.toDS(), w)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cms").start()
+    perm.grouped(997).foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    // counters only grow: final state per cell = max over emissions
+    val got = spark.sql("SELECT row, bucket, max(cnt) FROM cms GROUP BY 1, 2")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.operators.CountMin.sketch(li, $"l_suppkey", w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch,
+      s"sketch mismatch: ${got.size} streamed cells vs ${batch.size} batch")
+  }
+
   test("streaming KMV distinct matches the batch sketch under shuffled delivery") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
