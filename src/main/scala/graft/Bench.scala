@@ -106,9 +106,21 @@ object Bench {
       System.gc()
     }
 
+    // SPARK_GRAFT_SKIP: comma-separated query names to exclude — for
+    // off-contract scale runs only (the driver never sets it). Exists
+    // because q_allpairs' FULL pair list is output-wall-bound at 100×
+    // under ScaleGen replication (~9.7B rows — inherent to the
+    // semantics, SCALE.md; its linear-size compact form stays in).
+    // Skipped names are listed in the contract line so a filtered run
+    // can never pass as a full one.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // deterministic run order (Map hash order changes whenever a query
     // is added, silently shifting which query absorbs residual JIT)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip.contains(n) }
+      .map { case (n, f) =>
       val cold = run(f)
       val warm = run(f)
       cleanup()
@@ -136,7 +148,8 @@ object Bench {
 
     // full detail for the judge (cold + warm + errors); the contract line
     // below stays small enough to survive the driver's output tail
-    val detail = s"""{"metric":"total_cold","value":${t3(total)},"unit":"sec","queries_cold":$coldJson,"queries_warm":$warmJson,"errors":$errors,"sf":"$sfDir","cpus":$cpus}"""
+    val skipJson = skip.toSeq.sorted.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total_cold","value":${t3(total)},"unit":"sec","queries_cold":$coldJson,"queries_warm":$warmJson,"errors":$errors,"skipped":$skipJson,"sf":"$sfDir","cpus":$cpus}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
@@ -152,7 +165,8 @@ object Bench {
     // count a query as errored if EITHER run failed, so the contract
     // line's error count always matches the errors map in the detail file
     val nErr = results.count { case (_, (_, ce), (_, we)) => ce.orElse(we).isDefined }
-    val line = s"""{"metric":"total","value":${t3(total)},"unit":"sec","n":${results.size},"errors":$nErr,"sf":"$sfDir","detail":"bench_detail.json"}"""
+    val skipNote = if (skip.isEmpty) "" else s""","skipped":${skip.size}"""
+    val line = s"""{"metric":"total","value":${t3(total)},"unit":"sec","n":${results.size},"errors":$nErr$skipNote,"sf":"$sfDir","detail":"bench_detail.json"}"""
     // hard guarantee: never exceed the driver's tail, whatever sfDir is
     println(if (line.length <= 1500) line
             else s"""{"metric":"total","value":${t3(total)},"unit":"sec","n":${results.size}}""")

@@ -2062,6 +2062,43 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "q_pipeline_audit" -> ((s, dir) => {
+      import s.implicits._
+      // the training-data pipeline COMPOSED as one plan with a per-stage
+      // audit — the integration shape everything else feeds: raw →
+      // C4-quality keep (scan-stage predicate) → exact dedup (first id
+      // per content hash, the rn=1 TopKPerGroup shape) → train split
+      // (md5 buckets). One row per stage with surviving docs + tokens —
+      // the numbers a data-curation run reports to its audit trail
+      // (etl_job_auditor analogue for the LLM pipeline). Every stage
+      // reuses the individually-verified operator; the oracle replays
+      // the full chain.
+      graft.plans.GraftExtensions.install(s)
+      val toks = TextFns.tokens($"text")
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"text",
+          length($"text").cast(LongType).as("n_chars"),
+          size(toks).cast(LongType).as("n_tokens"),
+          TextFns.meanWordLen(toks).as("mwl"))
+      val quality = base
+        .filter(TextFns.qualityKeep($"n_chars", $"n_tokens", $"mwl"))
+      val deduped = quality
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+        .filter($"rn" === 1)
+      val train = deduped
+        .filter(operators.Sampling.hashBucket($"doc_id") >= 20)
+      def stage(no: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"),
+            $"n_docs", $"n_tokens")
+      stage(1, "raw", base)
+        .unionByName(stage(2, "quality", quality))
+        .unionByName(stage(3, "dedup", deduped))
+        .unionByName(stage(4, "train", train))
+        .orderBy($"stage_no")
+    }),
+
     "q_text_clean" -> ((s, dir) => {
       import s.implicits._
       // C4-style cleaning pipeline: control-strip + whitespace-normalize,
@@ -4293,6 +4330,41 @@ object SparkEntry {
         |FROM m
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // the composed chain: quality rules == q_quality_filter's, dedup ==
+    // q_dedup_exact's min-id rule, split == q_train_test_split's buckets
+    "q_pipeline_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0
+        |      THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(
+        |             regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |             x -> length(x))) AS DOUBLE)
+        |        / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END AS mwl
+        |  FROM documents),
+        |q AS (SELECT * FROM base
+        |  WHERE n_chars BETWEEN 100 AND 450 AND n_tokens >= 20
+        |    AND mwl BETWEEN 2 AND 10),
+        |dd AS (SELECT * FROM (
+        |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn FROM q) t
+        |  WHERE rn = 1),
+        |tr AS (SELECT * FROM dd
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 >= 20)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+        |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 2, 'quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM q
+        |  UNION ALL
+        |  SELECT 3, 'dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM dd
+        |  UNION ALL
+        |  SELECT 4, 'train', count(*), CAST(sum(n_tokens) AS BIGINT) FROM tr)
+        |ORDER BY stage_no""".stripMargin,
 
     "q_text_clean" ->
       """WITH t AS (
