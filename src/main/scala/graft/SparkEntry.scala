@@ -179,6 +179,23 @@ object SparkEntry {
     m
   }
 
+  /** q_bpe_merges/q_bpe_encode's tokenizer vocab, cached per dir like
+    * [[ivfModel]] (training is deterministic: argmax tiebreak is
+    * (freq DESC, left, right) over binary string order; the oracle
+    * re-derives every round's argmax and uses the merges only to roll
+    * the rendering forward). */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Bpe.Model]()
+  @volatile private var lastBpeModel: operators.Bpe.Model = null
+  private def bpeModel(s: SparkSession, dir: String): operators.Bpe.Model = {
+    val m = bpeModels.computeIfAbsent(dir, d =>
+      operators.Bpe.train(
+        operators.Bpe.wordCounts(Tables.documents(s, d),
+          org.apache.spark.sql.functions.col("text")), k = 10))
+    lastBpeModel = m
+    m
+  }
+
   /** Replays TopicCluster.summary in SQL with the trained topic centroids
     * as DOUBLE[] literals: assignment = rank-1 cell by dot product (ties
     * toward the lower cell id, the kernel's rule), then the integer
@@ -2769,6 +2786,41 @@ object SparkEntry {
           dsum($"m").as("total_monetary"))
         .orderBy($"r_q", $"f_q", $"m_q")
     }),
+
+    "q_bpe_pairs" -> ((s, dir) => {
+      import s.implicits._
+      // BPE iteration zero: corpus-wide adjacent character-pair counts
+      // over the distinct-word frequency table — the aggregation every
+      // tokenizer-training round repeats. Two shuffles total (word
+      // distinct, pair agg; both map-side partial), top-50 via
+      // TakeOrderedAndProject, never a global sort.
+      val words = operators.Bpe.wordCounts(Tables.documents(s, dir), $"text")
+      operators.Bpe.pairCounts(words, operators.Bpe.render($"word"))
+        .orderBy($"freq".desc, $"l", $"r")
+        .limit(50)
+        .select($"l".as("lhs"), $"r".as("rhs"), $"freq")
+    }),
+
+    "q_bpe_merges" -> ((s, dir) => {
+      // The distributed BPE trainer's transcript: 10 merge rounds on the
+      // documents corpus (pair-count agg + 1-row argmax collect + narrow
+      // codegen replace per round — driver traffic is exactly k rows).
+      // The oracle re-derives every round's argmax in SQL, using the
+      // trained merges only to roll the rendering forward (bpeOracle).
+      operators.Bpe.mergesDf(s, bpeModel(s, dir))
+    }),
+
+    "q_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      // Tokenize the corpus with the trained vocab: per-source word and
+      // token totals. Encoding rides the same distinct-(source, word)
+      // reduction as training — merge application is a narrow codegen
+      // replace chain in the scan stage, never a per-token shuffle.
+      operators.Bpe.encodeStats(
+          Tables.documents(s, dir), $"source", $"text", bpeModel(s, dir))
+        .select($"grp".as("source"), $"n_words", $"n_tokens")
+        .orderBy($"source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4869,6 +4921,14 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH $bpeWordsCte
+        |SELECT l AS lhs, r AS rhs, CAST(sum(cnt) AS BIGINT) AS freq
+        |FROM (
+        |  ${bpePairRowsSql("r0")})
+        |GROUP BY 1, 2
+        |ORDER BY freq DESC, lhs, rhs
+        |LIMIT 50""".stripMargin,
   ) ++
     // data-dependent oracles: only emittable once the query has trained
     // its quantizer for the dir being verified (see ivfModel/topicModel) —
@@ -4877,7 +4937,81 @@ object SparkEntry {
     Option(lastIvfModel).map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
     Option(lastTopicModel).map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
     (for (c <- Option(lastIvfModel); p <- Option(lastPqModel))
-      yield "q_ann_pq" -> pqOracle(c, p))
+      yield "q_ann_pq" -> pqOracle(c, p)) ++
+    Option(lastBpeModel).map(m => "q_bpe_merges" -> bpeMergesOracle(m)) ++
+    Option(lastBpeModel).map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
+
+  /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions
+    * .TextFns.tokens]] domain), distinct-word counts, and the initial
+    * per-character rendering ("abc" ⇒ "|a||b||c|"). DuckDB `replace` and
+    * Spark's `StringReplace` share left-to-right non-overlapping literal
+    * semantics, which on this rendering IS greedy BPE merge application
+    * (graft.operators.Bpe scaladoc; property-pinned in BpeSpec). */
+  private val bpeWordsCte: String =
+    """toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+      |r0 AS (
+      |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS rend, cnt
+      |  FROM words)""".stripMargin
+
+  /** Adjacent-pair rows (l, r, cnt) of rendering CTE `src` — the
+    * positions come from unnest(range(..)), so 1-token words vanish
+    * without an explicit filter. */
+  private def bpePairRowsSql(src: String): String =
+    s"""SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+       |    SELECT toks, cnt, unnest(range(1, len(toks))) AS i FROM (
+       |      SELECT string_split(substr(rend, 2, length(rend) - 2), '||') AS toks,
+       |             cnt
+       |      FROM $src))""".stripMargin
+
+  /** Replays the BPE trainer with the learned merges as literals: every
+    * round's argmax is RE-DERIVED from that round's pair counts (freq
+    * DESC, l, r tiebreak — binary order in both engines on [a-z0-9]);
+    * the literals only roll the rendering forward, so a wrong Spark
+    * merge at round i disagrees with the oracle's recomputed winner. */
+  private def bpeMergesOracle(m: operators.Bpe.Model): String = {
+    val rounds = m.merges.map { mg =>
+      val i = mg.step
+      s"""p$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |  ${bpePairRowsSql(s"r${i - 1}")})
+         |  GROUP BY 1, 2),
+         |w$i AS (
+         |  SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, freq
+         |  FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+         |r$i AS (
+         |  SELECT replace(rend, '|${mg.left}||${mg.right}|',
+         |                 '|${mg.left}${mg.right}|') AS rend, cnt
+         |  FROM r${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = m.merges.map(mg => s"SELECT * FROM w${mg.step}")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeWordsCte,
+       |$rounds
+       |SELECT * FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Per-source encode stats with the trained merges applied as a
+    * literal replace chain over the per-(source, word) rendering. */
+  private def bpeEncodeOracle(m: operators.Bpe.Model): String = {
+    val chain = m.merges.foldLeft(
+      """regexp_replace(word, '(.)', '|\1|', 'g')""") { (acc, mg) =>
+      s"replace($acc, '|${mg.left}||${mg.right}|', '|${mg.left}${mg.right}|')"
+    }
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |words AS (SELECT source, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |enc AS (SELECT source, cnt, $chain AS rend FROM words)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * ((length(rend) - length(replace(rend, '|', ''))) // 2))
+       |    AS BIGINT) AS n_tokens
+       |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Shared CTE prefix for the audio-fingerprint oracles: synthetic
     * waveform formula (= AudioCodec.synthSamples, including the ×2 gain
