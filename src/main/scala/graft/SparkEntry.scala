@@ -2821,6 +2821,131 @@ object SparkEntry {
         .select($"grp".as("source"), $"n_words", $"n_tokens")
         .orderBy($"source")
     }),
+
+    "q_fk_integrity" -> ((s, dir) => {
+      import s.implicits._
+      // Referential-integrity audit across the star schema's FK edges:
+      // child rowcount + orphan count (left-anti against the distinct
+      // parent keyset) per edge. Each edge is one aggregate + one anti
+      // join — the anti join shuffles on the key like any join and
+      // AQE-broadcasts small parents; at warehouse scale this is the
+      // standard post-load constraint check run edge-parallel.
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("k"))
+        val orphans = c.join(
+          parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("edge"), $"n_child", $"n_orphans")
+      }
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+      val pa = Tables.part(s, dir); val na = Tables.nation(s, dir)
+      val re = Tables.region(s, dir)
+      edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .union(edge("lineitem.partkey->part", li, "l_partkey", pa, "p_partkey"))
+        .union(edge("lineitem.suppkey->supplier", li, "l_suppkey", su, "s_suppkey"))
+        .union(edge("orders.custkey->customer", o, "o_custkey", cu, "c_custkey"))
+        .union(edge("customer.nationkey->nation", cu, "c_nationkey", na, "n_nationkey"))
+        .union(edge("supplier.nationkey->nation", su, "s_nationkey", na, "n_nationkey"))
+        .union(edge("nation.regionkey->region", na, "n_regionkey", re, "r_regionkey"))
+        .orderBy($"edge")
+    }),
+
+    "q_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      // k-anonymity audit (k = 5) of customer quasi-identifiers at three
+      // generalization levels — the re-identification risk report a
+      // privacy review runs before releasing a dataset (complements
+      // q_pii_mask's column-level masking). Each level is one hash
+      // aggregation on its QI tuple followed by a 1-row rollup; nothing
+      // is ever collected or sorted globally.
+      val cust = Tables.customer(s, dir)
+        .select($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000).cast(LongType).as("bal_band"))
+      def level(name: String, qi: Seq[Column]): DataFrame =
+        cust.groupBy(qi: _*).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when($"sz" < 5, 1L).otherwise(0L)).as("n_violating"),
+            sum(when($"sz" < 5, $"sz").otherwise(0L)).as("n_rows_at_risk"),
+            min($"sz").as("min_class"), max($"sz").as("max_class"))
+          .select(lit(name).as("level"), $"n_classes", $"n_violating",
+            $"n_rows_at_risk", $"min_class", $"max_class")
+      level("l0_nation_segment_balband",
+          Seq($"c_nationkey", $"c_mktsegment", $"bal_band"))
+        .union(level("l1_nation_segment", Seq($"c_nationkey", $"c_mktsegment")))
+        .union(level("l2_segment", Seq($"c_mktsegment")))
+        .orderBy($"level")
+    }),
+
+    "q_cooccur_recs" -> ((s, dir) => {
+      import s.implicits._
+      // Item-item co-occurrence recommendations ("bought together"):
+      // per-part top-5 co-purchased parts ranked by co-count with an
+      // integer lift tiebreak. Baskets over 64 items are excluded before
+      // pairing (per-basket pairs are quadratic — same counted cap as
+      // the PageRank edge derivation), support floor n_co >= 2. Lift in
+      // exact ppm via TWO-STAGE integer floor division —
+      // ((1e6·n_co div n_a)·N) div n_b — so every intermediate stays
+      // below 2^63 at any corpus scale (n_co <= n_a bounds stage one at
+      // 1e6; trillion-basket corpora still fit stage two) and the
+      // ranking — and the hash — replays exactly across engines. Top-5
+      // per item goes through row_number (bounded TopKPerGroup rewrite).
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("g"), $"l_partkey".as("i")).distinct()
+      val ok = items.groupBy($"g").agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" <= 64).select($"g")
+      val in = items.join(ok, "g")
+      val nBaskets = ok.agg(count(lit(1)).as("n_baskets"))
+      val itemCnt = in.groupBy($"i").agg(count(lit(1)).as("n_i"))
+      val co = in.select($"g", $"i".as("a"))
+        .join(in.select($"g", $"i".as("b")), Seq("g"))
+        .filter($"a" =!= $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_co"))
+        .filter($"n_co" >= 2)
+      val scored = co
+        .join(itemCnt.withColumnRenamed("i", "a").withColumnRenamed("n_i", "n_a"), "a")
+        .join(itemCnt.withColumnRenamed("i", "b").withColumnRenamed("n_i", "n_b"), "b")
+        .crossJoin(broadcast(nBaskets))
+        .select($"a", $"b", $"n_co",
+          expr("(((1000000 * n_co) div n_a) * n_baskets) div n_b")
+            .cast(LongType).as("lift_ppm"))
+      val w = Window.partitionBy($"a")
+        .orderBy($"n_co".desc, $"lift_ppm".desc, $"b")
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter($"rank" <= 5)
+        .orderBy($"a", $"rank")
+    }),
+
+    "q_drift_psi" -> ((s, dir) => {
+      import s.implicits._
+      // Distribution-drift monitor: population stability index of the
+      // order-value distribution, first era (< 1998) vs second — the
+      // standard go/no-go gate before retraining on a new data vintage.
+      // Fixed integer bins (cents // 2.5M ⇒ $25k width, exact via the
+      // DECIMAL(18,2) cents domain), Laplace-smoothed shares over a
+      // fixed 32-bin domain so empty bins stay defined. Two map-side
+      // aggs + a 1-row broadcast; ln() follows the lm_score recipe
+      // (round(…, 8) — last-ulp-safe at 8 decimals).
+      val binned = Tables.orders(s, dir)
+        .select(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 2500000")
+            .as("bin"),
+          ($"o_orderdate" < lit("1998-01-01").cast("timestamp")).as("is_a"))
+        .groupBy($"bin")
+        .agg(sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"))
+      val tot = binned.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"))
+      binned.crossJoin(broadcast(tot))
+        .select($"bin", $"n_a", $"n_b",
+          round((($"n_a" + 1).cast(DoubleType) / ($"ta" + 32)
+              - ($"n_b" + 1).cast(DoubleType) / ($"tb" + 32))
+            * log((($"n_a" + 1).cast(DoubleType) / ($"ta" + 32))
+              / (($"n_b" + 1).cast(DoubleType) / ($"tb" + 32))), 8)
+            .as("psi_component"))
+        .orderBy($"bin")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4921,6 +5046,106 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_fk_integrity" ->
+      """SELECT 'customer.nationkey->nation' AS edge,
+        |  (SELECT count(*) FROM customer) AS n_child,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        |UNION ALL SELECT 'lineitem.orderkey->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL SELECT 'lineitem.partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL SELECT 'lineitem.suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL SELECT 'nation.regionkey->region',
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |UNION ALL SELECT 'orders.custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL SELECT 'supplier.nationkey->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |ORDER BY edge""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |l0 AS (SELECT count(*) AS sz FROM cust
+        |  GROUP BY c_nationkey, c_mktsegment, bal_band),
+        |l1 AS (SELECT count(*) AS sz FROM cust GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT count(*) AS sz FROM cust GROUP BY c_mktsegment)
+        |SELECT 'l0_nation_segment_balband' AS level, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  min(sz) AS min_class, max(sz) AS max_class FROM l0
+        |UNION ALL
+        |SELECT 'l1_nation_segment', count(*),
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+        |  min(sz), max(sz) FROM l1
+        |UNION ALL
+        |SELECT 'l2_segment', count(*),
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+        |  min(sz), max(sz) FROM l2
+        |ORDER BY level""".stripMargin,
+
+    "q_cooccur_recs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= 64),
+        |inb AS (SELECT items.g, items.i FROM items JOIN ok USING (g)),
+        |nb AS (SELECT count(*) AS n_baskets FROM ok),
+        |ic AS (SELECT i, count(*) AS n_i FROM inb GROUP BY 1),
+        |co AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS n_co
+        |  FROM inb x JOIN inb y ON x.g = y.g AND x.i <> y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT a, b, n_co,
+        |    CAST((((1000000 * n_co) // ia.n_i) * n_baskets) // ib.n_i AS BIGINT)
+        |      AS lift_ppm
+        |  FROM co JOIN ic ia ON ia.i = co.a JOIN ic ib ON ib.i = co.b
+        |  CROSS JOIN nb),
+        |ranked AS (
+        |  SELECT a, b, n_co, lift_ppm, CAST(row_number() OVER (
+        |    PARTITION BY a ORDER BY n_co DESC, lift_ppm DESC, b) AS BIGINT)
+        |    AS rank
+        |  FROM scored)
+        |SELECT * FROM ranked WHERE rank <= 5
+        |ORDER BY a, rank""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH binned AS (
+        |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 2500000 AS BIGINT) AS bin,
+        |    o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS is_a
+        |  FROM orders),
+        |agg AS (
+        |  SELECT bin, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM agg)
+        |SELECT bin, n_a, n_b,
+        |  round((CAST(n_a + 1 AS DOUBLE) / (ta + 32)
+        |      - CAST(n_b + 1 AS DOUBLE) / (tb + 32))
+        |    * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 32))
+        |      / (CAST(n_b + 1 AS DOUBLE) / (tb + 32))), 8) AS psi_component
+        |FROM agg CROSS JOIN tot
+        |ORDER BY bin""".stripMargin,
+
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte
         |SELECT l AS lhs, r AS rhs, CAST(sum(cnt) AS BIGINT) AS freq
