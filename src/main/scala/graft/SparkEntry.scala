@@ -2822,6 +2822,21 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_communities" -> ((s, dir) => {
+      import s.implicits._
+      // Community detection: 4 synchronous deterministic label-
+      // propagation rounds over the SAME sampled co-purchase graph as
+      // q_graph_components (1-in-50 orders, baskets capped at 8). Each
+      // round is one edge-linear join + argmax agg; the oracle unrolls
+      // all four rounds in SQL with the identical (count DESC, label)
+      // adoption rule, so the labels are bit-identical cross-engine.
+      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      val edges = operators.PageRank.coOccurrenceEdges(
+        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      operators.LabelProp.summary(edges, rounds = 4)
+        .orderBy($"community")
+    }),
+
     "q_fk_integrity" -> ((s, dir) => {
       import s.implicits._
       // Referential-integrity audit across the star schema's FK edges:
@@ -5046,6 +5061,29 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_communities" -> {
+      def round(i: Int): String =
+        s"""n$i AS (SELECT e.src AS node, l.label, count(*) AS cnt
+           |  FROM e JOIN l${i - 1} l ON l.node = e.dst GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (
+           |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM n$i)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+         |  FROM lineitem WHERE l_orderkey % 50 = 0),
+         |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 8),
+         |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+         |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+         |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT label AS community, count(*) AS sz,
+         |  CAST(min(node) AS BIGINT) AS min_node,
+         |  CAST(max(node) AS BIGINT) AS max_node
+         |FROM l4 GROUP BY 1
+         |ORDER BY community""".stripMargin
+    },
+
     "q_fk_integrity" ->
       """SELECT 'customer.nationkey->nation' AS edge,
         |  (SELECT count(*) FROM customer) AS n_child,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan et
+  * al. 2007), made deterministic and therefore oracle-replayable.
+  *
+  * Classic LPA is run asynchronously with random tie-breaks; that is
+  * unreproducible by construction. This variant fixes both choices:
+  *  - SYNCHRONOUS rounds: round t's labels are computed entirely from
+  *    round t-1's (one join + one aggregation per round — the same
+  *    edge-linear shuffle shape as the PageRank iteration; at index
+  *    scale the adjacency would be pre-partitioned by src so the join
+  *    is co-located).
+  *  - deterministic adoption: each node takes the most frequent label
+  *    among its neighbours, ties to the SMALLEST label (count DESC,
+  *    label ASC — the same argmax convention the BPE trainer uses).
+  *  - a FIXED round count instead of convergence detection: synchronous
+  *    LPA can oscillate on bipartite structures, so "run to
+  *    convergence" is ill-defined; a fixed horizon is how the
+  *    at-scale implementations (GraphFrames LPA) ship it, and it is
+  *    what lets a SQL oracle unroll the exact computation.
+  *
+  * The per-round argmax goes through row_number over (node) — rewritten
+  * to the bounded TopKPerGroup operator by GraftExtensions — and each
+  * round's labels are localCheckpoint'd like the CC loop's frontiers,
+  * so lineage stays flat however many rounds run.
+  */
+object LabelProp {
+
+  /** `rounds` synchronous LPA rounds over symmetric `edges` (src, dst).
+    * Returns (node, label). Initial label = own id. */
+  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = OpCaches.track(edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val nb = e.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = nb.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(eager = false)
+    }
+    // materialize the final round before releasing the edge cache —
+    // an un-run lazy checkpoint would otherwise replay against
+    // unpersisted edges, recomputing the whole chain
+    labels.count()
+    OpCaches.untrack(e)
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** Community summary: per final label, member count and id range. */
+  def summary(edges: DataFrame, rounds: Int): DataFrame =
+    propagate(edges, rounds)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("sz"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+}

@@ -53,6 +53,49 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("bucket"),
         col("open"), col("close"), col("high"), col("low"), col("n_events"))
 
+  /** Streaming drift histogram — the streaming half of the q_drift_psi
+    * monitor: per (tumbling event-time window, fixed value bin), an
+    * incremental count. State is one counter per open (window, bin) —
+    * bounded by windows-in-watermark × bin domain, never by event
+    * volume — and late events inside the watermark revise their bin
+    * exactly as a batch backfill would, so closed windows equal the
+    * batch histogram whatever the arrival order (StreamingSpec pins
+    * this under shuffled multi-batch delivery). Bins are the exact
+    * integer domain of the batch monitor: value in cents div binCents.
+    */
+  def driftHistogram(events: DataFrame, binCents: Long = 500,
+                     windowLen: String = "1 day",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $binCents")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("bin"), col("n"))
+
+  /** Score closed-window histograms against a baseline vintage: per
+    * (bucket, bin), the Laplace-smoothed PSI component of the window's
+    * share vs the baseline's (the q_drift_psi arithmetic, same 32-slot
+    * smoothing domain). Pure batch arithmetic over the (tiny)
+    * histogram table — run it on the sink of [[driftHistogram]]; the
+    * baseline histogram broadcasts. */
+  def scoreDrift(windowHist: DataFrame, baseline: DataFrame): DataFrame = {
+    val wTot = windowHist.groupBy(col("bucket")).agg(sum(col("n")).as("tw"))
+    val bTot = baseline.agg(sum(col("n_base")).as("tb"))
+    windowHist
+      .join(wTot, "bucket")
+      .join(broadcast(baseline), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_base"))
+      .crossJoin(broadcast(bTot))
+      .select(col("bucket"), col("bin"), col("n"), col("n_base"),
+        round(((col("n") + 1).cast("double") / (col("tw") + 32)
+            - (col("n_base") + 1).cast("double") / (col("tb") + 32))
+          * log(((col("n") + 1).cast("double") / (col("tw") + 32))
+            / ((col("n_base") + 1).cast("double") / (col("tb") + 32))), 8)
+          .as("psi_component"))
+  }
+
   /** Streaming exact dedup: keep only the FIRST occurrence of each
     * content hash; later duplicates are dropped. Batch twin:
     * graft.operators.Dedup.exact. `dropDuplicatesWithinWatermark` frees

@@ -347,4 +347,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(gest == est, s"group $g estimate mismatch: $gest vs $est")
     }
   }
+
+  test("streaming drift histogram equals the batch histogram, any batching; scoring matches the PSI arithmetic") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = (0 until 24).map(i =>
+      Event(i.toLong, ts((i * 5) % 60), 1, "e", (i % 7) * 3.25)).toVector
+    val perm = Vector(13, 2, 21, 7, 0, 17, 11, 23, 5, 9, 19, 3,
+      15, 1, 22, 8, 12, 6, 18, 10, 4, 20, 14, 16).map(evs)
+    val in = MemoryStream[Event]
+    val q = StreamOps.driftHistogram(in.toDF(), binCents = 500,
+        windowLen = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift").start()
+    perm.grouped(6).foreach { b => in.addData(b); q.processAllAvailable() }
+    val got = spark.sql("SELECT * FROM drift").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val want = evs.toDF()
+      .groupBy(window($"ts", "1 hour").as("w"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 500")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start", $"bin", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream hist $got != batch $want")
+    // scoring: identical shares must score psi == 0 for every bin, and
+    // a shifted baseline must score strictly positive total
+    val hist = spark.sql("SELECT * FROM drift").toDF("bucket", "bin", "n")
+    val same = hist.select($"bin", $"n".as("n_base"))
+      .groupBy($"bin").agg(sum($"n_base").as("n_base"))
+    val zero = StreamOps.scoreDrift(hist, same)
+      .agg(sum(abs($"psi_component"))).collect().head.getDouble(0)
+    assert(zero == 0.0)
+    val shifted = same.select(($"bin" + 1).as("bin"), $"n_base")
+    val pos = StreamOps.scoreDrift(hist, shifted)
+      .agg(sum($"psi_component")).collect().head.getDouble(0)
+    assert(pos > 0.0)
+  }
 }
