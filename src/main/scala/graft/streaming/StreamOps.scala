@@ -446,6 +446,88 @@ object StreamOps {
       }
   }
 
+  final case class FunnelState(start: Long, last: Long, n: Long,
+                               buf: List[(Long, Long, String)])
+  final case class FunnelOut(user_id: Long, session_start: Timestamp,
+                             n_events: Long, n_steps: Long,
+                             t_view: Option[Timestamp],
+                             t_click: Option[Timestamp],
+                             t_purchase: Option[Timestamp])
+
+  /** Streaming session funnel — the streaming twin of q_funnel, scoped
+    * to sessions (the batch funnel ranges over the whole log; a stream
+    * must bound its lookback, and the 30-min session is the natural
+    * horizon — same convention as [[sessionize]]).
+    *
+    * Per closed session: GREEDY earliest-completion over
+    * view → click → purchase (step k = first step-k event strictly
+    * after step k-1's time — identical semantics to the batch query).
+    * State per user = the OPEN session's step events only ((ts, id,
+    * type) triples), so state is bounded by the session horizon ×
+    * per-user rate and freed at session close — the same bound class
+    * as the stream-stream join's buffer, NOT corpus-sized. Because the
+    * greedy pass runs over the sorted buffer at close, out-of-order
+    * arrival WITHIN an open session is handled exactly; like
+    * [[sessionize]], a session only closes when a later event arrives
+    * (driver/timeout flushing follows the same upgrade path).
+    */
+  def sessionFunnel(events: Dataset[Event], gapMinutes: Int = 30,
+                    steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val stepSet = steps.toSet
+
+    def close(userId: Long, s: FunnelState): FunnelOut = {
+      val sorted = s.buf.sortBy(e => (e._1, e._2))
+      // greedy chain: earliest step-k strictly after step k-1; a missing
+      // step BREAKS the chain (batch q_funnel's t2 = min click > t1 is
+      // NULL whenever t1 is — later steps can't complete without it)
+      var prev: Option[Long] = Some(Long.MinValue)
+      val times = steps.map { st =>
+        val hit = prev.flatMap(p => sorted.collectFirst {
+          case (t, _, ty) if ty == st && t > p => t })
+        prev = hit
+        hit
+      }
+      FunnelOut(userId, new Timestamp(s.start), s.n,
+        times.count(_.isDefined).toLong,
+        times(0).map(new Timestamp(_)),
+        times(1).map(new Timestamp(_)),
+        times(2).map(new Timestamp(_)))
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            val keep = if (stepSet(e.event_type))
+              List((t, e.event_id, e.event_type)) else Nil
+            open match {
+              case Some(s) if t - s.last <= gapMs =>
+                open = Some(s.copy(last = t, n = s.n + 1, buf = keep ::: s.buf))
+              case Some(s) =>
+                closed += close(userId, s)
+                open = Some(FunnelState(t, t, 1, keep))
+              case None =>
+                open = Some(FunnelState(t, t, 1, keep))
+            }
+          }
+          open match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          closed.iterator
+      }
+  }
+
   final case class HHItem(group: String, token: String)
   final case class HHOut(group: String, token: String, count_lb: Long)
 

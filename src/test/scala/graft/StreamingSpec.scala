@@ -348,6 +348,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming session funnel: greedy chain per closed session, exact under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionFunnel(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel").start()
+    // session 1 for user 7: click arrives BEFORE the view that precedes
+    // it in event time (out of order within the open session), then a
+    // purchase; greedy must still chain view(2) -> click(5) -> purchase(9)
+    in.addData(Event(2, ts(5), 7, "click", 0), Event(3, ts(9), 7, "purchase", 0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(2), 7, "view", 0))
+    q.processAllAvailable()
+    // a click-only session for user 8 (no view => zero steps complete)
+    in.addData(Event(4, ts(3), 8, "click", 0))
+    q.processAllAvailable()
+    // 2h-later events close both sessions
+    in.addData(Event(9, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "view", 0),
+      Event(10, Timestamp.valueOf("2024-01-01 13:00:00"), 8, "view", 0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        Option(r.getTimestamp(4)), Option(r.getTimestamp(5)),
+        Option(r.getTimestamp(6)))).toSet
+    q.stop()
+    assert(out == Set(
+      (7L, 3L, 3L, Some(ts(2)), Some(ts(5)), Some(ts(9))),
+      (8L, 1L, 0L, None, None, None)), s"got $out")
+  }
+
+  test("streaming session funnel: purchase before view completes only the view step") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionFunnel(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel2").start()
+    // purchase(1) < view(4) < click(8): greedy gives view, then click>view,
+    // but NO purchase strictly after the click
+    in.addData(Event(1, ts(1), 5, "purchase", 0), Event(2, ts(4), 5, "view", 0),
+      Event(3, ts(8), 5, "click", 0))
+    q.processAllAvailable()
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 14:00:00"), 5, "view", 0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM funnel2").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.getTimestamp(4)), Option(r.getTimestamp(5)),
+        Option(r.getTimestamp(6)))).toSet
+    q.stop()
+    assert(out == Set((5L, 2L, Some(ts(4)), Some(ts(8)), None)), s"got $out")
+  }
+
   test("streaming drift histogram equals the batch histogram, any batching; scoring matches the PSI arithmetic") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
