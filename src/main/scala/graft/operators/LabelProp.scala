@@ -32,22 +32,29 @@ object LabelProp {
 
   /** `rounds` synchronous LPA rounds over symmetric `edges` (src, dst).
     * Returns (node, label). Initial label = own id. */
+  /** One synchronous adoption round: neighbour-label counts + the
+    * deterministic argmax. Exposed so PlanSpec can pin the round's
+    * physical shape (the loop checkpoints each round, which hides the
+    * plan behind a Scan ExistingRDD). */
+  private[graft] def adoptionRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label"))
+    e.join(labels.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("label"))
+  }
+
   def propagate(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val e = OpCaches.track(edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to rounds) {
-      val nb = e.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      labels = nb.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
-        .localCheckpoint(eager = false)
+      labels = adoptionRound(e, labels).localCheckpoint(eager = false)
     }
     // materialize the final round before releasing the edge cache —
     // an un-run lazy checkpoint would otherwise replay against

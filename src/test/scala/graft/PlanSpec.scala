@@ -360,4 +360,66 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 1, s"expected exactly 1 hash shuffle, got $hashEx:\n$p")
   }
+
+  test("BPE pair counts: merge-replace chain stays in the scan stage (no extra shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val words = operators.Bpe.wordCounts(Tables.documents(spark, sf), col("text"))
+    val merges = Seq(operators.Bpe.Merge(1, "t", "h", 0L),
+      operators.Bpe.Merge(2, "th", "e", 0L))
+    val p = operators.Bpe.pairCounts(words,
+        operators.Bpe.applyMerges(operators.Bpe.render(col("word")), merges))
+      .queryExecution.executedPlan.toString
+    // exactly 2 hash shuffles end to end: word distinct + pair agg — the
+    // replace chain and pair explode ride the scan/agg stages
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash shuffles (words, pairs), got $hashEx:\n$p")
+    // replace is the codegen'd StringReplace, not a UDF
+    assert(p.contains("replace(") && !p.contains("UDF"),
+      s"merge application not a native replace:\n$p")
+  }
+
+  test("co-occurrence recs: the basket self-join reuses one distinct exchange") {
+    plans.GraftExtensions.install(spark)
+    val p = finalPlan("q_cooccur_recs")
+    // the (order, item) distinct feeds both join sides; a healthy plan
+    // shares it (ReusedExchange under AQE) instead of recomputing
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery")
+      || p.linesIterator.count(_.contains("FileScan parquet")) <= 2,
+      s"self-join recomputes the distinct scan:\n$p")
+    // top-5 per item is bounded BEFORE the final shuffle — either our
+    // TopKPerGroup heaps or Spark's native partial WindowGroupLimit
+    // (rank<=k pushed below the exchange); both keep per-item heaps, so
+    // no item's full candidate list ever funnels through one task
+    assert(p.contains("TopKLocal") || p.contains("WindowGroupLimit"),
+      s"rank not bounded below the shuffle:\n$p")
+  }
+
+  test("communities: per-round argmax rewrites to bounded TopKPerGroup") {
+    import org.apache.spark.sql.functions.col
+    plans.GraftExtensions.install(spark)
+    val edges = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 50 === 0)
+    val e2 = operators.PageRank.coOccurrenceEdges(
+      edges, col("l_orderkey"), col("l_partkey"), maxBasket = 8)
+    val labels0 = e2.select(col("src").as("node"))
+      .distinct().select(col("node"), col("node").as("label"))
+    val p = operators.LabelProp.adoptionRound(e2, labels0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKLocal") || p.contains("WindowGroupLimit"),
+      s"round argmax not a bounded heap:\n$p")
+  }
+
+  test("fk integrity: dimension parents join broadcast") {
+    val p = plan("q_fk_integrity")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast anti joins in:\n$p")
+    assert(p.contains("LeftAnti"), s"orphan check not an anti join:\n$p")
+  }
+
+  test("drift PSI: bin totals broadcast back over the bin table") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals not broadcast in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"bin histogram not partial-aggregated:\n$p")
+  }
 }
