@@ -2822,6 +2822,39 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_conversion_ci" -> ((s, dir) => {
+      import s.implicits._
+      // Conversion rate with 95% Wilson score intervals per hour-of-day
+      // — the product-analytics staple, and a deliberately
+      // FLOAT-EXACT-cross-engine one: Wilson needs only +,-,*,/,sqrt —
+      // all correctly-rounded IEEE ops — so mirroring the expression
+      // tree makes the bounds bit-identical in DuckDB with no ln()-ULP
+      // caveat. Two hash aggs ((user, hour) flags, then hour rollup);
+      // rate in exact integer ppm.
+      val flags = Tables.events(s, dir)
+        .select(hour($"ts").cast(LongType).as("hod"), $"user_id",
+          ($"event_type" === "view").as("v"),
+          ($"event_type" === "purchase").as("p"))
+        .groupBy($"hod", $"user_id")
+        .agg(max($"v").as("viewed"), max($"p").as("purchased"))
+      val agg = flags.filter($"viewed")
+        .groupBy($"hod")
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(when($"purchased", 1L).otherwise(0L)).as("n_converters"))
+      val z = lit(1.96)
+      val n = $"n_viewers".cast(DoubleType)
+      val p = $"n_converters".cast(DoubleType) / n
+      val z2n = z * z / n
+      val denom = lit(1.0) + z2n
+      val center = (p + z * z / (lit(2.0) * n)) / denom
+      val half = z / denom * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+      agg.select($"hod", $"n_viewers", $"n_converters",
+          expr("(1000000 * n_converters) div n_viewers").as("rate_ppm"),
+          round(center - half, 8).as("wilson_lo"),
+          round(center + half, 8).as("wilson_hi"))
+        .orderBy($"hod")
+    }),
+
     "q_communities" -> ((s, dir) => {
       import s.implicits._
       // Community detection: 4 synchronous deterministic label-
@@ -5061,6 +5094,40 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_conversion_ci" ->
+      """WITH flags AS (
+        |  SELECT hour(ts) AS hod, user_id,
+        |    max(event_type = 'view') AS viewed,
+        |    max(event_type = 'purchase') AS purchased
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT hod, count(*) AS n_viewers,
+        |    CAST(sum(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_converters
+        |  FROM flags WHERE viewed GROUP BY 1)
+        |SELECT hod, n_viewers, n_converters,
+        |  CAST((1000000 * n_converters) // n_viewers AS BIGINT) AS rate_ppm,
+        |  round((CAST(n_converters AS DOUBLE) / CAST(n_viewers AS DOUBLE)
+        |      + 1.96 * 1.96 / (2.0 * CAST(n_viewers AS DOUBLE)))
+        |    / (1.0 + 1.96 * 1.96 / CAST(n_viewers AS DOUBLE))
+        |    - 1.96 / (1.0 + 1.96 * 1.96 / CAST(n_viewers AS DOUBLE))
+        |      * sqrt(CAST(n_converters AS DOUBLE) / CAST(n_viewers AS DOUBLE)
+        |          * (1.0 - CAST(n_converters AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+        |          / CAST(n_viewers AS DOUBLE)
+        |        + 1.96 * 1.96 / (4.0 * CAST(n_viewers AS DOUBLE)
+        |          * CAST(n_viewers AS DOUBLE))), 8) AS wilson_lo,
+        |  round((CAST(n_converters AS DOUBLE) / CAST(n_viewers AS DOUBLE)
+        |      + 1.96 * 1.96 / (2.0 * CAST(n_viewers AS DOUBLE)))
+        |    / (1.0 + 1.96 * 1.96 / CAST(n_viewers AS DOUBLE))
+        |    + 1.96 / (1.0 + 1.96 * 1.96 / CAST(n_viewers AS DOUBLE))
+        |      * sqrt(CAST(n_converters AS DOUBLE) / CAST(n_viewers AS DOUBLE)
+        |          * (1.0 - CAST(n_converters AS DOUBLE) / CAST(n_viewers AS DOUBLE))
+        |          / CAST(n_viewers AS DOUBLE)
+        |        + 1.96 * 1.96 / (4.0 * CAST(n_viewers AS DOUBLE)
+        |          * CAST(n_viewers AS DOUBLE))), 8) AS wilson_hi
+        |FROM agg
+        |ORDER BY hod""".stripMargin,
+
     "q_communities" -> {
       def round(i: Int): String =
         s"""n$i AS (SELECT e.src AS node, l.label, count(*) AS cnt
