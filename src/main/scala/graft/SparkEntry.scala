@@ -2822,6 +2822,72 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_bloom_skip" -> ((s, dir) => {
+      import s.implicits._
+      // Bloom-filter file skipping — the point-lookup complement of
+      // q_zonemap's range pruning: on a SCATTERED layout (files by
+      // writer task) min/max footers prune almost nothing for a point
+      // probe on an unclustered column, while a tiny per-file bloom
+      // (170 60-bit words here, built by one bit_or aggregation —
+      // metadata-sized, like parquet's own bloom pages) skips most
+      // files. Economics quantified per probe: files/rows a
+      // bloom-consulting scan reads vs a minmax-only scan vs the truth.
+      // All arithmetic is md5-derived positions + integer bit ops, so
+      // the oracle replays the filter bit-for-bit. The filter is sized
+      // from the data like a real writer sizes parquet bloom pages:
+      // ~10 bits per distinct key of the fullest file (rounded to whole
+      // 60-bit words), so the fpr story survives any scale factor.
+      val li0 = Tables.lineitem(s, dir)
+      val li = li0.select(expr("l_suppkey % 40").as("file_id"), $"l_partkey")
+      val ndv = li.groupBy($"file_id")
+        .agg(countDistinct($"l_partkey").as("ndv"))
+        .agg(max($"ndv")).head().getLong(0)
+      val m = ((10 * ndv) / 60 + 1) * 60
+      def hpos(k: Column, off: Int): Column =
+        conv(substring(md5(k.cast(StringType)), 1 + off, 8), 16, 10)
+          .cast(LongType) % m
+      val bloom = li
+        .select($"file_id",
+          explode(array(hpos($"l_partkey", 0), hpos($"l_partkey", 8))).as("pos"))
+        .select($"file_id", expr("pos div 60").as("word"), ($"pos" % 60).as("bit"))
+        .groupBy($"file_id", $"word")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
+          .as("mask"))
+      val fileStats = li.groupBy($"file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_partkey").as("k_min"), max($"l_partkey").as("k_max"))
+      val mxp = li0.agg(max($"l_partkey")).head().getLong(0)
+      val probes = s.range(5).select($"id".as("probe_id"),
+        ($"id" * lit(mxp / 5) + 1).as("key"))
+      val grid = probes
+        .select($"probe_id", $"key",
+          explode(array(hpos($"key", 0), hpos($"key", 8))).as("pos"))
+        .select($"probe_id", $"key",
+          expr("pos div 60").as("word"), ($"pos" % 60).as("bit"))
+        .crossJoin(fileStats.select($"file_id"))
+      val maybe = grid.join(bloom, Seq("file_id", "word"), "left")
+        .select($"probe_id", $"key", $"file_id",
+          (coalesce($"mask", lit(0L))
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            =!= 0).as("bitset"))
+        .groupBy($"probe_id", $"key", $"file_id")
+        .agg(expr("bool_and(bitset)").as("maybe"))
+      val truth = li.join(broadcast(probes), $"l_partkey" === $"key")
+        .select($"probe_id", $"file_id").distinct()
+        .groupBy($"probe_id").agg(count(lit(1)).as("n_files_true"))
+      maybe.join(fileStats, "file_id")
+        .withColumn("mm_maybe", $"key" >= $"k_min" && $"key" <= $"k_max")
+        .groupBy($"probe_id", $"key")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe_bloom"),
+          sum(when($"mm_maybe", 1L).otherwise(0L)).as("n_maybe_minmax"),
+          sum(when($"maybe", $"n_rows").otherwise(0L)).as("rows_scanned_bloom"),
+          sum(when($"mm_maybe", $"n_rows").otherwise(0L)).as("rows_scanned_minmax"))
+        .join(truth, Seq("probe_id"), "left")
+        .na.fill(0L, Seq("n_files_true"))
+        .orderBy($"probe_id")
+    }),
+
     "q_conversion_ci" -> ((s, dir) => {
       import s.implicits._
       // Conversion rate with 95% Wilson score intervals per hour-of-day
@@ -5094,6 +5160,68 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_bloom_skip" ->
+      """WITH li AS (
+        |  SELECT l_suppkey % 40 AS file_id, l_partkey FROM lineitem),
+        |msz AS (
+        |  SELECT ((10 * max(ndv)) // 60 + 1) * 60 AS m FROM (
+        |    SELECT count(DISTINCT l_partkey) AS ndv FROM li GROUP BY file_id)),
+        |pos AS (
+        |  SELECT file_id, p FROM (
+        |    SELECT file_id,
+        |      CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % m AS p1,
+        |      CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 9, 8))
+        |        AS BIGINT) % m AS p2
+        |    FROM li, msz), UNNEST([p1, p2]) AS u(p)),
+        |bloom AS (
+        |  SELECT file_id, p // 60 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS mask
+        |  FROM pos GROUP BY 1, 2),
+        |fs AS (
+        |  SELECT file_id, count(*) AS n_rows, min(l_partkey) AS k_min,
+        |    max(l_partkey) AS k_max
+        |  FROM li GROUP BY 1),
+        |mxp AS (SELECT max(l_partkey) AS m FROM lineitem),
+        |probes AS (
+        |  SELECT t.range AS probe_id, t.range * (m // 5) + 1 AS key
+        |  FROM range(5) t, mxp),
+        |grid AS (
+        |  SELECT probe_id, key, p // 60 AS word, p % 60 AS bit, file_id
+        |  FROM (
+        |    SELECT probe_id, key, p FROM (
+        |      SELECT probe_id, key,
+        |        CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % m AS p1,
+        |        CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 9, 8))
+        |          AS BIGINT) % m AS p2
+        |      FROM probes, msz), UNNEST([p1, p2]) AS u(p)),
+        |  (SELECT file_id FROM fs)),
+        |mb AS (
+        |  SELECT probe_id, key, file_id,
+        |    bool_and((coalesce(mask, 0) & (1::BIGINT << CAST(bit AS INT))) <> 0)
+        |      AS maybe
+        |  FROM grid LEFT JOIN bloom USING (file_id, word)
+        |  GROUP BY 1, 2, 3),
+        |truth AS (
+        |  SELECT probe_id, count(*) AS n_files_true FROM (
+        |    SELECT DISTINCT probe_id, file_id
+        |    FROM li JOIN probes ON li.l_partkey = probes.key)
+        |  GROUP BY 1)
+        |SELECT mb.probe_id AS probe_id, mb.key AS key, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_bloom,
+        |  CAST(sum(CASE WHEN key >= k_min AND key <= k_max THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_maybe_minmax,
+        |  CAST(sum(CASE WHEN maybe THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned_bloom,
+        |  CAST(sum(CASE WHEN key >= k_min AND key <= k_max THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned_minmax,
+        |  coalesce(any_value(truth.n_files_true), 0) AS n_files_true
+        |FROM mb JOIN fs USING (file_id)
+        |LEFT JOIN truth ON truth.probe_id = mb.probe_id
+        |GROUP BY 1, 2
+        |ORDER BY mb.probe_id""".stripMargin,
+
     "q_conversion_ci" ->
       """WITH flags AS (
         |  SELECT hour(ts) AS hod, user_id,
