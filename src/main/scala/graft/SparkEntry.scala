@@ -2822,6 +2822,44 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_funnel_sessions" -> ((s, dir) => {
+      import s.implicits._
+      // Session-scoped conversion funnel — the batch twin of
+      // StreamOps.sessionFunnel (and the session-bounded form of
+      // q_funnel, whose greedy chain ranges over the whole log):
+      // 30-min-gap sessions from one lag+cumsum pass, then the greedy
+      // view→click→purchase chain via three chained window mins over
+      // the SAME (user) shuffle — session assignment, chain, and the
+      // per-session rollup all ride one key exchange. StreamingSpec
+      // pins the streaming operator row-identical to this query.
+      val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"ts", 1).over(wo))
+        .withColumn("sid", sum(
+          when($"prev".isNull ||
+            $"ts" > $"prev" + expr("INTERVAL 30 MINUTE"), 1L)
+            .otherwise(0L)).over(wo))
+      val ws = Window.partitionBy($"user_id", $"sid")
+      val chained = sess
+        .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(ws))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(ws))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(ws))
+      chained.groupBy($"user_id", $"sid")
+        .agg(min($"ts").as("session_start"),
+          count(lit(1)).as("n_events"),
+          max($"t1").as("t_view"), max($"t2").as("t_click"),
+          max($"t3").as("t_purchase"))
+        .select($"user_id", $"session_start", $"n_events",
+          (when($"t_view".isNotNull, 1L).otherwise(0L)
+            + when($"t_click".isNotNull, 1L).otherwise(0L)
+            + when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("n_steps"),
+          $"t_view", $"t_click", $"t_purchase")
+        .orderBy($"user_id", $"session_start")
+    }),
+
     "q_bloom_skip" -> ((s, dir) => {
       import s.implicits._
       // Bloom-filter file skipping — the point-lookup complement of
@@ -5160,6 +5198,37 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_funnel_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM x),
+        |c1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id, sid) AS t1
+        |  FROM s),
+        |c2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id, sid) AS t2
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id, sid) AS t3
+        |  FROM c2)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST((max(t1) IS NOT NULL)::INT + (max(t2) IS NOT NULL)::INT
+        |    + (max(t3) IS NOT NULL)::INT AS BIGINT) AS n_steps,
+        |  max(t1) AS t_view, max(t2) AS t_click, max(t3) AS t_purchase
+        |FROM c3
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_bloom_skip" ->
       """WITH li AS (
         |  SELECT l_suppkey % 40 AS file_id, l_partkey FROM lineitem),

@@ -476,10 +476,22 @@ object StreamOps {
       : Dataset[FunnelOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    // state lives in epoch MICROS — getTime's millis would silently
+    // truncate the µs the events table carries, breaking exact parity
+    // with the batch query (caught by the StreamingSpec parity test).
+    // Helpers are LOCAL lambdas: a method on the (non-serializable)
+    // enclosing object would drag it into the task closure.
+    val gapUs = gapMinutes * 60L * 1000000L
     val stepSet = steps.toSet
+    val tsMicros: Timestamp => Long =
+      t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val microsTs: Long => Timestamp = us => {
+      val t = new Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
 
-    def close(userId: Long, s: FunnelState): FunnelOut = {
+    val close = (userId: Long, s: FunnelState) => {
       val sorted = s.buf.sortBy(e => (e._1, e._2))
       // greedy chain: earliest step-k strictly after step k-1; a missing
       // step BREAKS the chain (batch q_funnel's t2 = min click > t1 is
@@ -491,11 +503,11 @@ object StreamOps {
         prev = hit
         hit
       }
-      FunnelOut(userId, new Timestamp(s.start), s.n,
+      FunnelOut(userId, microsTs(s.start), s.n,
         times.count(_.isDefined).toLong,
-        times(0).map(new Timestamp(_)),
-        times(1).map(new Timestamp(_)),
-        times(2).map(new Timestamp(_)))
+        times(0).map(microsTs),
+        times(1).map(microsTs),
+        times(2).map(microsTs))
     }
 
     events
@@ -503,15 +515,15 @@ object StreamOps {
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var open = state.getOption
           val closed = scala.collection.mutable.ListBuffer.empty[FunnelOut]
           evs.foreach { e =>
-            val t = e.ts.getTime
+            val t = tsMicros(e.ts)
             val keep = if (stepSet(e.event_type))
               List((t, e.event_id, e.event_type)) else Nil
             open match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last <= gapUs =>
                 open = Some(s.copy(last = t, n = s.n + 1, buf = keep ::: s.buf))
               case Some(s) =>
                 closed += close(userId, s)

@@ -401,6 +401,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set((5L, 2L, Some(ts(4)), Some(ts(8)), None)), s"got $out")
   }
 
+  test("streaming session funnel equals the q_funnel_sessions driver query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // replay the sf0.001 events table in event-time order through the
+    // stream; the batch query is the oracle-checked ground truth. The
+    // stream can only emit CLOSED sessions (a session closes when a
+    // later event arrives), so each user's final session is excluded
+    // from the batch side.
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionFunnel(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnelpar").start()
+    evs.grouped(500).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.sql("SELECT * FROM funnelpar").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        Option(r.getTimestamp(4)), Option(r.getTimestamp(5)),
+        Option(r.getTimestamp(6)))).toSet
+    q.stop()
+    val batch = SparkEntry.queries("q_funnel_sessions")(spark, sf)
+    val lastStart = batch.groupBy($"user_id")
+      .agg(max($"session_start").as("last_start"))
+    val want = batch.join(lastStart, "user_id")
+      .filter($"session_start" < $"last_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        Option(r.getTimestamp(4)), Option(r.getTimestamp(5)),
+        Option(r.getTimestamp(6)))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming drift histogram equals the batch histogram, any batching; scoring matches the PSI arithmetic") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
