@@ -2822,6 +2822,38 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_holt_trend" -> ((s, dir) => {
+      import s.implicits._
+      // Holt double exponential smoothing (level + trend) — the
+      // forecasting upgrade of q_ewma's single smoother, same
+      // one-key-shuffle stateful-fold shape (each step needs the
+      // previous RESULT, which no window frame expresses). State is one
+      // (level, trend) struct per key; init l=x1, b=0. Literals 0.8/0.9
+      // are written as literals on BOTH sides (not 1−α at runtime) so
+      // the float-op sequence is identical and the recursive-CTE oracle
+      // hash-matches without tolerance. forecast_next = l+b rounded
+      // from the UNrounded state.
+      val ev = Tables.events(s, dir)
+      def step(acc: Column, x: Column): Column = {
+        val newL = x("value") * lit(0.2) + (acc("l") + acc("b")) * lit(0.8)
+        when(acc("l").isNull, struct(x("value").as("l"), lit(0.0).as("b")))
+          .otherwise(struct(newL.as("l"),
+            ((newL - acc("l")) * lit(0.1) + acc("b") * lit(0.9)).as("b")))
+      }
+      ev.groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value")))
+          .as("h"))
+        .select($"user_id", size($"h").cast(LongType).as("n_events"),
+          aggregate($"h",
+            struct(lit(null).cast(DoubleType).as("l"),
+              lit(null).cast(DoubleType).as("b")), step).as("st"))
+        .select($"user_id", $"n_events",
+          round($"st.l", 6).as("level_last"),
+          round($"st.b", 6).as("trend_last"),
+          round($"st.l" + $"st.b", 6).as("forecast_next"))
+        .orderBy($"user_id")
+    }),
+
     "q_funnel_sessions" -> ((s, dir) => {
       import s.implicits._
       // Session-scoped conversion funnel — the batch twin of
@@ -5198,6 +5230,27 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_holt_trend" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |nn AS (SELECT user_id, max(rn) AS n FROM ordered GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    o.value * 0.2 + (r.l + r.b) * 0.8,
+        |    ((o.value * 0.2 + (r.l + r.b) * 0.8) - r.l) * 0.1 + r.b * 0.9
+        |  FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT r.user_id, nn.n AS n_events,
+        |  round(r.l, 6) AS level_last, round(r.b, 6) AS trend_last,
+        |  round(r.l + r.b, 6) AS forecast_next
+        |FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+        |ORDER BY r.user_id""".stripMargin,
+
     "q_funnel_sessions" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id, event_type,
