@@ -2822,6 +2822,23 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_ppr" -> ((s, dir) => {
+      import s.implicits._
+      // Personalized PageRank (random walk with restart) over the part
+      // co-purchase graph: teleport returns only to seed parts (ids ≡ 0
+      // mod 97), so mass concentrates around the seeds — the
+      // "related items" form recommenders run, complementing
+      // q_cooccur_recs' direct co-counts with multi-hop structure.
+      // Integer micro-units + floor division keep every iteration
+      // bit-identical to the oracle's unrolled-CTE replay.
+      val edges = operators.PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), $"l_orderkey", $"l_partkey", maxBasket = 64)
+      operators.PageRank.personalized(edges, seedMod = 97, iterations = 5)
+        .orderBy($"rank_micro".desc, $"node")
+        .limit(50)
+        .select($"node", $"rank_micro")
+    }),
+
     "q_holt_trend" -> ((s, dir) => {
       import s.implicits._
       // Holt double exponential smoothing (level + trend) — the
@@ -5230,6 +5247,32 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_ppr" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT e.dst AS node,
+           |    CAST(CASE WHEN e.dst % 97 = 0 THEN b.base ELSE 0 END
+           |      + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+           |  FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+           |  CROSS JOIN b
+           |  GROUP BY e.dst, b.base)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 64),
+         |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+         |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+         |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |b AS (SELECT CAST((15 * (1000000000000 // cnt)) // 100 AS BIGINT) AS base,
+         |    CAST(1000000000000 // cnt AS BIGINT) AS init
+         |  FROM (SELECT count(*) AS cnt FROM d WHERE src % 97 = 0)),
+         |r0 AS (SELECT d.src AS node,
+         |  CAST(CASE WHEN d.src % 97 = 0 THEN b.init ELSE 0 END AS BIGINT) AS pr
+         |  FROM d CROSS JOIN b),
+         |$iters
+         |SELECT node, pr AS rank_micro FROM r5
+         |ORDER BY rank_micro DESC, node LIMIT 50""".stripMargin
+    },
+
     "q_holt_trend" ->
       """WITH RECURSIVE ordered AS (
         |  SELECT user_id, value,

@@ -50,6 +50,43 @@ object PageRank {
       .distinct()
   }
 
+  /** Personalized PageRank: teleport mass returns only to the SEED set
+    * (nodes ≡ 0 mod `seedMod` — a predicate the SQL oracle replays
+    * verbatim), so rank concentrates around the seeds — the
+    * similar-items / related-users form recommenders actually run
+    * (random walk with restart). Same integer micro-unit arithmetic and
+    * edge-linear iteration shape as [[ranks]]; non-seed nodes start at
+    * 0 and receive only propagated mass. Returns (node, rank_micro). */
+  def personalized(edges: DataFrame, seedMod: Long, iterations: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = OpCaches.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = OpCaches.track(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nSeeds = deg.filter(col("src") % seedMod === 0).count()
+    require(nSeeds > 0, s"no seeds: no node is 0 mod $seedMod")
+    val init = lit(TotalMass / nSeeds)
+    val base = lit(15L * (TotalMass / nSeeds) / 100L)
+    def seedCase(node: Column, v: Column): Column =
+      when(node % seedMod === 0, v).otherwise(lit(0L))
+    val ed = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    var r = deg.select(col("src").as("node"),
+      seedCase(col("src"), init).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contrib = ed
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("c"))
+      r = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (seedCase(col("node"), base) + expr("(85 * s) div 100"))
+            .as("rank_micro"))
+    }
+    r
+  }
+
   /** Fixed-iteration integer PageRank; returns (node, rank_micro). */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel

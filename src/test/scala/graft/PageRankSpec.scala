@@ -61,4 +61,39 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     val nodes = e.select($"src").distinct().collect().map(_.getLong(0)).toSet
     assert(nodes == Set(100L, 101L), s"capped basket leaked edges: $nodes")
   }
+
+  test("personalized: mass concentrates at seeds, far components get none") {
+    import spark.implicits._
+    // two disconnected triangles; seeds (mod 97) hit only {0, 97}'s
+    // component: nodes 0,1,2 triangle; 1000,1001,1002 triangle
+    val e = baskets(
+      (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 1000L), (2L, 1001L), (2L, 1002L))
+    val edges = PageRank.coOccurrenceEdges(e, $"g", $"i", maxBasket = 8)
+    val r = PageRank.personalized(edges, seedMod = 97, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.operators.OpCaches.releaseAll()
+    // only node 0 is a seed: its component carries ALL the mass
+    assert(r(0L) > 0 && r(1L) > 0 && r(2L) > 0)
+    assert(r(1000L) == 0 && r(1001L) == 0 && r(1002L) == 0,
+      s"mass leaked to the unseeded component: $r")
+    // the seed outranks its non-seed peers (teleport returns to it)
+    assert(r(0L) > r(1L) && r(0L) > r(2L))
+    // symmetric non-seed peers tie exactly (integer arithmetic)
+    assert(r(1L) == r(2L))
+  }
+
+  test("personalized is deterministic under repartitioning") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val out = PageRank.personalized(
+        PageRank.coOccurrenceEdges(df, $"l_orderkey", $"l_partkey", 64),
+        seedMod = 97, iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.operators.OpCaches.releaseAll()
+      out
+    }
+    assert(run(li) == run(li.repartition(17, $"l_partkey")))
+  }
 }
