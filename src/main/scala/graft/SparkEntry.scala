@@ -2822,6 +2822,37 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_link_predict" -> ((s, dir) => {
+      import s.implicits._
+      // Link prediction by common-neighbor counting over the SAMPLED
+      // co-purchase graph (same derivation as q_graph_components):
+      // candidate pairs are 2-hop wedges (a—w—b, a<b) NOT already
+      // connected, scored by common-neighbor count with an integer-ppm
+      // Jaccard (|Γa∩Γb| / |Γa∪Γb|) tiebreak — the classic
+      // "customers also bought, one hop out" recommender signal. Wedge
+      // fan-out is bounded by the basket cap (degree ≤ cap·baskets);
+      // the anti join removes existing edges before scoring, and the
+      // top-100 goes through TakeOrderedAndProject.
+      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      val edges = operators.PageRank.coOccurrenceEdges(
+        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val wedges = edges.select($"src".as("a"), $"dst".as("w"))
+        .join(edges.select($"src".as("w"), $"dst".as("b")), Seq("w"))
+        .filter($"a" < $"b")
+      val cand = wedges
+        .join(edges.select($"src".as("a"), $"dst".as("b")),
+          Seq("a", "b"), "left_anti")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
+      cand
+        .join(deg.select($"src".as("a"), $"deg".as("deg_a")), "a")
+        .join(deg.select($"src".as("b"), $"deg".as("deg_b")), "b")
+        .select($"a", $"b", $"cn",
+          expr("(1000000 * cn) div (deg_a + deg_b - cn)").as("jaccard_ppm"))
+        .orderBy($"cn".desc, $"jaccard_ppm".desc, $"a", $"b")
+        .limit(100)
+    }),
+
     "q_ppr" -> ((s, dir) => {
       import s.implicits._
       // Personalized PageRank (random walk with restart) over the part
@@ -5247,6 +5278,27 @@ object SparkEntry {
         |FROM a, t
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_link_predict" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 8),
+        |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+        |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+        |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |cand AS (
+        |  SELECT x.src AS a, y.dst AS b, count(*) AS cn
+        |  FROM e x JOIN e y ON x.dst = y.src AND x.src < y.dst
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.src = x.src AND e.dst = y.dst)
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cn,
+        |  CAST((1000000 * cn) // (da.deg + db.deg - cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM cand JOIN d da ON da.src = cand.a JOIN d db ON db.src = cand.b
+        |ORDER BY cn DESC, jaccard_ppm DESC, a, b
+        |LIMIT 100""".stripMargin,
+
     "q_ppr" -> {
       val iters = (1 to 5).map { k =>
         s"""r$k AS (SELECT e.dst AS node,
