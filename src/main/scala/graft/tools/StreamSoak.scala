@@ -84,6 +84,31 @@ object StreamSoak {
       q.stop()
     }
 
+    // ---- session funnel (round 10): open-session buffers ----------------
+    // state = per-user open-session step events; healthy = rows bounded
+    // by (users with an open session) × (step events per open session),
+    // flat per-batch cost. The buffer holds step-type events only, so
+    // state rows must sit a small multiple above sessionize's, never
+    // track total events processed.
+    {
+      val in = MemoryStream[Ev]
+      val funnels = graft.streaming.StreamOps.sessionFunnel(
+        in.toDS().map(e => graft.streaming.StreamOps.Event(
+          e.event_id, e.ts, e.user_id, e.event_type, e.value)), gapMinutes = 30)
+      val q = funnels.writeStream.format("noop").outputMode("append").start()
+      var b = 0
+      while (b < nBatches) {
+        val t0 = System.nanoTime()
+        in.addData(feed.slice(b * batchRows, (b + 1) * batchRows))
+        q.processAllAvailable()
+        println(f"soak: funnel     batch $b%2d ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          f"stateRows=${stateRows(q)}%d")
+        b += 1
+      }
+      println(s"soak: funnel distinct users in feed = $users")
+      q.stop()
+    }
+
     // ---- stream-stream watermarked range join ---------------------------
     {
       val clicks = MemoryStream[Ev]
