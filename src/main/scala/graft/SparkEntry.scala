@@ -144,11 +144,18 @@ object SparkEntry {
     * can never produce a different model for the same dir.) */
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
-  @volatile private var lastIvfModel: operators.IvfAnn.Model = null
+  /** The dir whose trained models the data-dependent oracles describe:
+    * set by every model getter, read once at oracleSql emission. ONE
+    * slot for all model families (not one per family) so oracles can
+    * never mix models trained on different dirs — emission looks every
+    * model up in its per-dir map under this single key, and a family
+    * never trained for THIS dir is simply omitted (driver falls back to
+    * the rows-only check) rather than borrowing another dir's model. */
+  @volatile private var lastDir: String = null
   private def ivfModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
     val m = ivfModels.computeIfAbsent(dir, d =>
       operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 16))
-    lastIvfModel = m
+    lastDir = dir
     m
   }
 
@@ -156,7 +163,6 @@ object SparkEntry {
     * [[ivfModel]] (k = 8 topics vs IVF's 16 cells — separate models). */
   private val topicModels =
     new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
-  @volatile private var lastTopicModel: operators.IvfAnn.Model = null
 
   /** q_ann_pq's product-quantization codebooks, cached per dir like
     * [[ivfModel]] (training is deterministic; the oracle re-emits the
@@ -164,18 +170,17 @@ object SparkEntry {
     * the same 16 cells q_ann_ivf searches. */
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, operators.PqAnn.Model]()
-  @volatile private var lastPqModel: operators.PqAnn.Model = null
   private def pqModel(s: SparkSession, dir: String): operators.PqAnn.Model = {
     val m = pqModels.computeIfAbsent(dir, d =>
       operators.PqAnn.train(Tables.embeddings(s, d), "vec_id", "embedding",
         m = 4, ksub = 16))
-    lastPqModel = m
+    lastDir = dir
     m
   }
   private def topicModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
     val m = topicModels.computeIfAbsent(dir, d =>
       operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 8))
-    lastTopicModel = m
+    lastDir = dir
     m
   }
 
@@ -186,13 +191,12 @@ object SparkEntry {
     * the rendering forward). */
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Bpe.Model]()
-  @volatile private var lastBpeModel: operators.Bpe.Model = null
   private def bpeModel(s: SparkSession, dir: String): operators.Bpe.Model = {
     val m = bpeModels.computeIfAbsent(dir, d =>
       operators.Bpe.train(
         operators.Bpe.wordCounts(Tables.documents(s, d),
           org.apache.spark.sql.functions.col("text")), k = 10))
-    lastBpeModel = m
+    lastDir = dir
     m
   }
 
@@ -5606,15 +5610,21 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
   ) ++
     // data-dependent oracles: only emittable once the query has trained
-    // its quantizer for the dir being verified (see ivfModel/topicModel) —
-    // absent, the driver records the weaker rows-only check it always did
-    Option(lastIvfModel).map(m => "q_ann_ivf" -> ivfOracle(m)) ++
-    Option(lastIvfModel).map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
-    Option(lastTopicModel).map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
-    (for (c <- Option(lastIvfModel); p <- Option(lastPqModel))
-      yield "q_ann_pq" -> pqOracle(c, p)) ++
-    Option(lastBpeModel).map(m => "q_bpe_merges" -> bpeMergesOracle(m)) ++
-    Option(lastBpeModel).map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
+    // its quantizer for the dir being verified (see ivfModel/topicModel).
+    // All families resolve through the SINGLE lastDir key so one dir's
+    // models can never mix with another's; a family untrained for that
+    // dir is omitted → the driver records the weaker rows-only check.
+    Option(lastDir).map(d =>
+      (Option(ivfModels.get(d)), Option(topicModels.get(d)),
+        Option(pqModels.get(d)), Option(bpeModels.get(d)))) .toSeq.flatMap {
+      case (ivf, topic, pq, bpe) =>
+        ivf.map(m => "q_ann_ivf" -> ivfOracle(m)) ++
+        ivf.map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
+        topic.map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
+        (for (c <- ivf; p <- pq) yield "q_ann_pq" -> pqOracle(c, p)) ++
+        bpe.map(m => "q_bpe_merges" -> bpeMergesOracle(m)) ++
+        bpe.map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
+    }
 
   /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions
     * .TextFns.tokens]] domain), distinct-word counts, and the initial

@@ -77,13 +77,25 @@ object StreamOps {
   /** Score closed-window histograms against a baseline vintage: per
     * (bucket, bin), the Laplace-smoothed PSI component of the window's
     * share vs the baseline's (the q_drift_psi arithmetic, same 32-slot
-    * smoothing domain). Pure batch arithmetic over the (tiny)
+    * smoothing domain). The scored bin domain per bucket is the UNION
+    * of bins observed in the window and in the baseline — a bin whose
+    * baseline mass vanished from the window (n = 0) still scores, same
+    * as the batch monitor, whose groupBy over both eras keeps any bin
+    * either era observed. Pure batch arithmetic over the (tiny)
     * histogram table — run it on the sink of [[driftHistogram]]; the
     * baseline histogram broadcasts. */
   def scoreDrift(windowHist: DataFrame, baseline: DataFrame): DataFrame = {
     val wTot = windowHist.groupBy(col("bucket")).agg(sum(col("n")).as("tw"))
     val bTot = baseline.agg(sum(col("n_base")).as("tb"))
-    windowHist
+    // per-bucket bin domain: window bins ∪ baseline bins (the cross of
+    // buckets × baseline bins is buckets·|baseline| rows — both tiny)
+    val dom = windowHist.select(col("bucket"), col("bin"))
+      .union(wTot.select(col("bucket"))
+        .crossJoin(broadcast(baseline.select(col("bin")))))
+      .distinct()
+    dom
+      .join(windowHist, Seq("bucket", "bin"), "left")
+      .na.fill(0L, Seq("n"))
       .join(wTot, "bucket")
       .join(broadcast(baseline), Seq("bin"), "left")
       .na.fill(0L, Seq("n_base"))
@@ -474,6 +486,12 @@ object StreamOps {
   def sessionFunnel(events: Dataset[Event], gapMinutes: Int = 30,
                     steps: Seq[String] = Seq("view", "click", "purchase"))
       : Dataset[FunnelOut] = {
+    // FunnelOut's schema is fixed at three step-time columns (it twins
+    // q_funnel_sessions' view/click/purchase shape); a different step
+    // COUNT needs a different output row, so reject it here instead of
+    // crashing at session close (times(2)) or silently dropping steps.
+    require(steps.length == 3,
+      s"sessionFunnel emits FunnelOut's fixed 3-step schema; got ${steps.length} steps")
     val spark = events.sparkSession
     import spark.implicits._
     // state lives in epoch MICROS — getTime's millis would silently

@@ -475,5 +475,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val pos = StreamOps.scoreDrift(hist, shifted)
       .agg(sum($"psi_component")).collect().head.getDouble(0)
     assert(pos > 0.0)
+    // vanished-mass coverage: a bin with baseline mass but NO window
+    // rows must still produce a scored row (n = 0, psi > 0) — the
+    // batch monitor scores any bin observed in either era, and drift
+    // from disappeared mass is exactly what a left join would miss
+    val extra = same.union(Seq((999L, 5L)).toDF("bin", "n_base"))
+    val vanished = StreamOps.scoreDrift(hist, extra)
+      .filter($"bin" === 999L).collect()
+    assert(vanished.nonEmpty, "baseline-only bin produced no scored row")
+    assert(vanished.forall(r => r.getLong(2) == 0L && r.getDouble(4) > 0.0))
   }
 }
