@@ -35,6 +35,46 @@ object SparkEntry {
   /** Exact decimal sum, emitted as double (see parity rules above). */
   private def dsum(c: Column): Column = sum(c).cast(DoubleType)
 
+  /** ONE SQL text for q17_small_qty_revenue on BOTH engines (Spark runs
+    * it through spark.sql so Catalyst decorrelates; DuckDB replays it
+    * verbatim as the oracle). `qty < 0.2·avg(part qty)` is expressed as
+    * `qty·5·cnt < sum` — exact BIGINT arithmetic on integral quantities,
+    * no double boundary to flip between engines. */
+  private val correlatedQ17Sql: String =
+    """SELECT p.p_brand,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS small_qty_revenue,
+      |  count(*) AS n_small_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size <= 5
+      |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+      |      (SELECT count(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |       WHERE l2.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  /** ONE SQL text for q20_part_share_suppliers on BOTH engines: nested
+    * IN whose grouped inner block carries a correlated scalar subquery
+    * in HAVING (supplier ships >10% of some small-part's total
+    * quantity). Exact integer share predicate: sum·10 > total. */
+  private val correlatedQ20Sql: String =
+    """SELECT s.s_name, n.n_name
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT li.l_suppkey
+      |  FROM lineitem li
+      |  WHERE li.l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+      |  GROUP BY li.l_suppkey, li.l_partkey
+      |  HAVING sum(CAST(li.l_quantity AS BIGINT)) * 10 >
+      |      (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |       WHERE l2.l_partkey = li.l_partkey))
+      |ORDER BY s.s_name""".stripMargin
+
   /** q_dedup_embedding oracle: same semantics as
     * Similarity.cosineNearDupPairs (pairs whose hyperplane sign-buckets
     * are within Hamming distance 1, cosine-verified) — the SAME seeded
@@ -486,6 +526,38 @@ object SparkEntry {
         .groupBy($"n_name")
         .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // Correlated SCALAR subqueries (the TPC-H Q17 class): per-brand
+      // revenue of lineitems whose quantity is below 0.2× that PART's
+      // average — the threshold depends on the outer row's part. Fed to
+      // Catalyst as genuine correlated subqueries (there is no DataFrame
+      // surface for them) and DECORRELATED by RewriteCorrelatedScalar-
+      // Subquery into ONE per-part aggregate joined back — never a
+      // per-row subplan execution (plan-pinned in PlanSpec: no
+      // per-row Subquery nodes, and the two subqueries over the same
+      // correlated scan merge into a single aggregate). The 0.2×avg
+      // predicate is exact integer arithmetic (qty·5·cnt < sum, with
+      // integral quantities) so the boundary can't flip on a last-ulp
+      // double divergence between engines.
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      s.sql(correlatedQ17Sql)
+    }),
+
+    "q20_part_share_suppliers" -> ((s, dir) => {
+      // Nested IN with correlated aggregation (the TPC-H Q20 class):
+      // suppliers who account for >10% of some small-part's total
+      // shipped quantity — an IN over a grouped subquery whose HAVING
+      // holds a correlated scalar subquery. Catalyst decorrelates the
+      // HAVING subquery into an aggregate join and plans both IN levels
+      // as semi joins (plan-pinned); DuckDB replays the identical SQL.
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(correlatedQ20Sql)
     }),
 
     "q_semi_join" -> ((s, dir) => {
@@ -3222,6 +3294,11 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // same text both engines — the whole point: arbitrary correlated
+    // SQL through the runner surface, decorrelated by Catalyst
+    "q17_small_qty_revenue" -> correlatedQ17Sql,
+    "q20_part_share_suppliers" -> correlatedQ20Sql,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

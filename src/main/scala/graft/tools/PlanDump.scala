@@ -1,0 +1,17 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { q =>
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

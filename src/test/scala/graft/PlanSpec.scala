@@ -415,6 +415,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftAnti"), s"orphan check not an anti join:\n$p")
   }
 
+  test("q17: correlated scalar subqueries decorrelate to aggregate joins — no per-row subplan") {
+    val p = plan("q17_small_qty_revenue")
+    // RewriteCorrelatedScalarSubquery must turn BOTH per-part subqueries
+    // (count and sum over the outer part's lineitems) into per-part
+    // aggregates joined back; a surviving Subquery node would mean
+    // per-outer-row re-execution — the O(n²) shape that can't scale
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"threshold aggregates not joined back:\n$p")
+    // the join-back is on the part key after a per-part aggregate
+    assert(p.contains("HashAggregate(keys=[l_partkey"),
+      s"no decorrelated per-part aggregate:\n$p")
+  }
+
+  test("q20: nested IN + correlated HAVING decorrelate to semi joins and an aggregate join") {
+    val p = plan("q20_part_share_suppliers")
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    // both IN levels plan as semi joins (supplier IN …, l_partkey IN …)
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"IN levels not planned as semi joins:\n$p")
+    // the HAVING's correlated total becomes a per-part aggregate join
+    assert(p.contains("HashAggregate(keys=[l_partkey"),
+      s"correlated HAVING total not decorrelated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("drift PSI: bin totals broadcast back over the bin table") {
     val p = plan("q_drift_psi")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
