@@ -135,6 +135,61 @@ object SparkEntry {
       |  JOIN cnt cb ON cb.doc_id = id_b),
       |pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)""".stripMargin
 
+  /** q_ann_bruteforce's oracle, extracted so the recall audit can embed
+    * the same definition as its ground-truth CTE. */
+  private val annBruteOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS cand_id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+      |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+      |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+      |        * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+      |    , 6) AS cosine
+      |  FROM q, embeddings c
+      |  WHERE q.query_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, cand_id, cosine, rank FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q_ann_recall's oracle: each lane's EXISTING oracle text embedded as
+    * a CTE (DuckDB allows a nested WITH inside a CTE body), intersected
+    * with the bruteforce ground truth on (query_id, cand_id), hit counts
+    * and integer-ppm recall per lane. Every lane definition is therefore
+    * literally the one its own hash-checked query verifies — the audit
+    * can't drift from the lanes it audits. */
+  private def annRecallOracle(coarse: operators.IvfAnn.Model,
+                              pq: operators.PqAnn.Model): String =
+    s"""WITH brute AS (
+       |${annBruteOracle}),
+       |lsh AS (
+       |${annLshOracle}),
+       |ivf AS (
+       |${ivfOracle(coarse)}),
+       |pq AS (
+       |${pqOracle(coarse, pq)}),
+       |tot AS (
+       |  SELECT count(*) AS n_possible,
+       |    count(DISTINCT query_id) AS n_queries FROM brute),
+       |h AS (
+       |  SELECT 'ivf' AS lane, count(*) AS n_hits
+       |    FROM ivf JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'lsh', count(*) FROM lsh JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'pq', count(*) FROM pq JOIN brute USING (query_id, cand_id))
+       |SELECT h.lane, t.n_queries, t.n_possible, h.n_hits,
+       |  (1000000 * h.n_hits) // t.n_possible AS recall_ppm
+       |FROM h, tot t
+       |ORDER BY lane""".stripMargin
+
   /** q_ann_lsh oracle: the SAME seeded hyperplane constants as SQL
     * literals (the dedupEmbeddingOracle recipe); a query's probe set at
     * radius 1 contains a candidate's bucket iff their sign-buckets are
@@ -1994,6 +2049,43 @@ object SparkEntry {
       operators.PqAnn.adcTopK(e.filter($"vec_id" < 10), e, k = 5, coarse,
           pq, nProbe = 4)
         .orderBy($"query_id", $"rank")
+    }),
+
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      // The approximation-quality audit for the ANN ladder: recall@5 of
+      // each approximate lane (LSH / IVF / IVFADC) against the
+      // bruteforce ground truth, as integer hit counts + integer-ppm
+      // recall — the number a 100 TB deployment tunes nProbe/nPlanes
+      // against. Each lane runs its EXACT production definition (same
+      // operators, same parameters as its own hash-checked query);
+      // ground truth (50 rows) is pinned once and broadcast into the
+      // three intersection joins.
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 10)
+      val brute = Similarity.bruteForceTopK(q, e, k = 5)
+        .select($"query_id", $"cand_id")
+        .localCheckpoint(true)
+      val coarse = ivfModel(s, dir)
+      val codebooks = pqModel(s, dir)
+      val lanes: Seq[(String, DataFrame)] = Seq(
+        "ivf" -> operators.IvfAnn.topK(q, e, k = 5, coarse, nProbe = 4),
+        "lsh" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 6),
+        "pq" -> operators.PqAnn.adcTopK(q, e, k = 5, coarse, codebooks,
+          nProbe = 4))
+      val tot = brute.agg(count(lit(1)).as("n_possible"),
+        countDistinct($"query_id").as("n_queries"))
+      lanes.map { case (lane, df) =>
+        df.select($"query_id", $"cand_id")
+          .join(broadcast(brute), Seq("query_id", "cand_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(lane).as("lane"), $"n_hits")
+      }.reduce(_.union(_))
+        .crossJoin(broadcast(tot))
+        .select($"lane", $"n_queries", $"n_possible", $"n_hits",
+          expr("(1000000 * n_hits) div n_possible").as("recall_ppm"))
+        .orderBy($"lane")
     }),
 
     // ================= text analysis ==================================
@@ -4647,27 +4739,7 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracle,
 
-    "q_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id AS cand_id,
-        |    round(
-        |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
-        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
-        |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
-        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
-        |    , 6) AS cosine
-        |  FROM q, embeddings c
-        |  WHERE q.query_id <> c.vec_id),
-        |ranked AS (
-        |  SELECT query_id, cand_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, cand_id, cosine, rank FROM ranked
-        |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_bruteforce" -> annBruteOracle,
 
     "q_token_count" ->
       """SELECT doc_id,
@@ -5699,6 +5771,7 @@ object SparkEntry {
         ivf.map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
         topic.map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
         (for (c <- ivf; p <- pq) yield "q_ann_pq" -> pqOracle(c, p)) ++
+        (for (c <- ivf; p <- pq) yield "q_ann_recall" -> annRecallOracle(c, p)) ++
         bpe.map(m => "q_bpe_merges" -> bpeMergesOracle(m)) ++
         bpe.map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
     }
