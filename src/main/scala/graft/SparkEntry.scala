@@ -1378,9 +1378,10 @@ object SparkEntry {
       // join+agg rounds in exact integer micro-units, so the ranks are
       // bit-identical to the oracle's unrolled-SQL replay (float
       // PageRank never hash-matches across engines); top-100 via
-      // TakeOrderedAndProject, never a global sort.
-      val edges = operators.PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), $"l_orderkey", $"l_partkey", maxBasket = 64)
+      // TakeOrderedAndProject, never a global sort. Edges come from the
+      // write-once materialized derivation (operators.CoPurchase) that
+      // all graph queries share — row-identical to the inline form.
+      val edges = operators.CoPurchase.fullEdges(s, dir)
       operators.PageRank.ranks(edges, iterations = 5)
         .orderBy($"rank_micro".desc, $"node")
         .limit(100)
@@ -1392,9 +1393,9 @@ object SparkEntry {
       // exact triangle participation per node on the co-purchase graph
       // (degree-ordered orientation bounds wedge fan-out at O(m^1.5) —
       // the hub-safe classic; see operators.Triangles). Integer counts
-      // → exact SQL replay; top-50 via TakeOrderedAndProject.
-      val und = operators.PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), $"l_orderkey", $"l_partkey", maxBasket = 64)
+      // → exact SQL replay; top-50 via TakeOrderedAndProject. Shared
+      // materialized edge table (operators.CoPurchase).
+      val und = operators.CoPurchase.fullEdges(s, dir)
       operators.Triangles.perNode(und)
         .orderBy($"n_triangles".desc, $"node")
         .limit(50)
@@ -1409,10 +1410,9 @@ object SparkEntry {
       // large-star/small-star (O(log d) rounds of keyed shuffles, edge
       // set never grows — the same 100 TB-safe machinery the dedup
       // clustering lane uses); the oracle re-derives the labels with a
-      // recursive-CTE transitive closure over the same edges.
-      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
-      val edges = operators.PageRank.coOccurrenceEdges(
-        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      // recursive-CTE transitive closure over the same edges. Shared
+      // materialized sampled-edge table (operators.CoPurchase).
+      val edges = operators.CoPurchase.sampledEdges(s, dir)
       operators.DedupClusters.clustersLargeSmallStar(edges, $"src", $"dst")
         .labels
         .select($"doc_id".as("node"), $"cluster_id".as("component"))
@@ -1430,17 +1430,17 @@ object SparkEntry {
       // once so total work is O(edges) no matter the rounds. The oracle
       // unrolls 6 neighbor expansions (MATERIALIZED — the k-core lesson)
       // and takes the min round per node.
-      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
-      // one materialization of the edge derivation (self-join +
-      // distinct over the fact scan): BOTH the seed set and the BFS
-      // rounds read the pinned copy — unpinned, the derivation would
-      // re-execute once per consumer (measured 2× the query at 100×)
-      val edges = operators.PageRank.coOccurrenceEdges(
-          li, $"l_orderkey", $"l_partkey", maxBasket = 8)
-        .localCheckpoint(true)
+      // edges come from the shared write-once sampled-edge parquet
+      // (operators.CoPurchase) — the expensive derivation is gone — but
+      // minHops still gets to repartition-by-src + pin its OWN copy
+      // (edgesPinned left false): the rounds join the frontier against
+      // edges co-partitioned on src, and pinning a cheap parquet scan
+      // costs far less than re-shuffling the scan every round
+      // (measured: pinned-scan 2.6 s vs raw-scan rounds 5.3 s at sf0.1)
+      val edges = operators.CoPurchase.sampledEdges(s, dir)
       val seeds = edges.select($"src".as("node")).distinct()
         .filter($"node" % 10 === 0)
-      operators.Bfs.minHops(edges, seeds, maxHops = 6, edgesPinned = true)
+      operators.Bfs.minHops(edges, seeds, maxHops = 6)
         .orderBy($"node")
     }),
 
@@ -1707,10 +1707,9 @@ object SparkEntry {
       // joins with per-round lineage truncation (the CC discipline).
       // The oracle unrolls 10 peel rounds — idempotent past the
       // fixpoint (reached in <= 3 rounds here), so bounded SQL checks
-      // the unbounded-iteration operator exactly.
-      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
-      val edges = operators.PageRank.coOccurrenceEdges(
-        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      // the unbounded-iteration operator exactly. Shared materialized
+      // sampled-edge table (operators.CoPurchase).
+      val edges = operators.CoPurchase.sampledEdges(s, dir)
       operators.KCore.core(edges, k = 4).orderBy($"node")
     }),
 
@@ -3000,10 +2999,10 @@ object SparkEntry {
       // "customers also bought, one hop out" recommender signal. Wedge
       // fan-out is bounded by the basket cap (degree ≤ cap·baskets);
       // the anti join removes existing edges before scoring, and the
-      // top-100 goes through TakeOrderedAndProject.
-      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
-      val edges = operators.PageRank.coOccurrenceEdges(
-        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      // top-100 goes through TakeOrderedAndProject. Shared materialized
+      // sampled-edge table (operators.CoPurchase) — consumed four times
+      // here (two wedge sides, anti join, degrees) as cheap scans.
+      val edges = operators.CoPurchase.sampledEdges(s, dir)
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       val wedges = edges.select($"src".as("a"), $"dst".as("w"))
         .join(edges.select($"src".as("w"), $"dst".as("b")), Seq("w"))
@@ -3029,9 +3028,9 @@ object SparkEntry {
       // "related items" form recommenders run, complementing
       // q_cooccur_recs' direct co-counts with multi-hop structure.
       // Integer micro-units + floor division keep every iteration
-      // bit-identical to the oracle's unrolled-CTE replay.
-      val edges = operators.PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), $"l_orderkey", $"l_partkey", maxBasket = 64)
+      // bit-identical to the oracle's unrolled-CTE replay. Shared
+      // materialized edge table (operators.CoPurchase).
+      val edges = operators.CoPurchase.fullEdges(s, dir)
       operators.PageRank.personalized(edges, seedMod = 97, iterations = 5)
         .orderBy($"rank_micro".desc, $"node")
         .limit(50)
@@ -3215,9 +3214,8 @@ object SparkEntry {
       // round is one edge-linear join + argmax agg; the oracle unrolls
       // all four rounds in SQL with the identical (count DESC, label)
       // adoption rule, so the labels are bit-identical cross-engine.
-      val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
-      val edges = operators.PageRank.coOccurrenceEdges(
-        li, $"l_orderkey", $"l_partkey", maxBasket = 8)
+      // Shared materialized sampled-edge table (operators.CoPurchase).
+      val edges = operators.CoPurchase.sampledEdges(s, dir)
       operators.LabelProp.summary(edges, rounds = 4)
         .orderBy($"community")
     }),
@@ -3292,12 +3290,12 @@ object SparkEntry {
       // 1e6; trillion-basket corpora still fit stage two) and the
       // ranking — and the hash — replays exactly across engines. Top-5
       // per item goes through row_number (bounded TopKPerGroup rewrite).
-      val items = Tables.lineitem(s, dir)
-        .select($"l_orderkey".as("g"), $"l_partkey".as("i")).distinct()
-      val ok = items.groupBy($"g").agg(count(lit(1)).as("bsz"))
-        .filter($"bsz" <= 64).select($"g")
-      val in = items.join(ok, "g")
-      val nBaskets = ok.agg(count(lit(1)).as("n_baskets"))
+      // capped distinct basket-items come from the shared write-once
+      // derivation (operators.CoPurchase.items) — the same first stage
+      // the edge table builds from, computed once per JVM
+      val in = operators.CoPurchase.items(s, dir)
+      val nBaskets = in.select($"g").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
       val itemCnt = in.groupBy($"i").agg(count(lit(1)).as("n_i"))
       val co = in.select($"g", $"i".as("a"))
         .join(in.select($"g", $"i".as("b")), Seq("g"))

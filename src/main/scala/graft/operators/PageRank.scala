@@ -42,13 +42,19 @@ object PageRank {
     val items = df.select(group.as("g"), item.as("i")).distinct()
     val ok = items.groupBy(col("g")).count()
       .filter(col("count") <= maxBasket).select(col("g"))
-    val in = items.join(ok, "g")
+    edgesFromItems(items.join(ok, "g"))
+  }
+
+  /** The pairing stage of [[coOccurrenceEdges]], split out so a
+    * MATERIALIZED capped-items table (operators.CoPurchase) can feed it
+    * without re-running the distinct+cap stage. `in` must hold distinct
+    * capped (g, i) rows. */
+  def edgesFromItems(in: DataFrame): DataFrame =
     in.select(col("g"), col("i").as("src"))
       .join(in.select(col("g"), col("i").as("dst")), Seq("g"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
-  }
 
   /** Personalized PageRank: teleport mass returns only to the SEED set
     * (nodes ≡ 0 mod `seedMod` — a predicate the SQL oracle replays
