@@ -558,6 +558,88 @@ object StreamOps {
       }
   }
 
+  final case class AttrState(touches: List[(Long, Long, String)],
+                             maxTs: Long)
+  final case class AttrOut(user_id: Long, purchase_ts: Timestamp,
+                           purchase_id: Long, value: Double,
+                           touch_type: String)
+
+  /** Streaming last-touch attribution — the streaming twin of the batch
+    * `q_attribution` (AsOfJoin.backward over collapsed touches): every
+    * purchase credits the user's most recent prior view/click
+    * (INCLUSIVE of the purchase instant) within `horizonDays`, 'none'
+    * when no touch qualifies — emitted IMMEDIATELY on purchase arrival,
+    * no session close needed, so under event-time-ordered delivery the
+    * emitted rows aggregate to exactly the batch query's lanes
+    * (StreamingSpec pins this on the real events table, the
+    * funnel-parity pattern extended to a second composed operator).
+    *
+    * Batch-parity rules carried over exactly:
+    *  - same-timestamp touches collapse to the HIGHEST event_id's type
+    *    (the batch max_by collapse);
+    *  - a touch AT the purchase timestamp counts (the as-of union sorts
+    *    right rows before left at equal times) — within a batch, events
+    *    sort (ts, touch-before-purchase, event_id);
+    *  - the lookback window is [t − horizon, t], both ends inclusive
+    *    (AsOfJoin's `asof_time >= _t - tolerance`).
+    *
+    * State per user = ONLY the touch buffer inside the horizon of the
+    * newest event seen (pruned every batch), never the purchases —
+    * bounded by horizon × per-user touch rate, the stream-stream join's
+    * bound class, NOT corpus-sized. */
+  def attributionLastTouch(events: Dataset[Event], horizonDays: Int = 3)
+      : Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonUs = horizonDays * 24L * 3600L * 1000000L
+    val tsMicros: Timestamp => Long =
+      t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AttrState]) =>
+          // touches sort before purchases at the same instant — the
+          // batch's inclusive-match rule
+          val evs = it.toSeq.sortBy(e =>
+            (tsMicros(e.ts), if (e.event_type == "purchase") 1 else 0,
+              e.event_id))
+          var st = state.getOption.getOrElse(AttrState(Nil, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[AttrOut]
+          evs.foreach { e =>
+            val t = tsMicros(e.ts)
+            e.event_type match {
+              case "view" | "click" =>
+                // collapse equal-ts touches to the highest event_id
+                val keep = st.touches.find(_._1 == t) match {
+                  case Some((_, id, _)) if id >= e.event_id => st.touches
+                  case Some(_) => (t, e.event_id, e.event_type) ::
+                    st.touches.filterNot(_._1 == t)
+                  case None => (t, e.event_id, e.event_type) :: st.touches
+                }
+                st = AttrState(keep, math.max(st.maxTs, t))
+              case "purchase" =>
+                val best = st.touches
+                  .filter(x => x._1 <= t && x._1 >= t - horizonUs)
+                  .sortBy(x => (-x._1, -x._2))
+                  .headOption
+                out += AttrOut(userId, e.ts, e.event_id, e.value,
+                  best.map(_._3).getOrElse("none"))
+                st = AttrState(st.touches, math.max(st.maxTs, t))
+              case _ =>
+                st = AttrState(st.touches, math.max(st.maxTs, t))
+            }
+          }
+          // prune: future purchases arrive at ts >= maxTs under ordered
+          // delivery, so touches older than maxTs − horizon can never
+          // be the last touch again
+          val pruned = st.touches.filter(_._1 >= st.maxTs - horizonUs)
+          state.update(AttrState(pruned, st.maxTs))
+          out.iterator
+      }
+  }
+
   final case class HHItem(group: String, token: String)
   final case class HHOut(group: String, token: String, count_lb: Long)
 

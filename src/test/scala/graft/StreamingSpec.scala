@@ -438,6 +438,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming attribution: inclusive instant, horizon cutoff, tie collapse, none lane") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.attributionLastTouch(in.toDS(), horizonDays = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr1").start()
+    val d0 = Timestamp.valueOf("2024-01-10 12:00:00")
+    def at(days: Double): Timestamp =
+      new Timestamp(d0.getTime + (days * 86400000L).toLong)
+    in.addData(
+      // user 1: view then same-instant click with HIGHER id at purchase
+      // time — click wins the collapse AND the inclusive instant match
+      Event(1, at(-1), 1, "view", 0),
+      Event(2, at(0), 1, "view", 0), Event(3, at(0), 1, "click", 0),
+      Event(4, at(0), 1, "purchase", 10.0),
+      // user 2: only touch is outside the 3-day horizon -> none
+      Event(5, at(-3.5), 2, "view", 0), Event(6, at(0), 2, "purchase", 7.0),
+      // user 3: touch exactly AT the horizon boundary counts (inclusive)
+      Event(7, at(-3.0), 3, "view", 0), Event(8, at(0), 3, "purchase", 5.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, touch_type FROM attr1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set((1L, "click"), (2L, "none"), (3L, "view")), s"got $got")
+  }
+
+  test("streaming attribution equals the q_attribution driver query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // replay the events table in event-time order (touches before
+    // purchases at equal instants — the batch's inclusive rule; a
+    // stream delivery that splits an instant across batches the other
+    // way round is indistinguishable from late data). Unlike the
+    // funnel, NO exclusion is needed: every purchase emits immediately,
+    // so the streamed rows must aggregate to the batch lanes exactly.
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime,
+        if (e.event_type == "purchase") 1 else 0, e.event_id)).toVector
+    val in = MemoryStream[Event]
+    val q = StreamOps.attributionLastTouch(in.toDS(), horizonDays = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrpar").start()
+    evs.grouped(500).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.sql("SELECT * FROM attrpar").toDF()
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val want = SparkEntry.queries("q_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${streamed -- want} " +
+        s"onlyBatch=${want -- streamed}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming drift histogram equals the batch histogram, any batching; scoring matches the PSI arithmetic") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
