@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -317,6 +317,134 @@ object StreamOps {
       }
     }
     deleteRec(staging) // only _SUCCESS/metadata left once parts are promoted
+  }
+
+  /** Merge-on-READ streaming CDC — the other half of the lake-table
+    * read/write trade [[cdcUpsertPartitioned]]'s copy-on-write occupies.
+    *
+    * Copy-on-write pays at WRITE time: every batch rewrites its whole
+    * partition footprint so reads are plain scans. Merge-on-read pays at
+    * READ time: each micro-batch APPENDS an O(batch) delta log — full
+    * row images for upserts, key-tombstone rows (op = delete) for
+    * deletes, the deletion-vector idea at row granularity — and readers
+    * reconcile base + deltas with the SAME CdcMerge latest-wins
+    * semantics (ordered by the change version, then log sequence). Write
+    * amplification per batch is O(batch rows), independent of both
+    * snapshot AND partition size — the right half of the trade for
+    * high-frequency changelogs over huge partitions; [[compactMergeOnRead]]
+    * periodically folds the log back into the base so read cost stays
+    * bounded (the read-optimized/write-optimized compaction every lake
+    * format runs).
+    *
+    * Layout under `tableDir`: `base/` (parquet snapshot, absent until
+    * first compaction) + `delta_<seq>/` log dirs. Appends stage to a
+    * dot-hidden dir then promote with one rename; a REPLAYED batch
+    * (same seq) overwrites its own delta — idempotent, exactly-once per
+    * batch id. Compaction is write-then-swap; a crash after the swap but
+    * before the consumed deltas are cleared only re-applies those deltas
+    * over the new base on the next read — latest-wins re-application is
+    * idempotent, so every crash window heals by construction.
+    *
+    * CdcMorSpec pins the reconciled read row-identical to a single
+    * CdcMerge over the whole changelog (the q_cdc_merge semantics) at
+    * every prefix, across compaction points, and under batch replay;
+    * CdcSoak's `mor` lane measures the write-amplification gap against
+    * the copy-on-write lanes on real scaled data. */
+  def cdcUpsertMergeOnRead(changes: DataFrame, tableDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendDeltaBatch(batch, tableDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch append of [[cdcUpsertMergeOnRead]] — package-visible
+    * so specs and the scale soak can drive batches directly. O(batch)
+    * work: no read of base or prior deltas. */
+  private[graft] def appendDeltaBatch(batch: DataFrame, tableDir: String,
+                                      seq: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (batch.isEmpty) return
+    Files.createDirectories(Paths.get(tableDir))
+    val name = f"delta_$seq%012d"
+    val tmp = Paths.get(tableDir, s".tmp_$name")
+    if (Files.exists(tmp)) deleteRec(tmp) // debris from a crashed append
+    batch.withColumn("__seq", lit(seq))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = Paths.get(tableDir, name)
+    // a replayed batch re-stages identical content; replace its delta
+    if (Files.exists(target)) deleteRec(target)
+    Files.move(tmp, target)
+  }
+
+  private def deltaDirs(tableDir: String): Seq[java.io.File] =
+    Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+      .sortBy(_.getName).toSeq
+
+  /** Heal [[compactMergeOnRead]]'s crash window (base retired to
+    * `.base_old`, new base not yet promoted): promote the old base back.
+    * Run by BOTH the read path and the next compaction — a reader that
+    * skipped this would silently reconcile without the base. */
+  private def recoverMorBase(tableDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(tableDir, "base")
+    val old = Paths.get(tableDir, ".base_old")
+    if (Files.exists(old) && !Files.exists(base))
+      Files.move(old, base) // throws on failure → fail loudly
+  }
+
+  /** Reconcile the merge-on-read table to its current snapshot: base
+    * (if compacted yet) + every delta log, merged with CdcMerge's
+    * latest-wins ordered by (version…, log seq). This IS the read path —
+    * at scale it's the view readers query between compactions, one key
+    * shuffle over base∪deltas, no driver-side work. */
+  def readMergeOnRead(spark: SparkSession, tableDir: String,
+                      keys: Seq[String], opCol: String,
+                      version: Seq[String]): DataFrame = {
+    recoverMorBase(tableDir)
+    val deltas = deltaDirs(tableDir)
+    val baseDir = new java.io.File(tableDir, "base")
+    val hasBase = baseDir.isDirectory &&
+      baseDir.listFiles().exists(_.getName.endsWith(".parquet"))
+    require(hasBase || deltas.nonEmpty,
+      s"readMergeOnRead: $tableDir has neither base nor deltas")
+    if (deltas.isEmpty) return spark.read.parquet(baseDir.toString)
+    val log = spark.read.parquet(deltas.map(_.toString): _*)
+    val baseSchema = org.apache.spark.sql.types.StructType(
+      log.schema.filterNot(f => f.name == opCol || f.name == "__seq"))
+    val base =
+      if (hasBase) spark.read.schema(baseSchema).parquet(baseDir.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    graft.etl.CdcMerge.merge(base, log, keys, col(opCol),
+        version.map(col) :+ col("__seq"))
+      .drop("change_applied")
+  }
+
+  /** Fold the delta log into the base snapshot (the read-optimize step):
+    * reconcile, write-then-swap the new base, then clear exactly the
+    * deltas that were folded. Crash windows: before the swap nothing
+    * changed; after the swap but before the deletes, the surviving
+    * deltas re-apply idempotently over the new base. Single-writer, like
+    * every lake-format compaction. */
+  def compactMergeOnRead(spark: SparkSession, tableDir: String,
+                         keys: Seq[String], opCol: String,
+                         version: Seq[String]): Unit = {
+    import java.nio.file.Paths
+    val consumed = deltaDirs(tableDir)
+    if (consumed.isEmpty) return
+    val baseDir = Paths.get(tableDir, "base")
+    // heal a crashed PREVIOUS compaction (old present, base missing) —
+    // readMergeOnRead below runs the same recovery, kept explicit here
+    recoverMorBase(tableDir)
+    val snap = readMergeOnRead(spark, tableDir, keys, opCol, version)
+    val tmp = Paths.get(tableDir, ".base_tmp")
+    snap.write.mode("overwrite").parquet(tmp.toString)
+    swapSnapshot(tmp.toString, baseDir.toString,
+      oldDir = Paths.get(tableDir, ".base_old").toString)
+    consumed.foreach(d => deleteRec(d.toPath))
   }
 
   /** Complete any per-partition swap [[mergeBatchPartitioned]] left

@@ -106,20 +106,82 @@ object CdcSoak {
       }
     }
 
+    /** The merge-on-read lane: same seed + batches, but each batch only
+      * APPENDS its delta log (StreamOps.appendDeltaBatch). Per-batch
+      * bytes written = that delta dir's size — the write-amplification
+      * number the copy-on-write lanes pay per-partition (scoped) or
+      * per-snapshot (full). The final reconciled READ is timed too: MOR
+      * shifts cost from the write path to the read path, and both sides
+      * of the trade must be on the table. */
+    def runMor(dir: String): (Seq[Double], Seq[Long], Double) = {
+      deleteRec(new java.io.File(dir))
+      val base = orders.withColumn("pall", lit(0))
+      val (_, seedS) = timed {
+        graft.streaming.StreamOps.appendDeltaBatch(
+          base.withColumn("op", lit("U")).withColumn("ver", lit(0L)),
+          dir, 0L)
+      }
+      println(f"soak[merge-on-read]: seed (append) $seedS%.1f s")
+      val batchSource = orders0
+        .withColumn("pmonth",
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int"))
+        .withColumn("pall", lit(0))
+      val perBatch = (1 to nBatches).map { i =>
+        val m = months(i % months.length)
+        val batch = batchSource.filter($"pmonth" === m).limit(keysPerBatch)
+          .withColumn("o_totalprice", $"o_totalprice" + i)
+          .withColumn("op", lit("U")).withColumn("ver", lit(i.toLong))
+        val (_, s) = timed {
+          graft.streaming.StreamOps.appendDeltaBatch(batch, dir, i.toLong)
+        }
+        val bytes = dirBytes(new java.io.File(dir, f"delta_$i%012d"))
+        println(f"soak[merge-on-read]: batch $i month $m $s%.1f s ${bytes / 1024}%d KiB written")
+        (s, bytes)
+      }
+      val readS = timed {
+        graft.streaming.StreamOps.readMergeOnRead(spark, dir,
+          Seq("o_orderkey"), "op", Seq("ver")).write.format("noop")
+          .mode("overwrite").save()
+      }._2
+      println(f"soak[merge-on-read]: reconciled read $readS%.1f s")
+      (perBatch.map(_._1), perBatch.map(_._2), readS)
+    }
+
     val scoped = run(s"$work/scoped", "pmonth", "partition-scoped")
+    val scopedBytes = (1 to nBatches).map { i =>
+      // steady-state per-batch write = the rewritten month partition
+      val m = months(i % months.length)
+      dirBytes(new java.io.File(s"$work/scoped", s"pmonth=$m"))
+    }
     val full = run(s"$work/full", "pall", "full-rewrite")
-    // the partition-scoped snapshot must equal the full-rewrite snapshot
+    val fullBytes = dirBytes(new java.io.File(s"$work/full"))
+    val (morTimes, morBytes, morRead) = runMor(s"$work/mor")
+    // all three snapshots must carry identical content
     // decimal-width hash sum: ANSI mode overflows a raw long sum
-    def sig(path: String) = spark.read.parquet(path)
+    def sigDf(df: org.apache.spark.sql.DataFrame) = df
       .agg(count(lit(1)), sum(xxhash64($"o_orderkey", $"o_totalprice")
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+    def sig(path: String) = sigDf(spark.read.parquet(path))
     val a = sig(s"$work/scoped")
     val b = sig(s"$work/full")
-    println(s"soak: content check scoped=$a full=$b match=${a == b}")
+    val c = sigDf(graft.streaming.StreamOps.readMergeOnRead(spark,
+      s"$work/mor", Seq("o_orderkey"), "op", Seq("ver")))
+    println(s"soak: content check scoped=$a full=$b mor=$c " +
+      s"match=${a == b && b == c}")
     println(f"soak: median scoped ${median(scoped)}%.1f s vs full ${median(full)}%.1f s " +
       f"(x${median(full) / median(scoped)}%.1f)")
+    println(f"soak: merge-on-read median append ${median(morTimes)}%.2f s, " +
+      f"median delta ${median(morBytes.map(_.toDouble)) / 1024}%.0f KiB/batch vs " +
+      f"scoped rewrite ${median(scopedBytes.map(_.toDouble)) / 1024}%.0f KiB/batch " +
+      f"(write-amp x${median(scopedBytes.map(_.toDouble)) / median(morBytes.map(_.toDouble))}%.1f), " +
+      f"full rewrite ${fullBytes / 1024}%d KiB/batch; reconciled read $morRead%.1f s")
     spark.stop()
   }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

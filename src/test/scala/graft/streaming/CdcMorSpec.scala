@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Merge-on-read CDC lane (StreamOps.appendDeltaBatch / readMergeOnRead
+  * / compactMergeOnRead): the reconciled read must equal a single
+  * CdcMerge over the whole changelog — the q_cdc_merge semantics — at
+  * every prefix, across compaction points, under batch replay, and on
+  * real data against the copy-on-write lane's snapshot. */
+class CdcMorSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String = {
+    val p = Paths.get(s"target/test-tmp/mor-${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[(Long, String, Double, String, Long)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("k", "name", "amount", "op", "ver")
+  }
+
+  private def snap(d: DataFrame): Map[Long, (String, Double)] =
+    d.collect().map(r => r.getLong(r.fieldIndex("k")) ->
+      (r.getString(r.fieldIndex("name")), r.getDouble(r.fieldIndex("amount"))))
+      .toMap
+
+  /** One-shot CdcMerge over the whole changelog — the ground truth. */
+  private def oneShot(changelog: Seq[(Long, String, Double, String, Long)])
+      : Map[Long, (String, Double)] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        df(changelog).schema.filterNot(_.name == "op")))
+    snap(graft.etl.CdcMerge.merge(empty, df(changelog), Seq("k"),
+      col("op"), Seq(col("ver"))).drop("change_applied"))
+  }
+
+  private val batch1 = Seq(
+    (1L, "a", 10.0, "I", 1L), (2L, "b", 20.0, "I", 2L), (3L, "c", 30.0, "I", 3L))
+  private val batch2 = Seq(
+    (2L, "b2", 25.0, "U", 4L), (4L, "d", 40.0, "I", 5L))
+  private val batch3 = Seq(
+    (1L, null.asInstanceOf[String], 0.0, "D", 6L), // tombstone
+    (4L, "d2", 44.0, "U", 7L),
+    (9L, null.asInstanceOf[String], 0.0, "D", 8L)) // delete of missing key
+
+  test("reconciled read equals the one-shot CdcMerge at every prefix") {
+    val dir = tmp()
+    val batches = Seq(batch1, batch2, batch3)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.appendDeltaBatch(df(b), dir, i.toLong)
+      val got = snap(StreamOps.readMergeOnRead(spark, dir,
+        Seq("k"), "op", Seq("ver")))
+      val want = oneShot(batches.take(i + 1).flatten)
+      assert(got == want, s"prefix ${i + 1}: $got != $want")
+    }
+  }
+
+  test("compaction folds the log into base without changing the read") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    StreamOps.appendDeltaBatch(df(batch2), dir, 1L)
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    // log cleared, base present
+    assert(Files.isDirectory(Paths.get(dir, "base")))
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("delta_")))
+    assert(snap(StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op",
+      Seq("ver"))) == oneShot(batch1 ++ batch2))
+    // appends after compaction reconcile against the compacted base
+    StreamOps.appendDeltaBatch(df(batch3), dir, 2L)
+    assert(snap(StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op",
+      Seq("ver"))) == oneShot(batch1 ++ batch2 ++ batch3))
+  }
+
+  test("a replayed batch (same seq) leaves the reconciled read unchanged") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    StreamOps.appendDeltaBatch(df(batch2), dir, 1L)
+    val before = snap(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver")))
+    StreamOps.appendDeltaBatch(df(batch2), dir, 1L) // exactly-once replay
+    val after = snap(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver")))
+    assert(after == before)
+    assert(before == oneShot(batch1 ++ batch2))
+  }
+
+  test("compaction crash window (base retired, new base unpromoted) heals on read") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    // simulate the crash: base moved aside, promote never happened
+    Files.move(Paths.get(dir, "base"), Paths.get(dir, ".base_old"))
+    StreamOps.appendDeltaBatch(df(batch2), dir, 1L)
+    val got = snap(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver")))
+    assert(got == oneShot(batch1 ++ batch2),
+      "crashed compaction lost the base on the read path")
+  }
+
+  test("crash after compaction swap but before delta cleanup re-applies idempotently") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    StreamOps.appendDeltaBatch(df(batch2), dir, 1L)
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    // simulate the un-cleared consumed delta: re-create delta_1 post-swap
+    StreamOps.appendDeltaBatch(df(batch2), dir, 1L)
+    val got = snap(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver")))
+    assert(got == oneShot(batch1 ++ batch2),
+      "re-applied consumed delta changed the snapshot")
+  }
+
+  test("merge-on-read equals the copy-on-write partitioned snapshot on real orders") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("pmonth",
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int"))
+    // the CdcSoak shape in miniature: seed everything, then two
+    // single-month update batches and a delete batch
+    val seed = orders.withColumn("op", lit("U")).withColumn("ver", lit(0L))
+    val months = orders.select($"pmonth").distinct().orderBy($"pmonth")
+      .as[Int].collect()
+    def upd(i: Int): DataFrame = orders
+      .filter($"pmonth" === months(i % months.length)).limit(500)
+      .withColumn("o_totalprice", $"o_totalprice" + i)
+      .withColumn("op", lit("U")).withColumn("ver", lit(i.toLong))
+    val del = orders.filter($"o_orderkey" % 97 === 0).limit(200)
+      .withColumn("op", lit("D")).withColumn("ver", lit(99L))
+    val batches = Seq(seed, upd(1), upd(2), del)
+
+    val cow = s"$root/cow"
+    val mor = s"$root/mor"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.mergeBatchPartitioned(b, cow, Seq("o_orderkey"), "op",
+        Seq("ver"), "pmonth")
+      StreamOps.appendDeltaBatch(b, mor, i.toLong)
+    }
+    def sig(d: DataFrame) = d
+      .agg(count(lit(1)).cast("long"),
+        sum(xxhash64($"o_orderkey", $"o_totalprice", $"pmonth")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+    val a = sig(spark.read.parquet(cow)
+      .select($"o_orderkey", $"o_totalprice", $"pmonth"))
+    val b = sig(StreamOps.readMergeOnRead(spark, mor, Seq("o_orderkey"),
+        "op", Seq("ver"))
+      .select($"o_orderkey", $"o_totalprice", $"pmonth"))
+    assert(a == b, s"cow=$a mor=$b")
+  }
+}
