@@ -2893,6 +2893,80 @@ object SparkEntry {
         .orderBy($"touch_type")
     }),
 
+    "q_attribution_multi" -> ((s, dir) => {
+      import s.implicits._
+      // Position-based (U-shaped) MULTI-touch attribution — the
+      // complement of q_attribution's last-touch: every touch in the
+      // purchase's 3-day lookback shares the credit (first 40%, last
+      // 40%, middles split the 20% by integer floor division; 1 touch
+      // takes all, 2 split evenly). The (purchase × touches-in-window)
+      // pair set comes from the RangeJoin bin operator — an equi join
+      // on (user, day-bin), never a per-purchase range probe — and the
+      // per-purchase first/last ranking shares one window shuffle.
+      // All credit arithmetic is integer ppm over integer cents, so
+      // the lanes replay bit-exact in SQL.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("pid"),
+          (dec2($"value") * 100).cast(LongType).as("cents"))
+        .withColumn("w_start", $"p_ts" - expr("INTERVAL 3 DAY"))
+        // half-open [start, end): +1µs keeps the purchase instant IN
+        .withColumn("w_end", $"p_ts" + expr("INTERVAL 1 MICROSECOND"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"event_type", $"event_id").as("touch_type"))
+      val pairs = operators.RangeJoin.pointInInterval(
+        touches, purchases, keys = Seq("user_id"),
+        pointTs = "ts", startTs = "w_start", endTs = "w_end",
+        binSeconds = 86400L)
+      val w = Window.partitionBy($"pid")
+      val ranked = pairs
+        .withColumn("rn", row_number().over(w.orderBy($"ts")))
+        .withColumn("n", count(lit(1)).over(w))
+      val credited = ranked.select($"touch_type", $"cents",
+        when($"n" === 1, 1000000L)
+          .when($"n" === 2, 500000L)
+          .when($"rn" === 1 || $"rn" === $"n", 400000L)
+          .otherwise(expr("200000 div (n - 2)")).as("credit_ppm"))
+      val lanes = credited.groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_credits"),
+          sum(expr("(credit_ppm * cents) div 1000000")
+            .cast(DecimalType(38, 0))).cast(DoubleType).as("credited_cents"))
+      val none = purchases
+        .join(pairs.select($"pid").distinct(), Seq("pid"), "left_anti")
+        .agg(count(lit(1)).as("n_credits"),
+          sum($"cents".cast(DecimalType(38, 0))).cast(DoubleType)
+            .as("credited_cents"))
+        .select(lit("none").as("touch_type"), $"n_credits", $"credited_cents")
+      lanes.union(none).orderBy($"touch_type")
+    }),
+
+    "q_time_to_convert" -> ((s, dir) => {
+      import s.implicits._
+      // Conversion-latency distribution: for each click, the NEXT
+      // purchase of the same user within 7 days via the FORWARD as-of
+      // join (AsOfJoin.forward — the mirror lane of the backward join
+      // q_attribution runs: same union + one-shuffle + one-sort shape,
+      // descending). Latency in exact integer hours; -1 is the
+      // unconverted lane.
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts")
+      operators.AsOfJoin.forward(clicks, purchases,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq.empty, tolerance = Some("INTERVAL 7 DAY"))
+        .select(
+          when($"asof_time".isNull, lit(-1L))
+            .otherwise(expr(
+              "(unix_micros(asof_time) - unix_micros(ts)) div 3600000000"))
+            .cast(LongType).as("latency_hours"))
+        .groupBy($"latency_hours")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy($"latency_hours")
+    }),
+
     "q_path_transitions" -> ((s, dir) => {
       import s.implicits._
       // Session path analysis — the Markov-transition view of the event
@@ -5389,6 +5463,58 @@ object SparkEntry {
         |SELECT touch_type, count(*) AS n_purchases,
         |  CAST(sum(value) AS DOUBLE) AS attributed_value
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_attribution_multi" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS pid,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.pid, p.cents, t.ts AS tts, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 3 DAY),
+        |ranked AS (
+        |  SELECT pid, cents, touch_type,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts) AS rn,
+        |    count(*) OVER (PARTITION BY pid) AS n
+        |  FROM pairs),
+        |credited AS (
+        |  SELECT touch_type, cents,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS credit_ppm
+        |  FROM ranked),
+        |nonep AS (
+        |  SELECT 'none' AS touch_type, count(*) AS n_credits,
+        |    sum(cents) AS credited_cents
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM pairs)),
+        |lanes AS (
+        |  SELECT touch_type, count(*) AS n_credits,
+        |    sum((credit_ppm * cents) // 1000000) AS credited_cents
+        |  FROM credited GROUP BY 1
+        |  UNION ALL SELECT * FROM nonep)
+        |SELECT touch_type, n_credits,
+        |  CAST(credited_cents AS DOUBLE) AS credited_cents
+        |FROM lanes ORDER BY touch_type""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH cl AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT cl.user_id, cl.ts,
+        |    (SELECT min(p.ts) FROM p
+        |     WHERE p.user_id = cl.user_id AND p.ts >= cl.ts) AS nxt
+        |  FROM cl),
+        |l AS (
+        |  SELECT CASE WHEN nxt IS NULL OR nxt > ts + INTERVAL 7 DAY THEN -1
+        |    ELSE (epoch_us(nxt) - epoch_us(ts)) // 3600000000
+        |  END AS latency_hours FROM m)
+        |SELECT latency_hours, count(*) AS n_clicks
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_path_transitions" ->
       """WITH x AS (
