@@ -135,6 +135,21 @@ object SparkEntry {
       |  JOIN cnt cb ON cb.doc_id = id_b),
       |pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)""".stripMargin
 
+  /** ONE SQL text for q_grouping_sets on both engines (the q17/q20
+    * shared-text pattern): explicit GROUPING SETS with a grouping_id
+    * lane column — the ad-hoc form of the fixed rollup/cube lattices —
+    * and explicit NULLS FIRST so the two engines' opposite null-sort
+    * defaults can't diverge the order. */
+  private val groupingSetsSql: String =
+    """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(grouping(n_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+      |  (o_orderpriority), ())
+      |ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** q_ann_bruteforce's oracle, extracted so the recall audit can embed
     * the same definition as its ground-truth CTE. */
   private val annBruteOracle: String =
@@ -1029,6 +1044,18 @@ object SparkEntry {
         .cube($"o_orderstatus", $"o_orderpriority")
         .agg(dsum(dec2($"o_totalprice")).as("total_price"), count(lit(1)).as("n"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      // Explicit GROUPING SETS (the ad-hoc lattice rollup/cube can't
+      // express: exactly the four aggregation lanes the report needs,
+      // none of the others) with a grouping_id lane discriminator —
+      // fed as one shared SQL text on both engines (the q17/q20
+      // pattern); Spark plans the standard Expand + single aggregate.
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(groupingSetsSql)
     }),
 
     "q_array_agg" -> ((s, dir) => {
@@ -2137,6 +2164,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"gram")
         .limit(50)
+    }),
+
+    "q_token_entropy" -> ((s, dir) => {
+      import s.implicits._
+      // Per-document Shannon token entropy (nats) + vocabulary size —
+      // the lexical-diversity quality signal complementing
+      // q_repetition's duplicate-mass view (low entropy = templated/
+      // repetitive text even when no single n-gram dominates). Each
+      // (doc, token) term (n/t)·ln(n/t) is rounded at 8 decimals and
+      // DECIMAL-summed (the lm_score convention) so the per-doc sum is
+      // order-independent and engine-exact; counts shuffle as map-side
+      // partials on (doc, token).
+      val cnt = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy($"doc_id")
+        .agg(sum($"n").as("t"), count(lit(1)).as("vocab"))
+      cnt.join(tot, "doc_id")
+        .select($"doc_id", $"t", $"vocab",
+          round(($"n".cast(DoubleType) / $"t") * log($"n".cast(DoubleType) / $"t"), 8)
+            .cast(DecimalType(18, 8)).as("term"))
+        .groupBy($"doc_id")
+        .agg(first($"t").as("n_tokens"), first($"vocab").as("vocab"),
+          round(-sum($"term").cast(DoubleType), 6).as("entropy_nats"))
+        .orderBy($"doc_id")
     }),
 
     "q_tfidf" -> ((s, dir) => {
@@ -3746,6 +3798,27 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // shared text both engines (the q17/q20 pattern)
+    "q_grouping_sets" -> groupingSetsSql,
+
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t, count(*) AS vocab
+        |  FROM cnt GROUP BY 1),
+        |terms AS (
+        |  SELECT c.doc_id, t.t, t.vocab,
+        |    CAST(round((c.n / t.t) * ln(c.n / t.t), 8) AS DECIMAL(18, 8)) AS term
+        |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id)
+        |SELECT doc_id, CAST(min(t) AS BIGINT) AS n_tokens,
+        |  CAST(min(vocab) AS BIGINT) AS vocab,
+        |  round(-CAST(sum(term) AS DOUBLE), 6) AS entropy_nats
+        |FROM terms GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_array_agg" ->
       """SELECT o_custkey,
