@@ -2171,23 +2171,23 @@ object SparkEntry {
       // Per-document Shannon token entropy (nats) + vocabulary size —
       // the lexical-diversity quality signal complementing
       // q_repetition's duplicate-mass view (low entropy = templated/
-      // repetitive text even when no single n-gram dominates). Each
-      // (doc, token) term (n/t)·ln(n/t) is rounded at 8 decimals and
-      // DECIMAL-summed (the lm_score convention) so the per-doc sum is
-      // order-independent and engine-exact; counts shuffle as map-side
-      // partials on (doc, token).
-      val cnt = Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
-      val tot = cnt.groupBy($"doc_id")
-        .agg(sum($"n").as("t"), count(lit(1)).as("vocab"))
-      cnt.join(tot, "doc_id")
-        .select($"doc_id", $"t", $"vocab",
-          round(($"n".cast(DoubleType) / $"t") * log($"n".cast(DoubleType) / $"t"), 8)
-            .cast(DecimalType(18, 8)).as("term"))
-        .groupBy($"doc_id")
-        .agg(first($"t").as("n_tokens"), first($"vocab").as("vocab"),
-          round(-sum($"term").cast(DoubleType), 6).as("entropy_nats"))
+      // repetitive text even when no single n-gram dominates).
+      // Runs as ONE codegen kernel pass in the scan stage
+      // (plans.TextKernels.tokenEntropy): a per-row statistic must not
+      // shuffle the corpus, and the explode → groupBy(doc, token) →
+      // join → groupBy(doc) spelling shuffles every token twice. The
+      // kernel reproduces the oracle's arithmetic exactly — per-term
+      // round-at-8 + order-independent integer-scaled sum (the lm_score
+      // convention executed row-locally; see the kernel scaladoc for
+      // the bit-parity argument). Plan-pinned shuffle-free (only the
+      // output ORDER BY ranges); TextEntropySpec pins the kernel equal
+      // to the shuffled spelling row-for-row.
+      Tables.documents(s, dir)
+        .filter(size(TextFns.tokens($"text")) > 0)
+        .select($"doc_id",
+          plans.TextKernels.tokenEntropy(TextFns.tokens($"text")).as("s"))
+        .select($"doc_id", $"s.n_tokens".as("n_tokens"),
+          $"s.vocab".as("vocab"), $"s.entropy_nats".as("entropy_nats"))
         .orderBy($"doc_id")
     }),
 

@@ -130,6 +130,48 @@ object TextKernelOps {
     c
   }
 
+  /** Per-row Shannon token entropy in ONE hash-count pass — replaces
+    * the explode → groupBy(doc, token) → join → groupBy(doc) plan,
+    * which shuffles every token of the corpus twice to compute a
+    * per-ROW statistic. Returns (n_tokens, vocab, entropy_nats).
+    *
+    * Bit-parity with the SQL replay is engineered, not hoped for: each
+    * distinct token's term (n/t)·ln(n/t) is rounded EXACTLY like
+    * Spark's round(double, 8) (BigDecimal HALF_UP — also DuckDB's
+    * half-away-from-zero), scaled to a long in 1e-8 units, and summed
+    * in exact integer arithmetic (order-independent); the final
+    * −sum/1e8 is one correctly-rounded double division (1e8 is exact),
+    * identical to casting the DECIMAL(18,8) sum to DOUBLE, then
+    * rounded at 6 the same way. This is the lm_score order-independence
+    * convention executed row-locally. */
+  def tokenEntropy(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      m.merge(toks.getUTF8String(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+      i += 1
+    }
+    var sumScaled = 0L
+    if (n > 0) {
+      val t = n.toDouble
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        val p = c / t
+        val term = p * Math.log(p)
+        sumScaled += java.math.BigDecimal.valueOf(term)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+          .movePointRight(8).longValueExact()
+      }
+    }
+    val entropy = java.math.BigDecimal.valueOf(-(sumScaled.toDouble / 1e8))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, m.size().toLong, entropy))
+  }
+
   /** Code points NOT in [A-Za-z0-9] and not ASCII whitespace
     * ([ \t\n\x0B\f\r] — Java regex `\s`), i.e. the match count of
     * `[^A-Za-z0-9\s]`, in one UTF-8 byte walk: ASCII bytes classify
@@ -283,7 +325,37 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass per-row Shannon token entropy — see
+  * [[TextKernelOps.tokenEntropy]]. Output struct
+  * (n_tokens BIGINT, vocab BIGINT, entropy_nats DOUBLE). */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("vocab", LongType, nullable = false),
+    StructField("entropy_nats", DoubleType, nullable = false)))
+  override def prettyName: String = "token_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_entropy expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelOps.tokenEntropy(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernelOps.tokenEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
 object TextKernels {
+  def tokenEntropy(toks: Column): Column =
+    ColumnBridge.column(TokenEntropy(ColumnBridge.expression(toks)))
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordHits(ColumnBridge.expression(toks), words))
   def tokenLenSum(toks: Column): Column =

@@ -441,6 +441,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("token entropy runs in the scan stage — no shuffle before the output sort") {
+    val p = plan("q_token_entropy")
+    // a per-row statistic must not shuffle the corpus: the only exchange
+    // is the output ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row entropy shuffles the corpus:\n$p")
+    assert(p.contains("token_entropy"), s"kernel not in plan:\n$p")
+  }
+
   test("drift PSI: bin totals broadcast back over the bin table") {
     val p = plan("q_drift_psi")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
