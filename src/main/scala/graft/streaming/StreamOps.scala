@@ -399,15 +399,35 @@ object StreamOps {
     * (if compacted yet) + every delta log, merged with CdcMerge's
     * latest-wins ordered by (version…, log seq). This IS the read path —
     * at scale it's the view readers query between compactions, one key
-    * shuffle over base∪deltas, no driver-side work. */
+    * shuffle over base∪deltas, no driver-side work.
+    *
+    * `asOfSeq` gives TIME TRAVEL for free — the delta log IS the
+    * history: pass a batch seq to reconcile the snapshot as of that
+    * batch (deltas above it ignored). The travel window is the
+    * un-compacted log: compaction records its high-water seq inside the
+    * base (`_compacted_through`, promoted atomically with it), and a
+    * request older than that horizon FAILS LOUDLY instead of silently
+    * returning a later state — the same contract every lake format's
+    * retention gives time travel. */
   def readMergeOnRead(spark: SparkSession, tableDir: String,
                       keys: Seq[String], opCol: String,
-                      version: Seq[String]): DataFrame = {
+                      version: Seq[String],
+                      asOfSeq: Option[Long] = None): DataFrame = {
     recoverMorBase(tableDir)
-    val deltas = deltaDirs(tableDir)
+    val deltas0 = deltaDirs(tableDir)
+    val deltas = asOfSeq match {
+      case Some(s) => deltas0.filter(_.getName.stripPrefix("delta_").toLong <= s)
+      case None => deltas0
+    }
     val baseDir = new java.io.File(tableDir, "base")
     val hasBase = baseDir.isDirectory &&
       baseDir.listFiles().exists(_.getName.endsWith(".parquet"))
+    asOfSeq.foreach { s =>
+      val horizon = compactedThrough(tableDir)
+      require(horizon <= s,
+        s"readMergeOnRead: as-of seq $s is older than the compaction " +
+          s"horizon $horizon — that history is folded into the base")
+    }
     require(hasBase || deltas.nonEmpty,
       s"readMergeOnRead: $tableDir has neither base nor deltas")
     if (deltas.isEmpty) return spark.read.parquet(baseDir.toString)
@@ -432,7 +452,7 @@ object StreamOps {
   def compactMergeOnRead(spark: SparkSession, tableDir: String,
                          keys: Seq[String], opCol: String,
                          version: Seq[String]): Unit = {
-    import java.nio.file.Paths
+    import java.nio.file.{Files, Paths}
     val consumed = deltaDirs(tableDir)
     if (consumed.isEmpty) return
     val baseDir = Paths.get(tableDir, "base")
@@ -442,9 +462,24 @@ object StreamOps {
     val snap = readMergeOnRead(spark, tableDir, keys, opCol, version)
     val tmp = Paths.get(tableDir, ".base_tmp")
     snap.write.mode("overwrite").parquet(tmp.toString)
+    // the time-travel horizon rides INSIDE the staged base, so marker
+    // and data promote in the same atomic swap
+    val maxSeq = consumed.map(_.getName.stripPrefix("delta_").toLong).max
+    Files.writeString(tmp.resolve("_compacted_through"), maxSeq.toString)
     swapSnapshot(tmp.toString, baseDir.toString,
       oldDir = Paths.get(tableDir, ".base_old").toString)
     consumed.foreach(d => deleteRec(d.toPath))
+  }
+
+  /** High-water batch seq folded into the base (0 when never
+    * compacted) — the time-travel horizon. */
+  private def compactedThrough(tableDir: String): Long = {
+    val m = new java.io.File(new java.io.File(tableDir, "base"),
+      "_compacted_through")
+    if (m.isFile)
+      new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+        .trim.toLong
+    else 0L
   }
 
   /** Complete any per-partition swap [[mergeBatchPartitioned]] left

@@ -120,6 +120,34 @@ class CdcMorSpec extends AnyFunSuite with SparkSpec {
       "re-applied consumed delta changed the snapshot")
   }
 
+  test("time travel: as-of seq reconciles each prefix; below the compaction horizon fails loudly") {
+    val dir = tmp()
+    val batches = Seq(batch1, batch2, batch3)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.appendDeltaBatch(df(b), dir, i.toLong)
+    }
+    // every historical prefix is reconstructible from the log
+    batches.indices.foreach { i =>
+      val got = snap(StreamOps.readMergeOnRead(spark, dir,
+        Seq("k"), "op", Seq("ver"), asOfSeq = Some(i.toLong)))
+      assert(got == oneShot(batches.take(i + 1).flatten), s"as-of $i")
+    }
+    // compact through seq 2, then append seq 3: travel to 2 and 3 still
+    // works (2 = exactly the horizon), 1 is folded away and must fail
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    val b4 = Seq((7L, "g", 70.0, "I", 9L))
+    StreamOps.appendDeltaBatch(df(b4), dir, 3L)
+    assert(snap(StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op",
+      Seq("ver"), asOfSeq = Some(2L))) == oneShot(batches.flatten))
+    assert(snap(StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op",
+      Seq("ver"), asOfSeq = Some(3L))) == oneShot(batches.flatten ++ b4))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"),
+        asOfSeq = Some(1L))
+    }
+    assert(e.getMessage.contains("compaction horizon"))
+  }
+
   test("merge-on-read equals the copy-on-write partitioned snapshot on real orders") {
     val spark0 = spark
     import spark0.implicits._
