@@ -144,6 +144,32 @@ object StreamOps {
       .drop("p_user")
   }
 
+  /** LEFT OUTER watermarked stream-stream join — the "which clicks never
+    * converted" lane the inner join can't answer: every click emits,
+    * matched ones with their purchase, unmatched ones with NULL purchase
+    * columns once the watermark proves no qualifying purchase can still
+    * arrive (outer results are withheld exactly until then — emitting
+    * earlier could contradict a late purchase inside the watermark).
+    * Same two-sided watermark + time-range condition as
+    * [[clickPurchaseJoin]], so the buffered state keeps the same
+    * horizon × rate bound; the null-emission deadline is the state
+    * eviction deadline, which is why outer stream-stream joins REQUIRE
+    * the range condition Spark uses to bound state. */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
+                             horizon: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", horizon)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .drop("p_user")
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * dimension row (the reference's glue-catalog lookup, as a stream).
     * The static side is a plain DataFrame — Spark re-plans it per

@@ -156,6 +156,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
   }
 
+  test("left-outer stream-stream join emits unmatched clicks with nulls at watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF(),
+        horizon = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    purchases.addData(
+      Event(100, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 50.0))
+    clicks.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "click", 1.0), // match
+      Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0), // > 2h after
+      Event(3, Timestamp.valueOf("2024-01-01 10:15:00"), 2, "click", 1.0)) // other user
+    q.processAllAvailable()
+    // matched row may emit now; unmatched rows must NOT have emitted yet
+    // (a late purchase inside the watermark could still match them)
+    val early = spark.sql("SELECT click_id FROM ssj_outer WHERE purchase_id IS NULL")
+      .collect()
+    assert(early.isEmpty, s"nulls emitted before watermark proof: ${early.toSeq}")
+    // advance both watermarks far past every click + horizon → the
+    // unmatched clicks are now provably unmatched and must emit with nulls
+    purchases.addData(Event(900, Timestamp.valueOf("2024-01-02 12:00:00"), 9, "p", 1.0))
+    clicks.addData(Event(901, Timestamp.valueOf("2024-01-02 12:00:00"), 9, "c", 1.0))
+    q.processAllAvailable()
+    clicks.addData(Event(902, Timestamp.valueOf("2024-01-02 13:00:00"), 9, "c", 1.0))
+    purchases.addData(Event(903, Timestamp.valueOf("2024-01-02 13:00:00"), 9, "p", 1.0))
+    q.processAllAvailable()
+    val got = spark.sql(
+        "SELECT click_id, purchase_id FROM ssj_outer WHERE click_id IN (1, 2, 3)")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 100L), (2L, -1L), (3L, -1L)), s"got $got")
+  }
+
   test("stream-stream join state is EVICTED as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
