@@ -3403,6 +3403,34 @@ object SparkEntry {
         .orderBy($"level")
     }),
 
+    "q_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      // l-diversity audit (l = 3) — k-anonymity's necessary complement:
+      // a class can be large (k-safe) yet expose its members anyway when
+      // everyone in it shares the SAME sensitive value (homogeneity
+      // attack). Per quasi-identifier class (nation, balance band):
+      // class size + DISTINCT count of the sensitive attribute (market
+      // segment); classes below l are the leak report. Same shape as
+      // q_k_anonymity: one hash aggregation on the QI tuple, a 1-row
+      // rollup, nothing collected.
+      val cust = Tables.customer(s, dir)
+        .select($"c_nationkey",
+          floor($"c_acctbal" / 1000).cast(LongType).as("bal_band"),
+          $"c_mktsegment")
+      val classes = cust
+        .groupBy($"c_nationkey", $"bal_band")
+        .agg(count(lit(1)).as("sz"),
+          countDistinct($"c_mktsegment").as("n_sensitive"))
+      classes
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when($"n_sensitive" < 3, 1L).otherwise(0L)).as("n_homogeneous"),
+          sum(when($"n_sensitive" < 3, $"sz").otherwise(0L)).as("n_rows_exposed"),
+          min($"n_sensitive").as("min_diversity"),
+          max($"sz").as("max_class"))
+        .select(lit(3L).as("l"), $"n_classes", $"n_homogeneous",
+          $"n_rows_exposed", $"min_diversity", $"max_class")
+    }),
+
     "q_cooccur_recs" -> ((s, dir) => {
       import s.implicits._
       // Item-item co-occurrence recommendations ("bought together"):
@@ -5876,6 +5904,23 @@ object SparkEntry {
         |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
         |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
         |ORDER BY edge""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment
+        |  FROM customer),
+        |cls AS (
+        |  SELECT count(*) AS sz, count(DISTINCT c_mktsegment) AS n_sensitive
+        |  FROM cust GROUP BY c_nationkey, bal_band)
+        |SELECT CAST(3 AS BIGINT) AS l, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_homogeneous,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_exposed,
+        |  min(n_sensitive) AS min_diversity, max(sz) AS max_class
+        |FROM cls""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH cust AS (
