@@ -3403,6 +3403,26 @@ object SparkEntry {
         .orderBy($"level")
     }),
 
+    "q_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      // Corpus composition report — the "what is actually in my
+      // training mix" rollup every dataset card publishes and every
+      // mixture decision starts from: per (source, lang), docs, token
+      // mass (counted by the codegen word-run kernel in the scan stage,
+      // q_token_count's proven n_words domain), and each cell's share
+      // of total tokens in exact integer ppm (broadcast 1-row total).
+      val g = Tables.documents(s, dir)
+        .select($"source", $"lang", TextFns.tokenCount($"text").as("toks"))
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+      val tot = g.agg(sum($"n_tokens").as("t_total"))
+      g.crossJoin(broadcast(tot))
+        .select($"source", $"lang", $"n_docs", $"n_tokens",
+          expr("(1000000 * n_tokens) div t_total").cast(LongType)
+            .as("share_ppm"))
+        .orderBy($"source", $"lang")
+    }),
+
     "q_l_diversity" -> ((s, dir) => {
       import s.implicits._
       // l-diversity audit (l = 3) — k-anonymity's necessary complement:
@@ -5904,6 +5924,20 @@ object SparkEntry {
         |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
         |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
         |ORDER BY edge""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    sum(toks) AS n_tokens
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT sum(n_tokens) AS tt FROM g)
+        |SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((1000000 * n_tokens) // tt AS BIGINT) AS share_ppm
+        |FROM g, t ORDER BY source, lang""".stripMargin,
 
     "q_l_diversity" ->
       """WITH cust AS (
