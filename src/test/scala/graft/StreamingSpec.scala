@@ -156,6 +156,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
   }
 
+  test("streaming OHLC bars equal the q_resample_ohlc driver query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // third driver-oracle-anchored streaming parity (after the funnel
+    // and attribution): day bars over the REAL events table, replayed
+    // in a scrambled deterministic order — complete mode revises open
+    // bars, so the final table must equal the oracle-checked batch
+    // query exactly, including the tie rules (open/close by (ts,
+    // event_id); window start == date_trunc day for aligned windows)
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => e.event_id * 2654435761L % 1000003).toVector
+    val in = MemoryStream[Event]
+    val q = StreamOps.ohlcBars(in.toDF(), windowLen = "1 day")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("barspar").start()
+    evs.grouped(1000).foreach { b => in.addData(b); q.processAllAvailable() }
+    val got = spark.sql("SELECT * FROM barspar").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    q.stop()
+    val want = SparkEntry.queries("q_resample_ohlc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == want,
+      s"stream/batch diverge: onlyStream=${(got -- want).take(3)} " +
+        s"onlyBatch=${(want -- got).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("left-outer stream-stream join emits unmatched clicks with nulls at watermark expiry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
