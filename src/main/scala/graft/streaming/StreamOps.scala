@@ -15,7 +15,11 @@ object StreamOps {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  // times in epoch MICROS, value in exact integer CENTS — the funnel's
+  // parity lessons applied here too (getTime's millis silently truncate
+  // the events table's µs, and double accumulation is arrival-order-
+  // dependent while the batch query DECIMAL-sums)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Long, total_value: Double)
 
@@ -616,27 +620,43 @@ object StreamOps {
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
+    // micros + exact-cents helpers are LOCAL lambdas (a method on the
+    // non-serializable enclosing object would drag it into the closure)
+    val tsMicros: Timestamp => Long =
+      t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val microsTs: Long => Timestamp = us => {
+      val t = new Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // exactly Spark's Cast(double → DECIMAL(18,2)): shortest decimal
+    // repr, then HALF_UP at 2 — so the cents sum equals the batch
+    // query's decimal sum whatever the arrival order
+    val cents: Double => Long = v => java.math.BigDecimal.valueOf(v)
+      .movePointRight(2).setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValueExact()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
           // sort this micro-batch's events; merge into open session or emit
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var open = state.getOption.flatMap(_.headOption)
           val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
           evs.foreach { e =>
-            val t = e.ts.getTime
+            val t = tsMicros(e.ts)
             open match {
-              case Some(s) if t - s.last <= gapMs =>
-                open = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) if t - s.last <= gapUs =>
+                open = Some(s.copy(last = t, n = s.n + 1,
+                  total = s.total + cents(e.value)))
               case Some(s) =>
-                closed += SessionOut(userId, new Timestamp(s.start),
-                  new Timestamp(s.last), s.n, s.total)
-                open = Some(SessionState(t, t, 1, e.value))
+                closed += SessionOut(userId, microsTs(s.start),
+                  microsTs(s.last), s.n, s.total / 100.0)
+                open = Some(SessionState(t, t, 1, cents(e.value)))
               case None =>
-                open = Some(SessionState(t, t, 1, e.value))
+                open = Some(SessionState(t, t, 1, cents(e.value)))
             }
           }
           open match {

@@ -156,6 +156,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
   }
 
+  test("streaming sessionization equals the q_events_sessionize driver query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fourth driver-oracle-anchored streaming parity: sessions over the
+    // real events table, replayed in event-time order. The stream emits
+    // CLOSED sessions only, so each user's final session is excluded
+    // from the batch side (the funnel protocol). Compared on
+    // (user, start, end, n, total) — total is exact because the stream
+    // accumulates integer cents, matching the batch DECIMAL sum.
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e =>
+        (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+          e.event_id)).toVector
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesspar").start()
+    evs.grouped(700).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.sql("SELECT * FROM sesspar").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    val batch = SparkEntry.queries("q_events_sessionize")(spark, sf)
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"total_value")
+    val lastStart = batch.groupBy($"user_id")
+      .agg(max($"session_start").as("last_start"))
+    val want = batch.join(lastStart, "user_id")
+      .filter($"session_start" < $"last_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming OHLC bars equal the q_resample_ohlc driver query on real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
