@@ -3403,6 +3403,43 @@ object SparkEntry {
         .orderBy($"level")
     }),
 
+    "q_negative_sample" -> ((s, dir) => {
+      import s.implicits._
+      // Deterministic corpus-level negative sampling — the contrastive/
+      // retrieval training-prep op: for each (sampled) customer, K = 5
+      // items they have NEVER purchased, drawn by a seeded md5 stream
+      // over the ranked item universe (draw j ↦ item at rank
+      // md5(u, j) mod n + 1), positives removed by anti join,
+      // first-draw-wins dedup, all exact integer/md5 arithmetic so the
+      // sample replays bit-identically in SQL. Scale shape: the ranked
+      // item table and its count broadcast; candidates are |users|×20
+      // rows, never |users|×|items|.
+      val users = Tables.orders(s, dir)
+        .select($"o_custkey".as("u")).distinct().filter($"u" % 100 === 0)
+      val pos = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("u"), $"l_partkey".as("item")).distinct()
+      val ranked = Tables.part(s, dir).select($"p_partkey")
+        .select($"p_partkey".as("item"),
+          row_number().over(Window.orderBy($"p_partkey"))
+            .cast(LongType).as("rk"))
+      val cnt = ranked.agg(max($"rk").as("n"))
+      val w = Window.partitionBy($"u").orderBy($"jmin", $"item")
+      users.crossJoin(broadcast(cnt))
+        .select($"u", explode(sequence(lit(0L), lit(19L))).as("j"), $"n")
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat(cast(u as string), '_', " +
+            "cast(j as string))), 1, 8), 16, 10) as bigint)"))
+        .withColumn("rk", $"h" % $"n" + 1)
+        .join(broadcast(ranked), "rk")
+        .join(pos, Seq("u", "item"), "left_anti")
+        .groupBy($"u", $"item").agg(min($"j").as("jmin"))
+        .withColumn("neg_rank", row_number().over(w).cast(LongType))
+        .filter($"neg_rank" <= 5)
+        .select($"u".as("custkey"), $"neg_rank", $"item")
+        .orderBy($"custkey", $"neg_rank")
+    }),
+
     "q_source_mix" -> ((s, dir) => {
       import s.implicits._
       // Corpus composition report — the "what is actually in my

@@ -49,17 +49,31 @@ object CoPurchase {
 
   private val paths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val buildLock = new Object
   private lazy val baseDir = java.nio.file.Files
     .createTempDirectory("graft-copurchase").toString
 
+  /** Double-checked build under one coarse lock — NOT computeIfAbsent:
+    * a build that itself materializes another variant (fullEdges reads
+    * the items table) would nest computes on the same ConcurrentHashMap,
+    * which throws "Recursive update" whenever the two keys land in the
+    * same bin (bin placement depends on the dir string's hash, so it
+    * bit only on some dirs). Builds are rare and seconds-long; a coarse
+    * lock costs nothing. */
   private def materialize(s: SparkSession, dir: String, variant: String)
                          (build: => DataFrame): DataFrame = {
     val key = s"$dir#$variant"
-    val p = paths.computeIfAbsent(key, _ => {
-      val out = s"$baseDir/${Integer.toHexString(key.hashCode)}_$variant"
-      build.write.mode("overwrite").parquet(out)
-      out
-    })
+    val existing = paths.get(key)
+    val p = if (existing != null) existing else buildLock.synchronized {
+      val again = paths.get(key)
+      if (again != null) again
+      else {
+        val out = s"$baseDir/${Integer.toHexString(key.hashCode)}_$variant"
+        build.write.mode("overwrite").parquet(out)
+        paths.put(key, out)
+        out
+      }
+    }
     s.read.parquet(p)
   }
 
@@ -80,10 +94,15 @@ object CoPurchase {
     * row-identical to PageRank.coOccurrenceEdges(lineitem, 64), built
     * from the materialized [[items]] table so the distinct+cap stage is
     * computed once per JVM, not once per consumer. */
-  def fullEdges(s: SparkSession, dir: String): DataFrame =
+  def fullEdges(s: SparkSession, dir: String): DataFrame = {
+    // materialize the items table BEFORE entering the edges build (a
+    // lazy `items` call inside the build block would re-enter
+    // materialize mid-build — see the lock note above)
+    val it = items(s, dir)
     materialize(s, dir, "edges64") {
-      PageRank.edgesFromItems(items(s, dir))
+      PageRank.edgesFromItems(it)
     }
+  }
 
   /** Symmetric distinct edges over the 1-in-50 order sample (cap 8) —
     * row-identical to the inline sampled derivation. */
