@@ -5962,6 +5962,36 @@ object SparkEntry {
         |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
         |ORDER BY edge""".stripMargin,
 
+    "q_negative_sample" ->
+      """WITH users AS (
+        |  SELECT DISTINCT o_custkey AS u FROM orders WHERE o_custkey % 100 = 0),
+        |pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |ranked AS (
+        |  SELECT p_partkey AS item,
+        |    row_number() OVER (ORDER BY p_partkey) AS rk
+        |  FROM part),
+        |n AS (SELECT max(rk) AS n FROM ranked),
+        |draws AS (
+        |  SELECT u, j,
+        |    CAST(concat('0x', substr(md5(concat(CAST(u AS VARCHAR), '_',
+        |      CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % n.n + 1 AS rk
+        |  FROM users, unnest(range(0, 20)) AS t(j), n),
+        |cand AS (
+        |  SELECT d.u, r.item, min(d.j) AS jmin
+        |  FROM draws d JOIN ranked r USING (rk)
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.u = d.u AND p.item = r.item)
+        |  GROUP BY d.u, r.item),
+        |rkd AS (
+        |  SELECT u AS custkey, item,
+        |    row_number() OVER (PARTITION BY u ORDER BY jmin, item) AS neg_rank
+        |  FROM cand)
+        |SELECT custkey, CAST(neg_rank AS BIGINT) AS neg_rank, item
+        |FROM rkd WHERE neg_rank <= 5
+        |ORDER BY custkey, neg_rank""".stripMargin,
+
     "q_source_mix" ->
       """WITH d AS (
         |  SELECT source, lang,
