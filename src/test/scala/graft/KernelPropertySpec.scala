@@ -102,6 +102,27 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("token entropy kernel equals the BigDecimal reference on random token lists") {
+    check(Prop.forAll(tokenList) { toks =>
+      val row = graft.plans.TextKernelOps.tokenEntropy(toArrayData(toks))
+      val (n, v, e) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+      // reference: the oracle arithmetic, straight BigDecimal
+      val counts = toks.groupBy(identity).view.mapValues(_.size)
+      val t = toks.size.toDouble
+      val sumScaled = counts.values.map { c =>
+        val p = c / t
+        java.math.BigDecimal.valueOf(p * math.log(p))
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+          .movePointRight(8).longValueExact()
+      }.sum
+      val ref = java.math.BigDecimal.valueOf(-(sumScaled.toDouble / 1e8))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      n == toks.size.toLong && v == counts.size.toLong &&
+        (if (toks.isEmpty) e == 0.0 else e == ref) &&
+        e >= -0.0 && (counts.isEmpty || e <= math.log(counts.size) + 1e-4)
+    })
+  }
+
   test("text-count kernels equal the regex forms they replace on random text") {
     import graft.plans.TextKernelOps
     // include punctuation, unicode (2- and 3-byte code points), all ASCII
