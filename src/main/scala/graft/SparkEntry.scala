@@ -611,9 +611,13 @@ object SparkEntry {
       // predicate is exact integer arithmetic (qty·5·cnt < sum, with
       // integral quantities) so the boundary can't flip on a last-ulp
       // double divergence between engines.
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-      Tables.part(s, dir).createOrReplaceTempView("part")
-      s.sql(correlatedQ17Sql)
+      // registered on a CHILD session (own temp-view catalog, shared
+      // SparkContext/cache): concurrent queries registering the same
+      // canonical view names can never race each other
+      val s2 = s.newSession()
+      Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s2, dir).createOrReplaceTempView("part")
+      s2.sql(correlatedQ17Sql)
     }),
 
     "q20_part_share_suppliers" -> ((s, dir) => {
@@ -623,11 +627,13 @@ object SparkEntry {
       // holds a correlated scalar subquery. Catalyst decorrelates the
       // HAVING subquery into an aggregate join and plans both IN levels
       // as semi joins (plan-pinned); DuckDB replays the identical SQL.
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-      Tables.part(s, dir).createOrReplaceTempView("part")
-      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
-      Tables.nation(s, dir).createOrReplaceTempView("nation")
-      s.sql(correlatedQ20Sql)
+      // child session: see q17's note on temp-view isolation
+      val s2 = s.newSession()
+      Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s2, dir).createOrReplaceTempView("part")
+      Tables.supplier(s2, dir).createOrReplaceTempView("supplier")
+      Tables.nation(s2, dir).createOrReplaceTempView("nation")
+      s2.sql(correlatedQ20Sql)
     }),
 
     "q_semi_join" -> ((s, dir) => {
@@ -1052,10 +1058,12 @@ object SparkEntry {
       // none of the others) with a grouping_id lane discriminator —
       // fed as one shared SQL text on both engines (the q17/q20
       // pattern); Spark plans the standard Expand + single aggregate.
-      Tables.orders(s, dir).createOrReplaceTempView("orders")
-      Tables.customer(s, dir).createOrReplaceTempView("customer")
-      Tables.nation(s, dir).createOrReplaceTempView("nation")
-      s.sql(groupingSetsSql)
+      // child session: see q17's note on temp-view isolation
+      val s2 = s.newSession()
+      Tables.orders(s2, dir).createOrReplaceTempView("orders")
+      Tables.customer(s2, dir).createOrReplaceTempView("customer")
+      Tables.nation(s2, dir).createOrReplaceTempView("nation")
+      s2.sql(groupingSetsSql)
     }),
 
     "q_array_agg" -> ((s, dir) => {
