@@ -35,6 +35,15 @@ object SparkEntry {
   /** Exact decimal sum, emitted as double (see parity rules above). */
   private def dsum(c: Column): Column = sum(c).cast(DoubleType)
 
+  /** Write-once duplicate-span table (40-char grams) shared by the
+    * find-spans report and the strip — find-spans is the dominant cost
+    * of both queries, and a production pipeline materializes it once. */
+  private def dupSpans40(s: SparkSession, dir: String): DataFrame =
+    operators.DerivedCache.table(s, s"$dir#dupspans40") {
+      operators.SubstringDedup.duplicateSpans(
+        Tables.documents(s, dir), col("doc_id"), col("text"), n = 40)
+    }
+
   /** ONE SQL text for q17_small_qty_revenue on BOTH engines (Spark runs
     * it through spark.sql so Catalyst decorrelates; DuckDB replays it
     * verbatim as the oracle). `qty < 0.2·avg(part qty)` is expressed as
@@ -2019,10 +2028,11 @@ object SparkEntry {
       // span-level EXACT substring dedup (the Lee-et-al. mode doc-level
       // near-dup can't express): maximal spans whose 40-char grams occur
       // >= 2 times corpus-wide, via a rolling-hash n-gram index with
-      // exact-gram verification — never a driver-side suffix array
-      graft.operators.SubstringDedup.duplicateSpans(
-          Tables.documents(s, dir), $"doc_id", $"text", n = 40)
-        .orderBy($"doc_id", $"span_start")
+      // exact-gram verification — never a driver-side suffix array.
+      // The span table is a write-once derived artifact (DerivedCache,
+      // the CoPurchase pattern): find-spans runs once, BOTH the report
+      // and the strip consume the same parquet.
+      dupSpans40(s, dir).orderBy($"doc_id", $"span_start")
     }),
 
     "q_substring_strip" -> ((s, dir) => {
@@ -2030,9 +2040,11 @@ object SparkEntry {
       // the REMOVAL half of span-level dedup (the Lee-et-al. policy: cut
       // every occurrence of every duplicated span): the cleaned corpus a
       // training pipeline actually writes back out. Removal is a
-      // per-document fold over its sorted span list — no driver work.
-      graft.operators.SubstringDedup.stripSpans(
-          Tables.documents(s, dir), $"doc_id", $"text", n = 40)
+      // per-document fold over its sorted span list — no driver work;
+      // the spans come from the shared derived table (see
+      // q_dedup_substring).
+      graft.operators.SubstringDedup.stripSpansFrom(
+          Tables.documents(s, dir), $"doc_id", $"text", dupSpans40(s, dir))
         .orderBy($"doc_id")
     }),
 

@@ -47,35 +47,12 @@ object CoPurchase {
   val SampleMod = 50
   val SampleCap = 8
 
-  private val paths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val buildLock = new Object
-  private lazy val baseDir = java.nio.file.Files
-    .createTempDirectory("graft-copurchase").toString
-
-  /** Double-checked build under one coarse lock — NOT computeIfAbsent:
-    * a build that itself materializes another variant (fullEdges reads
-    * the items table) would nest computes on the same ConcurrentHashMap,
-    * which throws "Recursive update" whenever the two keys land in the
-    * same bin (bin placement depends on the dir string's hash, so it
-    * bit only on some dirs). Builds are rare and seconds-long; a coarse
-    * lock costs nothing. */
+  /** Write-once machinery now lives in [[DerivedCache]] (double-checked
+    * locking, never computeIfAbsent — see its scaladoc for the
+    * recursive-update hazard this file discovered). */
   private def materialize(s: SparkSession, dir: String, variant: String)
-                         (build: => DataFrame): DataFrame = {
-    val key = s"$dir#$variant"
-    val existing = paths.get(key)
-    val p = if (existing != null) existing else buildLock.synchronized {
-      val again = paths.get(key)
-      if (again != null) again
-      else {
-        val out = s"$baseDir/${Integer.toHexString(key.hashCode)}_$variant"
-        build.write.mode("overwrite").parquet(out)
-        paths.put(key, out)
-        out
-      }
-    }
-    s.read.parquet(p)
-  }
+                         (build: => DataFrame): DataFrame =
+    DerivedCache.table(s, s"$dir#$variant")(build)
 
   /** Distinct (basket, item) pairs of the full lineitem fact, baskets
     * over [[FullCap]] items excluded — the shared first stage of the

@@ -130,8 +130,16 @@ object SubstringDedup {
     * per-document fold over that document's sorted span list (bounded by
     * the document's own length) — no driver involvement. */
   def stripSpans(docs: DataFrame, idCol: Column, textCol: Column,
-                 n: Int): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, n)
+                 n: Int): DataFrame =
+    stripSpansFrom(docs, idCol, textCol, duplicateSpans(docs, idCol, textCol, n))
+
+  /** The removal fold applied to a PRECOMPUTED span table (the
+    * [[duplicateSpans]] output, possibly read back from a write-once
+    * derived table — the production pipeline shape: find spans once,
+    * let both the report and the strip consume the same artifact). */
+  def stripSpansFrom(docs: DataFrame, idCol: Column, textCol: Column,
+                     spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(
         col("span_start"), col("span_end")))).as("spans"))
