@@ -1,4 +1,7 @@
 package graft.tools
+/** Contract consistency probe: SparkEntry.queries keys vs static
+  * oracleSql keys (the difference must be exactly the data-dependent
+  * oracles that emit only after their models train). */
 object KeysDump {
   def main(args: Array[String]): Unit = {
     val q = graft.SparkEntry.queries.keySet

@@ -1,5 +1,8 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+/** Print the executed plan of named SparkEntry queries — the quick way
+  * to eyeball pushdown/broadcast/exchange shape before writing a
+  * PlanSpec pin. Args: query names. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
