@@ -44,6 +44,15 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("text"), n = 40)
     }
 
+  /** Write-once PPJoin token-set table (doc_id, df-sorted tokens, sz)
+    * shared by the exact all-pairs join and its compact form — the
+    * corpus tokenize + df-count + per-doc sort runs once per dir. */
+  private def ppjoinSets(s: SparkSession, dir: String): DataFrame =
+    operators.DerivedCache.table(s, s"$dir#ppjoin_sets") {
+      operators.AllPairs.buildTokenSets(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+    }
+
   /** ONE SQL text for q17_small_qty_revenue on BOTH engines (Spark runs
     * it through spark.sql so Catalyst decorrelates; DuckDB replays it
     * verbatim as the oracle). `qty < 0.2·avg(part qty)` is expressed as
@@ -1766,8 +1775,10 @@ object SparkEntry {
       // 0.9 on distinct word unigrams — the templated corpus keeps
       // lower thresholds from discriminating (J >= 0.6 matches 28% of
       // ALL pairs). The oracle replays the definition brute-force.
-      operators.AllPairs.jaccardJoin(
-          Tables.documents(s, dir), $"doc_id", $"text", threshold = 0.9)
+      // Token sets come from the shared write-once derivation
+      // (ppjoinSets) both all-pairs forms consume.
+      operators.AllPairs.jaccardJoinFromSets(ppjoinSets(s, dir),
+          threshold = 0.9)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -1778,8 +1789,9 @@ object SparkEntry {
       // carrying the multiplicity — the form to materialize when the
       // corpus is duplicate-heavy and the full pair list is quadratic
       // in replication (see operators.AllPairs.compactJoin; SCALE.md).
-      operators.AllPairs.compactJoin(
-          Tables.documents(s, dir), $"doc_id", $"text", threshold = 0.9)
+      // Shares the write-once token-set table with q_allpairs.
+      operators.AllPairs.compactJoinFromSets(ppjoinSets(s, dir),
+          threshold = 0.9)
         .orderBy($"id_a", $"id_b")
     }),
 

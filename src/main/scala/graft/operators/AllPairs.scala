@@ -57,6 +57,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object AllPairs {
 
+  /** Public builder of the (doc_id, tokens, sz) table the FromSets
+    * variants consume — callers materialize it once (DerivedCache) when
+    * several joins share a corpus. */
+  def buildTokenSets(docs: DataFrame, id: Column, text: Column): DataFrame =
+    tokenSets(docs, id, text)
+
   /** Per-doc distinct (df, token)-sorted token arrays: (doc_id, tokens,
     * sz), token-free docs excluded. Identical sets produce identical
     * ARRAYS (the order is total), which is what lets the clique
@@ -134,10 +140,17 @@ object AllPairs {
     * inherently quadratic in duplication; see [[compactJoin]] for the
     * linear-size form. */
   def jaccardJoin(docs: DataFrame, id: Column, text: Column,
-                  threshold: Double): DataFrame = {
+                  threshold: Double): DataFrame =
+    jaccardJoinFromSets(tokenSets(docs, id, text), threshold)
+
+  /** [[jaccardJoin]] over a PRECOMPUTED (doc_id, tokens, sz) table —
+    * [[buildTokenSets]]' output, possibly read back from a write-once
+    * derived table so several joins at different thresholds (or the
+    * compact form) share one token-set derivation. */
+  def jaccardJoinFromSets(sets0: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val allSets = OpCaches.track(tokenSets(docs, id, text)
+    val allSets = OpCaches.track(sets0
       .persist(StorageLevel.MEMORY_AND_DISK))
     val nRaw = allSets.count()
     val distinctSets = OpCaches.track(
@@ -193,10 +206,15 @@ object AllPairs {
     * 100×-replicated corpus the full list is 10,000× larger — this form
     * is the one to materialize at 100 TB. */
   def compactJoin(docs: DataFrame, id: Column, text: Column,
-                  threshold: Double): DataFrame = {
+                  threshold: Double): DataFrame =
+    compactJoinFromSets(tokenSets(docs, id, text), threshold)
+
+  /** [[compactJoin]] over a precomputed token-set table (see
+    * [[jaccardJoinFromSets]]). */
+  def compactJoinFromSets(sets0: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val allSets = OpCaches.track(tokenSets(docs, id, text)
+    val allSets = OpCaches.track(sets0
       .persist(StorageLevel.MEMORY_AND_DISK))
     val groups = OpCaches.track(
       allSets.groupBy(col("tokens"), col("sz"))
