@@ -204,6 +204,8 @@ object SparkEntry {
        |${annBruteOracle}),
        |lsh AS (
        |${annLshOracle}),
+       |lsh_r2 AS (
+       |${annLshOracleAt(2)}),
        |ivf AS (
        |${ivfOracle(coarse)}),
        |pq AS (
@@ -217,6 +219,9 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT 'lsh', count(*) FROM lsh JOIN brute USING (query_id, cand_id)
        |  UNION ALL
+       |  SELECT 'lsh_r2', count(*)
+       |    FROM lsh_r2 JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
        |  SELECT 'pq', count(*) FROM pq JOIN brute USING (query_id, cand_id))
        |SELECT h.lane, t.n_queries, t.n_possible, h.n_hits,
        |  (1000000 * h.n_hits) // t.n_possible AS recall_ppm
@@ -228,7 +233,12 @@ object SparkEntry {
     * radius 1 contains a candidate's bucket iff their sign-buckets are
     * within Hamming distance 1, so the bucket-join is an explicit
     * hamming predicate here; exact cosine rerank, top-k per query. */
-  private def annLshOracle: String = {
+  private def annLshOracle: String = annLshOracleAt(1)
+
+  /** LSH-lane oracle at a given probe radius (Hamming bound) — radius 1
+    * is the q_ann_lsh lane; radius 2 is the wider-probe lane the recall
+    * audit contrasts it with. */
+  private def annLshOracleAt(radius: Int): String = {
     val planes = operators.Similarity.hyperplanes(6, 64)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       val lst = p.mkString("[", ", ", "]")
@@ -251,7 +261,7 @@ object SparkEntry {
        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
        |    , 6) AS cosine
        |  FROM q JOIN b c
-       |    ON bit_count(xor(q.qb, c.bucket)) <= 1 AND c.vec_id <> q.query_id),
+       |    ON bit_count(xor(q.qb, c.bucket)) <= $radius AND c.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, cand_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
@@ -2127,9 +2137,13 @@ object SparkEntry {
         .localCheckpoint(true)
       val coarse = ivfModel(s, dir)
       val codebooks = pqModel(s, dir)
+      // lsh_r2 = the same LSH lane at probe radius 2: the audit doubles
+      // as the tuning loop (radius 1 vs 2 recall, same hash family)
       val lanes: Seq[(String, DataFrame)] = Seq(
         "ivf" -> operators.IvfAnn.topK(q, e, k = 5, coarse, nProbe = 4),
         "lsh" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 6),
+        "lsh_r2" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 6,
+          probeRadius = 2),
         "pq" -> operators.PqAnn.adcTopK(q, e, k = 5, coarse, codebooks,
           nProbe = 4))
       val tot = brute.agg(count(lit(1)).as("n_possible"),
