@@ -156,6 +156,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
   }
 
+  test("streaming exact dedup equals the batch min-id keep set on real documents + planted duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the real corpus carries near-dups but no byte-exact duplicates
+    // (streamed == batch == everything kept — checked below), so exact
+    // duplicates are PLANTED: every 7th doc re-enters under a higher id.
+    // Replay in id order with a CONSTANT event time — the watermark
+    // never passes, so the watermark-bounded stream dedup degenerates
+    // to exact global dedup, and first-arrival-wins under id-ordered
+    // replay IS the batch min-id keep rule (Dedup.exact, the operator
+    // behind the oracle-checked q_dedup_exact).
+    val real = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toVector
+    val planted = real.filter(_._1 % 7 == 0)
+      .map { case (id, txt) => (id + 1000000L, txt) }
+    val all = (real ++ planted).sortBy(_._1)
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.dedupExact(
+        in.toDF().toDF("doc_id", "text", "ts"),
+        textCol = "text", tsCol = "ts", watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedpar").start()
+    all.grouped(120).foreach { b =>
+      in.addData(b.map(d => (d._1, d._2, t0))); q.processAllAvailable()
+    }
+    val kept = spark.sql("SELECT doc_id FROM dedpar").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    val want = operators.Dedup.exact(
+        all.toDF("doc_id", "text"), $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == want,
+      s"stream/batch diverge: onlyStream=${(kept -- want).take(5)} " +
+        s"onlyBatch=${(want -- kept).take(5)}")
+    // every planted copy dropped, every real doc kept
+    assert(kept == real.map(_._1).toSet)
+  }
+
   test("streaming sessionization equals the q_events_sessionize driver query on real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
