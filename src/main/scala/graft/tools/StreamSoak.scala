@@ -109,6 +109,31 @@ object StreamSoak {
       q.stop()
     }
 
+    // ---- last-touch attribution (round 11): horizon-pruned buffers ------
+    // state = per-user TOUCH buffer pruned to the 3-day horizon of the
+    // newest event; healthy = rows bounded by users × (touches inside
+    // the horizon), never total events — purchases are never buffered,
+    // they emit on arrival.
+    {
+      val in = MemoryStream[Ev]
+      val attr = graft.streaming.StreamOps.attributionLastTouch(
+        in.toDS().map(e => graft.streaming.StreamOps.Event(
+          e.event_id, e.ts, e.user_id, e.event_type, e.value)),
+        horizonDays = 3)
+      val q = attr.writeStream.format("noop").outputMode("append").start()
+      var b = 0
+      while (b < nBatches) {
+        val t0 = System.nanoTime()
+        in.addData(feed.slice(b * batchRows, (b + 1) * batchRows))
+        q.processAllAvailable()
+        println(f"soak: attrib     batch $b%2d ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          f"stateRows=${stateRows(q)}%d")
+        b += 1
+      }
+      println(s"soak: attrib distinct users in feed = $users")
+      q.stop()
+    }
+
     // ---- stream-stream watermarked range join ---------------------------
     {
       val clicks = MemoryStream[Ev]
