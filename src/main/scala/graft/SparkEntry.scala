@@ -3454,30 +3454,29 @@ object SparkEntry {
       // Deterministic corpus-level negative sampling — the contrastive/
       // retrieval training-prep op: for each (sampled) customer, K = 5
       // items they have NEVER purchased, drawn by a seeded md5 stream
-      // over the ranked item universe (draw j ↦ item at rank
-      // md5(u, j) mod n + 1), positives removed by anti join,
+      // over the item KEY DOMAIN (draw j ↦ key md5(u, j) mod maxKey + 1,
+      // draws landing in key gaps rejected by a broadcast semi join —
+      // rejection sampling, so no ranked item table and NO global
+      // row_number sort anywhere), positives removed by anti join,
       // first-draw-wins dedup, all exact integer/md5 arithmetic so the
-      // sample replays bit-identically in SQL. Scale shape: the ranked
-      // item table and its count broadcast; candidates are |users|×20
-      // rows, never |users|×|items|.
+      // sample replays bit-identically in SQL. Scale shape: the 1-row
+      // max key and the item-id set broadcast; candidates are
+      // |users|×20 rows, never |users|×|items|.
       val users = Tables.orders(s, dir)
         .select($"o_custkey".as("u")).distinct().filter($"u" % 100 === 0)
       val pos = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
         .select($"o_custkey".as("u"), $"l_partkey".as("item")).distinct()
-      val ranked = Tables.part(s, dir).select($"p_partkey")
-        .select($"p_partkey".as("item"),
-          row_number().over(Window.orderBy($"p_partkey"))
-            .cast(LongType).as("rk"))
-      val cnt = ranked.agg(max($"rk").as("n"))
+      val items = Tables.part(s, dir).select($"p_partkey".as("item"))
+      val maxk = items.agg(max($"item").as("mk"))
       val w = Window.partitionBy($"u").orderBy($"jmin", $"item")
-      users.crossJoin(broadcast(cnt))
-        .select($"u", explode(sequence(lit(0L), lit(19L))).as("j"), $"n")
+      users.crossJoin(broadcast(maxk))
+        .select($"u", explode(sequence(lit(0L), lit(19L))).as("j"), $"mk")
         .withColumn("h", expr(
           "cast(conv(substring(md5(concat(cast(u as string), '_', " +
             "cast(j as string))), 1, 8), 16, 10) as bigint)"))
-        .withColumn("rk", $"h" % $"n" + 1)
-        .join(broadcast(ranked), "rk")
+        .withColumn("item", $"h" % $"mk" + 1)
+        .join(broadcast(items), Seq("item"), "left_semi")
         .join(pos, Seq("u", "item"), "left_anti")
         .groupBy($"u", $"item").agg(min($"j").as("jmin"))
         .withColumn("neg_rank", row_number().over(w).cast(LongType))
@@ -6014,22 +6013,19 @@ object SparkEntry {
         |pos AS (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |ranked AS (
-        |  SELECT p_partkey AS item,
-        |    row_number() OVER (ORDER BY p_partkey) AS rk
-        |  FROM part),
-        |n AS (SELECT max(rk) AS n FROM ranked),
+        |mk AS (SELECT max(p_partkey) AS mk FROM part),
         |draws AS (
         |  SELECT u, j,
         |    CAST(concat('0x', substr(md5(concat(CAST(u AS VARCHAR), '_',
-        |      CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % n.n + 1 AS rk
-        |  FROM users, unnest(range(0, 20)) AS t(j), n),
+        |      CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % mk.mk + 1 AS item
+        |  FROM users, unnest(range(0, 20)) AS t(j), mk),
         |cand AS (
-        |  SELECT d.u, r.item, min(d.j) AS jmin
-        |  FROM draws d JOIN ranked r USING (rk)
-        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
-        |    WHERE p.u = d.u AND p.item = r.item)
-        |  GROUP BY d.u, r.item),
+        |  SELECT d.u, d.item, min(d.j) AS jmin
+        |  FROM draws d
+        |  WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = d.item)
+        |    AND NOT EXISTS (SELECT 1 FROM pos p
+        |      WHERE p.u = d.u AND p.item = d.item)
+        |  GROUP BY d.u, d.item),
         |rkd AS (
         |  SELECT u AS custkey, item,
         |    row_number() OVER (PARTITION BY u ORDER BY jmin, item) AS neg_rank

@@ -40,7 +40,47 @@ object AsOfJoin {
                keys: Seq[String], leftTime: String, rightTime: String,
                payload: Seq[String], rightTieBreak: Seq[String] = Nil,
                tolerance: Option[String] = None,
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, rightTieBreak,
+      tolerance, prefix, forwardDir = false)
+
+  /** Forward as-of join: for every left row (key, t), attach the payload
+    * of the EARLIEST right row of the same key with right.t >= t
+    * (inclusive) — "time to next event" (next purchase after a click,
+    * next deploy after a commit). The exact mirror of [[backward]]: same
+    * union + one-shuffle + one-sort shape, but the partition sorts
+    * DESCENDING so the running last() sees the nearest FOLLOWING right
+    * row; right rows still sort before left at the same instant (which
+    * keeps the match inclusive), so the tie-break order within a right
+    * timestamp is REVERSED relative to backward — the FIRST row in
+    * `rightTieBreak` order wins. `tolerance` bounds the look-ahead:
+    * matches later than `t + tolerance` are nulled out. */
+  def forward(left: DataFrame, right: DataFrame,
+              keys: Seq[String], leftTime: String, rightTime: String,
+              payload: Seq[String], rightTieBreak: Seq[String] = Nil,
+              tolerance: Option[String] = None,
+              prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, rightTieBreak,
+      tolerance, prefix, forwardDir = true)
+
+  /** The ONE union + one-shuffle + one-sort core both directions share —
+    * a fix here (tolerance nulling, payload attachment, tie handling)
+    * reaches both lanes. Direction changes exactly three things:
+    *  - the partition sort runs time-ASC (backward: "most recent prior"
+    *    = last seen) or time-DESC (forward: "earliest following" = last
+    *    seen in reverse); right rows sort before left at equal times in
+    *    BOTH, which keeps the match inclusive of the instant;
+    *  - the tie-break direction flips with the sort, so among equal
+    *    right timestamps backward keeps the LAST row in rightTieBreak
+    *    order and forward keeps the FIRST — explicit here instead of a
+    *    scaladoc footnote;
+    *  - the tolerance bound is a lookback (>= t − tol) or a look-ahead
+    *    (<= t + tol). */
+  private def asOf(left: DataFrame, right: DataFrame,
+                   keys: Seq[String], leftTime: String, rightTime: String,
+                   payload: Seq[String], rightTieBreak: Seq[String],
+                   tolerance: Option[String], prefix: String,
+                   forwardDir: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith(prefix)),
@@ -64,8 +104,13 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(col) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
 
-    val ord = Seq(col("_t").asc, col("_side").asc) ++
-      rightTieBreak.indices.map(i => col(s"_tb$i").asc_nulls_first)
+    val ord =
+      if (forwardDir)
+        Seq(col("_t").desc, col("_side").asc) ++
+          rightTieBreak.indices.map(i => col(s"_tb$i").desc_nulls_first)
+      else
+        Seq(col("_t").asc, col("_side").asc) ++
+          rightTieBreak.indices.map(i => col(s"_tb$i").asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -75,75 +120,12 @@ object AsOfJoin {
       }
 
     val matchedOk = tolerance match {
+      case Some(t) if forwardDir =>
+        col(s"${prefix}time").isNotNull &&
+          col(s"${prefix}time") <= col("_t") + expr(t)
       case Some(t) =>
         col(s"${prefix}time").isNotNull &&
           col(s"${prefix}time") >= col("_t") - expr(t)
-      case None => col(s"${prefix}time").isNotNull
-    }
-    val withTol = (s"${prefix}time" +: payload.map(p => s"$prefix$p"))
-      .foldLeft(attached) { (df, c) =>
-        df.withColumn(c, when(matchedOk, col(c))) }
-
-    withTol.filter(col("_side") === 1)
-      .select(keys.map(col) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        (s"${prefix}time" +: payload.map(p => s"$prefix$p")).map(col): _*)
-  }
-
-  /** Forward as-of join: for every left row (key, t), attach the payload
-    * of the EARLIEST right row of the same key with right.t >= t
-    * (inclusive) — "time to next event" (next purchase after a click,
-    * next deploy after a commit). The exact mirror of [[backward]]: same
-    * union + one-shuffle + one-sort shape, but the partition sorts
-    * DESCENDING so the running last() sees the nearest FOLLOWING right
-    * row; right rows still sort before left at the same instant (which
-    * keeps the match inclusive), so the tie-break order within a right
-    * timestamp is REVERSED relative to backward — the FIRST row in
-    * `rightTieBreak` order wins. `tolerance` bounds the look-ahead:
-    * matches later than `t + tolerance` are nulled out. */
-  def forward(left: DataFrame, right: DataFrame,
-              keys: Seq[String], leftTime: String, rightTime: String,
-              payload: Seq[String], rightTieBreak: Seq[String] = Nil,
-              tolerance: Option[String] = None,
-              prefix: String = "asof_"): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one key column")
-    val leftCols = left.columns.toSeq
-    require(!leftCols.exists(_.startsWith(prefix)),
-      s"left columns may not start with '$prefix'")
-
-    val rTagged = right.select(
-      keys.map(col) ++
-        Seq(col(rightTime).as("_t"), lit(0).as("_side"),
-          col(rightTime).as(s"${prefix}time")) ++
-        rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"_tb$i") } ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"$prefix$c")): _*)
-    val lTagged = left.select(
-      keys.map(col) ++
-        Seq(col(leftTime).as("_t"), lit(1).as("_side"),
-          lit(null).cast(right.schema(rightTime).dataType).as(s"${prefix}time")) ++
-        rightTieBreak.zipWithIndex.map { case (c, i) =>
-          lit(null).cast(right.schema(c).dataType).as(s"_tb$i") } ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
-
-    // time DESC (so "next" is "last seen"); right before left at equal
-    // times keeps the instant inclusive; tie-break DESC so the winning
-    // right row at an equal timestamp is the FIRST in rightTieBreak order
-    val ord = Seq(col("_t").desc, col("_side").asc) ++
-      rightTieBreak.indices.map(i => col(s"_tb$i").desc_nulls_first)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val attached = (s"${prefix}time" +: payload.map(p => s"$prefix$p"))
-      .foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-
-    val matchedOk = tolerance match {
-      case Some(t) =>
-        col(s"${prefix}time").isNotNull &&
-          col(s"${prefix}time") <= col("_t") + expr(t)
       case None => col(s"${prefix}time").isNotNull
     }
     val withTol = (s"${prefix}time" +: payload.map(p => s"$prefix$p"))

@@ -24,15 +24,31 @@ object DerivedCache {
 
   private val paths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val buildLock = new Object
-  private lazy val baseDir = java.nio.file.Files
-    .createTempDirectory("graft-derived").toString
+  // PER-KEY build monitors (computeIfAbsent here is side-effect-free, so
+  // the recursive-update hazard doesn't apply): builds of unrelated
+  // derivations never serialize on each other — only same-key racers
+  // wait. Nested builds (edges reading items) acquire child-key monitors
+  // while holding the parent's; the registered derivations nest in one
+  // direction only, so no cycle (a new derivation pair that nested BOTH
+  // ways could deadlock — don't do that).
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private lazy val baseDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-derived")
+    // the derivations are GB-scale at sf10 and per-JVM: clear them on
+    // exit or every bench/verify/test run leaks its full set to /tmp —
+    // the same disk the shuffle already pressures
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.Fs.deleteRec(d)))
+    d.toString
+  }
 
   /** The derived table for `key` (any stable string naming the data dir
     * + derivation variant), building and writing it on first call. */
   def table(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val existing = paths.get(key)
-    val p = if (existing != null) existing else buildLock.synchronized {
+    val p = if (existing != null) existing
+    else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val again = paths.get(key)
       if (again != null) again
       else {

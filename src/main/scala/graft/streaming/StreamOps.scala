@@ -15,6 +15,27 @@ object StreamOps {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
+  /** Parity-critical time/money codecs shared by every stateful
+    * operator (sessionize, sessionFunnel, attributionLastTouch) — ONE
+    * definition, because each conversion is subtle enough that three
+    * hand-rolled copies invited a one-sided fix: `getTime` is MILLIS
+    * and silently truncates the events table's µs; Spark's
+    * double→DECIMAL(18,2) cast is shortest-repr-then-HALF_UP, not a
+    * naive *100. Serializable so task closures can carry the module. */
+  private[streaming] object Codec extends Serializable {
+    def tsMicros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def microsTs(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    /** Exactly Spark's Cast(double → DECIMAL(18,2)), in cents. */
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .movePointRight(2).setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValueExact()
+  }
+
   // times in epoch MICROS, value in exact integer CENTS — the funnel's
   // parity lessons applied here too (getTime's millis silently truncate
   // the events table's µs, and double accumulation is arrival-order-
@@ -135,7 +156,15 @@ object StreamOps {
     * dropped once the click watermark passes purchase_ts + horizon, so
     * state is horizon × ingest rate, not the whole stream. */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-                        horizon: String = "2 hours"): DataFrame = {
+                        horizon: String = "2 hours"): DataFrame =
+    clickPurchaseJoinOf(clicks, purchases, horizon, "inner")
+
+  /** Shared core of the inner/left-outer click-purchase joins — ONE
+    * place for the watermarks and the state-bounding range condition,
+    * so the two lanes can never silently diverge. */
+  private def clickPurchaseJoinOf(clicks: DataFrame, purchases: DataFrame,
+                                  horizon: String,
+                                  joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", horizon)
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -144,7 +173,8 @@ object StreamOps {
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     c.join(p, col("user_id") === col("p_user") &&
         col("click_ts") >= col("purchase_ts") &&
-        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .drop("p_user")
   }
 
@@ -160,19 +190,8 @@ object StreamOps {
     * eviction deadline, which is why outer stream-stream joins REQUIRE
     * the range condition Spark uses to bound state. */
   def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
-                             horizon: String = "2 hours"): DataFrame = {
-    val c = clicks.withWatermark("ts", horizon)
-      .select(col("user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val p = purchases.withWatermark("ts", horizon)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    c.join(p, col("user_id") === col("p_user") &&
-        col("click_ts") >= col("purchase_ts") &&
-        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $horizon"),
-        "left_outer")
-      .drop("p_user")
-  }
+                             horizon: String = "2 hours"): DataFrame =
+    clickPurchaseJoinOf(clicks, purchases, horizon, "left_outer")
 
   /** Stream-static enrichment join: each streaming event picks up its
     * dimension row (the reference's glue-catalog lookup, as a stream).
@@ -449,18 +468,42 @@ object StreamOps {
       case Some(s) => deltas0.filter(_.getName.stripPrefix("delta_").toLong <= s)
       case None => deltas0
     }
-    val baseDir = new java.io.File(tableDir, "base")
-    val hasBase = baseDir.isDirectory &&
-      baseDir.listFiles().exists(_.getName.endsWith(".parquet"))
     asOfSeq.foreach { s =>
       val horizon = compactedThrough(tableDir)
       require(horizon <= s,
         s"readMergeOnRead: as-of seq $s is older than the compaction " +
           s"horizon $horizon — that history is folded into the base")
     }
-    require(hasBase || deltas.nonEmpty,
+    reconcile(spark, tableDir, deltas, keys, opCol, version)
+  }
+
+  /** Base + the GIVEN delta dirs, reconciled. Split out so compaction
+    * folds exactly the delta list it snapshotted — a delta appended
+    * concurrently with the compaction must stay in the log (and out of
+    * the recorded horizon) rather than leak into the new base. */
+  private def reconcile(spark: SparkSession, tableDir: String,
+                        deltas: Seq[java.io.File], keys: Seq[String],
+                        opCol: String, version: Seq[String]): DataFrame = {
+    val baseDir = new java.io.File(tableDir, "base")
+    val parts = Option(baseDir.listFiles()).getOrElse(Array.empty)
+    val hasBase = parts.exists(_.getName.endsWith(".parquet"))
+    // a compacted-EMPTY base has no part files but carries its schema
+    // marker — a legitimate empty table, not a missing one
+    val emptyBaseSchema =
+      if (!hasBase && parts.exists(_.getName == "_schema.json"))
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(
+            baseDir.toPath.resolve("_schema.json")), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else None
+    require(hasBase || emptyBaseSchema.isDefined || deltas.nonEmpty,
       s"readMergeOnRead: $tableDir has neither base nor deltas")
-    if (deltas.isEmpty) return spark.read.parquet(baseDir.toString)
+    if (deltas.isEmpty)
+      return emptyBaseSchema match {
+        case Some(sch) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None => spark.read.parquet(baseDir.toString)
+      }
     val log = spark.read.parquet(deltas.map(_.toString): _*)
     val baseSchema = org.apache.spark.sql.types.StructType(
       log.schema.filterNot(f => f.name == opCol || f.name == "__seq"))
@@ -475,23 +518,38 @@ object StreamOps {
 
   /** Fold the delta log into the base snapshot (the read-optimize step):
     * reconcile, write-then-swap the new base, then clear exactly the
-    * deltas that were folded. Crash windows: before the swap nothing
-    * changed; after the swap but before the deletes, the surviving
-    * deltas re-apply idempotently over the new base. Single-writer, like
-    * every lake-format compaction. */
+    * deltas that were folded. The consumed delta LIST is snapshotted
+    * once up front and only those dirs are reconciled and cleared — a
+    * delta appended concurrently by the streaming sink stays in the log
+    * and outside the recorded horizon, so time travel to a seq at or
+    * above the horizon stays exact even with an active appender.
+    * Crash windows: before the swap nothing changed; after the swap but
+    * before the deletes, the surviving deltas re-apply idempotently
+    * over the new base. Single COMPACTOR at a time, like every
+    * lake-format compaction (the appender may run concurrently).
+    * Contract: changelog versions must be MONOTONE across batches —
+    * folding collapses history, so a later batch carrying a version
+    * below an already-folded tombstone's would re-order against history
+    * that no longer exists (the standard CDC/lake compaction contract;
+    * CdcMorSpec pins the monotone case). */
   def compactMergeOnRead(spark: SparkSession, tableDir: String,
                          keys: Seq[String], opCol: String,
                          version: Seq[String]): Unit = {
     import java.nio.file.{Files, Paths}
+    // heal a crashed PREVIOUS compaction BEFORE snapshotting the list
+    recoverMorBase(tableDir)
     val consumed = deltaDirs(tableDir)
     if (consumed.isEmpty) return
     val baseDir = Paths.get(tableDir, "base")
-    // heal a crashed PREVIOUS compaction (old present, base missing) —
-    // readMergeOnRead below runs the same recovery, kept explicit here
-    recoverMorBase(tableDir)
-    val snap = readMergeOnRead(spark, tableDir, keys, opCol, version)
+    val snap = reconcile(spark, tableDir, consumed, keys, opCol, version)
     val tmp = Paths.get(tableDir, ".base_tmp")
     snap.write.mode("overwrite").parquet(tmp.toString)
+    // an all-deleted snapshot can write ZERO part files (empty plan →
+    // no tasks): persist the schema so readers can distinguish a
+    // legitimate empty table from a missing base
+    if (!Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.endsWith(".parquet")))
+      Files.writeString(tmp.resolve("_schema.json"), snap.schema.json)
     // the time-travel horizon rides INSIDE the staged base, so marker
     // and data promote in the same atomic swap
     val maxSeq = consumed.map(_.getName.stripPrefix("delta_").toLong).max
@@ -621,21 +679,7 @@ object StreamOps {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    // micros + exact-cents helpers are LOCAL lambdas (a method on the
-    // non-serializable enclosing object would drag it into the closure)
-    val tsMicros: Timestamp => Long =
-      t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-    val microsTs: Long => Timestamp = us => {
-      val t = new Timestamp((us / 1000000L) * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
-    // exactly Spark's Cast(double → DECIMAL(18,2)): shortest decimal
-    // repr, then HALF_UP at 2 — so the cents sum equals the batch
-    // query's decimal sum whatever the arrival order
-    val cents: Double => Long = v => java.math.BigDecimal.valueOf(v)
-      .movePointRight(2).setScale(0, java.math.RoundingMode.HALF_UP)
-      .longValueExact()
+    import Codec.{tsMicros, microsTs, cents}
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
@@ -695,28 +739,21 @@ object StreamOps {
   def sessionFunnel(events: Dataset[Event], gapMinutes: Int = 30,
                     steps: Seq[String] = Seq("view", "click", "purchase"))
       : Dataset[FunnelOut] = {
-    // FunnelOut's schema is fixed at three step-time columns (it twins
-    // q_funnel_sessions' view/click/purchase shape); a different step
-    // COUNT needs a different output row, so reject it here instead of
-    // crashing at session close (times(2)) or silently dropping steps.
-    require(steps.length == 3,
-      s"sessionFunnel emits FunnelOut's fixed 3-step schema; got ${steps.length} steps")
+    // FunnelOut's schema is fixed at the NAMED t_view/t_click/t_purchase
+    // columns (it twins q_funnel_sessions): a different step count would
+    // crash at close, and a reordered/renamed 3-step list would silently
+    // emit mislabeled columns (step 1's time under t_view whatever it
+    // was) — reject anything but the canonical chain.
+    require(steps == Seq("view", "click", "purchase"),
+      s"sessionFunnel emits the fixed t_view/t_click/t_purchase schema; got $steps")
     val spark = events.sparkSession
     import spark.implicits._
     // state lives in epoch MICROS — getTime's millis would silently
     // truncate the µs the events table carries, breaking exact parity
-    // with the batch query (caught by the StreamingSpec parity test).
-    // Helpers are LOCAL lambdas: a method on the (non-serializable)
-    // enclosing object would drag it into the task closure.
+    // with the batch query (caught by the StreamingSpec parity test)
     val gapUs = gapMinutes * 60L * 1000000L
     val stepSet = steps.toSet
-    val tsMicros: Timestamp => Long =
-      t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-    val microsTs: Long => Timestamp = us => {
-      val t = new Timestamp((us / 1000000L) * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
+    import Codec.{tsMicros, microsTs}
 
     val close = (userId: Long, s: FunnelState) => {
       val sorted = s.buf.sortBy(e => (e._1, e._2))
@@ -801,8 +838,7 @@ object StreamOps {
     val spark = events.sparkSession
     import spark.implicits._
     val horizonUs = horizonDays * 24L * 3600L * 1000000L
-    val tsMicros: Timestamp => Long =
-      t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    import Codec.tsMicros
 
     events
       .groupByKey(_.user_id)

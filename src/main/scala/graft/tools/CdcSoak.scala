@@ -26,10 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object CdcSoak {
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
-  }
+  private def deleteRec(f: java.io.File): Unit = graft.Fs.deleteRec(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "tmp/sf10"

@@ -36,11 +36,7 @@ object GraphBucketProbe {
 
     // a fresh metastore can't adopt a previous run's table location —
     // clear the probe's warehouse before (re)creating the bucketed table
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File("tmp/gbp_warehouse"))
+    graft.Fs.deleteRec(new java.io.File("tmp/gbp_warehouse"))
 
     // one derivation feeds both lanes
     val edges = graft.operators.PageRank.coOccurrenceEdges(

@@ -12,13 +12,7 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     // persist — clear both before writing
     Seq("li_bucketed", "ord_bucketed").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"target/test-warehouse/$t")
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(dir)
-      }
+      Fs.deleteRec(new java.io.File(s"target/test-warehouse/$t"))
     }
     Bucketing.writeBucketed(
       Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
@@ -51,13 +45,7 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.sql("DROP TABLE IF EXISTS edges_bucketed")
-    locally {
-      val dir = new java.io.File("target/test-warehouse/edges_bucketed")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      if (dir.exists()) rm(dir)
-    }
+    Fs.deleteRec(new java.io.File("target/test-warehouse/edges_bucketed"))
     val edges = operators.PageRank.coOccurrenceEdges(
       Tables.lineitem(spark, sf).filter($"l_orderkey" % 10 === 0),
       $"l_orderkey", $"l_partkey", maxBasket = 8)

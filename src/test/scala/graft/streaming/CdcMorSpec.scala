@@ -148,6 +148,28 @@ class CdcMorSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("compaction horizon"))
   }
 
+  test("compacting an all-deleted snapshot yields a readable EMPTY table, not an error") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    // versions stay MONOTONE across batches (the standard changelog
+    // contract compaction relies on: folded history can't re-order
+    // against versions that arrive later)
+    val deleteAll = batch1.map { case (k, _, _, _, v) =>
+      (k, null.asInstanceOf[String], 0.0, "D", v + 5) }
+    StreamOps.appendDeltaBatch(df(deleteAll), dir, 1L)
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    // the folded snapshot has zero rows — the write may emit no part
+    // files, but the schema marker makes it a legitimate empty table
+    val got = StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    assert(got.collect().isEmpty)
+    assert(got.schema.fieldNames.toSet == Set("k", "name", "amount", "ver"))
+    // life goes on: appends after the empty compaction reconcile normally
+    val b4 = Seq((2L, "b9", 29.0, "I", 11L), (8L, "h", 80.0, "I", 12L))
+    StreamOps.appendDeltaBatch(df(b4), dir, 2L)
+    assert(snap(StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op",
+      Seq("ver"))) == oneShot(batch1 ++ deleteAll ++ b4))
+  }
+
   test("merge-on-read equals the copy-on-write partitioned snapshot on real orders") {
     val spark0 = spark
     import spark0.implicits._
