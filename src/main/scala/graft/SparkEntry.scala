@@ -228,6 +228,184 @@ object SparkEntry {
        |FROM h, tot t
        |ORDER BY lane""".stripMargin
 
+  /** q_ann_tuned's oracle: ONE flat WITH replaying every tuned lane from
+    * the trained-model literals — the 64-cell quantizer ladder is shared
+    * by the ivf_t lane, the pq_rerank candidate restriction, AND the
+    * scan-cost counts, so the audited definitions and their cost column
+    * can't drift apart. Same recipes as ivfOracle/pqOracle/annLshOracleAt
+    * (rounded-cosine ranks, ADC as sub-ordered list_sum, hamming bucket
+    * join), plus the rerank stage: ADC-rank <= 200 shortlist, exact
+    * cosine top-5. */
+  private def annTunedOracle(coarse: operators.IvfAnn.Model,
+                             pq: operators.PqAnn.Model): String = {
+    val cells = coarse.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    val plain = pq.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) =>
+        s"($sub, $code, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+    val augm = pq.codebooks.map(operators.PqAnn.augmented)
+      .zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          s"($sub, $code, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+        }
+      }.mkString(",\n    ")
+    val dsub = pq.dsub
+    val planes = operators.Similarity.hyperplanes(4, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * ('$lst'::DOUBLE[])[j])) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    def cos(a: String, b: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, len($a) + 1),
+         |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+         |           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |        * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+         |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))
+         |    , 6)""".stripMargin
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |pqc(sub, code, v) AS (VALUES
+       |    $plain),
+       |pqa(sub, code, va) AS (VALUES
+       |    $augm),
+       |ncorp AS (SELECT count(*) AS n FROM embeddings),
+       |bscore AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${cos("q.embedding", "c.embedding")} AS cosine
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |brute AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM bscore) t WHERE rank <= 5),
+       |tot AS (SELECT count(*) AS n_possible,
+       |  count(DISTINCT query_id) AS n_queries FROM brute),
+       |cdots AS (
+       |  SELECT e.vec_id, ctr.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM embeddings e, ctr),
+       |crk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell)
+       |      AS rk
+       |  FROM cdots),
+       |cellof AS (SELECT vec_id, cell FROM crk WHERE rk = 1),
+       |probes AS (SELECT vec_id, cell FROM crk WHERE rk <= 32 AND vec_id < 10),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, c2.vec_id AS cand_id
+       |  FROM probes p JOIN cellof c2 ON c2.cell = p.cell
+       |  WHERE c2.vec_id <> p.vec_id),
+       |iscored AS (
+       |  SELECT ca.query_id, ca.cand_id,
+       |    ${cos("a.embedding", "b.embedding")} AS cosine
+       |  FROM cand ca
+       |  JOIN embeddings a ON a.vec_id = ca.query_id
+       |  JOIN embeddings b ON b.vec_id = ca.cand_id),
+       |ivf_t AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM iscored) t WHERE rank <= 5),
+       |b4 AS (SELECT vec_id, embedding,
+       |  $bucket AS bucket FROM embeddings),
+       |lscored AS (
+       |  SELECT lq.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${cos("lq.embedding", "c.embedding")} AS cosine
+       |  FROM b4 lq JOIN b4 c
+       |    ON bit_count(xor(lq.bucket, c.bucket)) <= 2
+       |   AND c.vec_id <> lq.vec_id
+       |  WHERE lq.vec_id < 10),
+       |lsh_t AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM lscored) t WHERE rank <= 5),
+       |edots AS (
+       |  SELECT e.vec_id, p.sub, p.code,
+       |    list_sum(list_transform(range(1, $dsub + 1),
+       |      j -> CAST(e.embedding[p.sub * $dsub + j] AS DOUBLE) * (p.va)[j]))
+       |      + (p.va)[$dsub + 1] AS dot
+       |  FROM embeddings e, pqa p),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dot DESC, code) AS rk
+       |    FROM edots) t
+       |  WHERE rk = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, p.sub, p.code,
+       |    list_sum(list_transform(range(1, $dsub + 1),
+       |      j -> (CAST(q.embedding[p.sub * $dsub + j] AS DOUBLE) - (p.v)[j])
+       |         * (CAST(q.embedding[p.sub * $dsub + j] AS DOUBLE) - (p.v)[j])))
+       |      AS d2
+       |  FROM embeddings q, pqc p WHERE q.vec_id < 10),
+       |est AS (
+       |  SELECT ca.query_id, ca.cand_id,
+       |    round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adc_dist
+       |  FROM cand ca
+       |  JOIN enc t ON t.vec_id = ca.cand_id
+       |  JOIN dt ON dt.query_id = ca.query_id AND dt.sub = t.sub
+       |         AND dt.code = t.code
+       |  GROUP BY ca.query_id, ca.cand_id),
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, cand_id) AS srank
+       |    FROM est) t WHERE srank <= 200),
+       |pscored AS (
+       |  SELECT sh.query_id, sh.cand_id,
+       |    ${cos("a.embedding", "b.embedding")} AS cosine
+       |  FROM short sh
+       |  JOIN embeddings a ON a.vec_id = sh.query_id
+       |  JOIN embeddings b ON b.vec_id = sh.cand_id),
+       |pq_rerank AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM pscored) t WHERE rank <= 5),
+       |costs AS (
+       |  SELECT 'brute' AS lane, t.n_queries * (n.n - 1) AS n_scored
+       |    FROM tot t, ncorp n
+       |  UNION ALL
+       |  SELECT 'ivf_t', count(*) FROM cand
+       |  UNION ALL
+       |  SELECT 'lsh_t', count(*) FROM lscored
+       |  UNION ALL
+       |  SELECT 'pq_rerank', count(*) FROM cand),
+       |h AS (
+       |  SELECT 'brute' AS lane, count(*) AS n_hits FROM brute
+       |  UNION ALL
+       |  SELECT 'ivf_t', count(*)
+       |    FROM ivf_t JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'lsh_t', count(*)
+       |    FROM lsh_t JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'pq_rerank', count(*)
+       |    FROM pq_rerank JOIN brute USING (query_id, cand_id))
+       |SELECT h.lane, t.n_queries, t.n_possible, h.n_hits,
+       |  (1000000 * h.n_hits) // t.n_possible AS recall_ppm,
+       |  c.n_scored,
+       |  (1000000 * c.n_scored) // (t.n_queries * (n.n - 1)) AS scan_ppm
+       |FROM h JOIN costs c USING (lane), tot t, ncorp n
+       |ORDER BY lane""".stripMargin
+  }
+
   /** q_ann_lsh oracle: the SAME seeded hyperplane constants as SQL
     * literals (the dedupEmbeddingOracle recipe); a query's probe set at
     * radius 1 contains a candidate's bucket iff their sign-buckets are
@@ -318,6 +496,33 @@ object SparkEntry {
   private def topicModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
     val m = topicModels.computeIfAbsent(dir, d =>
       operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 8))
+    lastDir = dir
+    m
+  }
+
+  /** q_ann_tuned's models — the TUNED operating points the AnnTune sweep
+    * selected (SCALE.md "ANN recall-vs-cost frontier"): a FINER 64-cell
+    * coarse quantizer (recall is driven by the nProbe/nCells fraction,
+    * so more cells buy the same recall at a smaller scan — nCells should
+    * track ~sqrt(corpus) in production) and a finer m=8 product
+    * quantizer (8-dim subspaces halve the per-subspace quantization
+    * error that capped the m=4 ADC ranking). Cached per dir like
+    * [[ivfModel]]; training is deterministic, so the oracle re-emits the
+    * trained centroids as literals. */
+  private val ivf64Models =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
+  private def ivf64Model(s: SparkSession, dir: String): operators.IvfAnn.Model = {
+    val m = ivf64Models.computeIfAbsent(dir, d =>
+      operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding", k = 64))
+    lastDir = dir
+    m
+  }
+  private val pq8Models =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.PqAnn.Model]()
+  private def pq8Model(s: SparkSession, dir: String): operators.PqAnn.Model = {
+    val m = pq8Models.computeIfAbsent(dir, d =>
+      operators.PqAnn.train(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 8, ksub = 16))
     lastDir = dir
     m
   }
@@ -2157,6 +2362,87 @@ object SparkEntry {
         .crossJoin(broadcast(tot))
         .select($"lane", $"n_queries", $"n_possible", $"n_hits",
           expr("(1000000 * n_hits) div n_possible").as("recall_ppm"))
+        .orderBy($"lane")
+    }),
+
+    "q_ann_tuned" -> ((s, dir) => {
+      import s.implicits._
+      // The CLOSED tuning loop q_ann_recall opened: each approximate
+      // lane at the operating point the AnnTune sweep selected, with its
+      // recall@5 AND its scan cost in one frontier table. Tuned points:
+      //  - ivf_t: 64-cell quantizer, nProbe=32 — recall tracks the
+      //    nProbe/nCells FRACTION, so the finer quantizer reaches >=90%
+      //    probing half the cells (>=96% at sf0.01, 90% at sf0.1);
+      //  - pq_rerank: IVFADC over the same 64 cells with the finer m=8
+      //    codebooks, ADC shortlist of 200 rescored by exact cosine
+      //    (standard FAISS two-stage search) — the memory path at the
+      //    same >=90% recall at sf0.01, candidates touched only as
+      //    8-byte codes + <=200 exact rescans per query;
+      //  - lsh_t: 4 hyperplanes at probe radius 2 — the best LSH point
+      //    (~80%), kept as the honest ceiling of single-table LSH.
+      // n_scored = candidate pairs the lane actually scores (its scan);
+      // scan_ppm = that as a fraction of the bruteforce scan. All
+      // columns integer -> bit-stable hash vs the literal-replay oracle.
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 10)
+      val brute = Similarity.bruteForceTopK(q, e, k = 5)
+        .select($"query_id", $"cand_id")
+        .localCheckpoint(true)
+      val coarse = ivf64Model(s, dir)
+      val pq8 = pq8Model(s, dir)
+      val lanes: Seq[(String, DataFrame)] = Seq(
+        "ivf_t" -> operators.IvfAnn.topK(q, e, k = 5, coarse, nProbe = 32),
+        "lsh_t" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 4,
+          probeRadius = 2),
+        "pq_rerank" -> operators.PqAnn.adcRerankTopK(q, e, k = 5,
+          shortlist = 200, coarse, pq8, nProbe = 32))
+      val tot = brute.agg(count(lit(1)).as("n_possible"),
+        countDistinct($"query_id").as("n_queries"))
+      val ncorp = e.agg(count(lit(1)).as("n_corpus"))
+      // scan-cost of the two cell lanes: the probed-cell candidate pairs
+      val cellOf = e.select($"vec_id",
+        operators.IvfAnn.assignCell($"embedding", coarse).as("cell"))
+      val cand = q.select($"vec_id".as("qid"),
+          explode(operators.IvfAnn.probeCells($"embedding", coarse, 32))
+            .as("cell"))
+        .join(cellOf, Seq("cell")).filter($"vec_id" =!= $"qid")
+      // scan-cost of the LSH lane: radius-2 bucket-adjacent pairs (the
+      // query side is 10 rows — broadcast into a non-equi hamming join)
+      val planes4 = Similarity.hyperplanes(4, 64)
+      val b4 = e.select($"vec_id",
+        Similarity.bucketOf($"embedding", planes4).as("b"))
+      val qb = b4.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"b".as("qb"))
+      val lshCand = b4.join(broadcast(qb),
+        bit_count($"qb".bitwiseXOR($"b")) <= 2 && $"vec_id" =!= $"qid")
+      val costs = Seq(
+        ncorp.crossJoin(broadcast(tot))
+          .select(lit("brute").as("lane"),
+            ($"n_queries" * ($"n_corpus" - 1)).as("n_scored")),
+        cand.agg(count(lit(1)).as("n_scored"))
+          .select(lit("ivf_t").as("lane"), $"n_scored"),
+        lshCand.agg(count(lit(1)).as("n_scored"))
+          .select(lit("lsh_t").as("lane"), $"n_scored"),
+        cand.agg(count(lit(1)).as("n_scored"))
+          .select(lit("pq_rerank").as("lane"), $"n_scored"))
+        .reduce(_.unionByName(_))
+      val hits = (
+        brute.agg(count(lit(1)).as("n_hits"))
+          .select(lit("brute").as("lane"), $"n_hits") +:
+        lanes.map { case (lane, df) =>
+          df.select($"query_id", $"cand_id")
+            .join(broadcast(brute), Seq("query_id", "cand_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(lane).as("lane"), $"n_hits")
+        }).reduce(_.unionByName(_))
+      hits.join(broadcast(costs), Seq("lane"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ncorp))
+        .select($"lane", $"n_queries", $"n_possible", $"n_hits",
+          expr("(1000000 * n_hits) div n_possible").as("recall_ppm"),
+          $"n_scored",
+          expr("(1000000 * n_scored) div (n_queries * (n_corpus - 1))")
+            .as("scan_ppm"))
         .orderBy($"lane")
     }),
 
@@ -6159,6 +6445,12 @@ object SparkEntry {
         (for (c <- ivf; p <- pq) yield "q_ann_recall" -> annRecallOracle(c, p)) ++
         bpe.map(m => "q_bpe_merges" -> bpeMergesOracle(m)) ++
         bpe.map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
+    } ++
+    Option(lastDir).map(d =>
+      (Option(ivf64Models.get(d)), Option(pq8Models.get(d)))).toSeq.flatMap {
+      case (ivf64, pq8) =>
+        (for (c <- ivf64; p <- pq8) yield
+          "q_ann_tuned" -> annTunedOracle(c, p)).toSeq
     }
 
   /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions

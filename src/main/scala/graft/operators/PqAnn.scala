@@ -150,13 +150,45 @@ object PqAnn {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** IVFADC top-k: candidates restricted to each query's nProbe coarse
-    * cells (IvfAnn's quantizer), scored by m ADC table lookups, ranked
-    * ascending with candidate-id tie-breaks. The query side (with its
-    * probe fan-out and dist table) broadcasts; the candidate side is one
-    * map-side scan computing (cell, codes) in the scan stage. */
-  def adcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              coarse: IvfAnn.Model, model: Model, nProbe: Int): DataFrame = {
+  /** IVFADC with an exact-rerank shortlist (the standard FAISS two-stage
+    * search): ADC ranks every in-cell candidate by its m table lookups,
+    * the per-query top-`shortlist` survive, and ONLY those are scored by
+    * the exact one-pass codegen cosine for the final top-k. This is the
+    * production recall/cost point: the 100 TB corpus is still touched
+    * only through codes (m ints per candidate), and the full-float exact
+    * work is bounded at `shortlist` vectors per query regardless of cell
+    * population. Output schema matches the other ANN lanes (query_id,
+    * cand_id, cosine, rank) so the recall audit can compare directly;
+    * ranking is cosine DESC with candidate-id tie-breaks, and the
+    * shortlist cut uses the same deterministic (adc_dist, cand_id)
+    * order as [[adcTopK]]. */
+  def adcRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                    shortlist: Int, coarse: IvfAnn.Model, model: Model,
+                    nProbe: Int): DataFrame = {
+    import graft.functions.VectorFns
+    adcScored(queries, candidates, coarse, model, nProbe)
+      .withColumn("srank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("adc_raw"), 6), col("cand_id"))))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("cand_id"),
+        VectorFns.cosine6(col("q_emb"), col("c_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** The shared IVFADC candidate scan: each query's nProbe coarse cells
+    * (IvfAnn's quantizer) equi-joined to the candidate side, every
+    * in-cell candidate carrying its raw (unrounded) ADC sum plus the two
+    * embeddings for whichever rerank/verification stage follows. The
+    * query side (probe fan-out + dist table) broadcasts; the candidate
+    * side is one map-side scan computing (cell, codes) in the scan
+    * stage. */
+  private def adcScored(queries: DataFrame, candidates: DataFrame,
+                        coarse: IvfAnn.Model, model: Model,
+                        nProbe: Int): DataFrame = {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       distTable(col("embedding"), model).as("dt"),
@@ -171,12 +203,21 @@ object PqAnn {
       .reduceLeft(_ + _)
     c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"),
+        adc.as("adc_raw"))
+  }
+
+  /** IVFADC top-k: the shared candidate scan ranked ascending by rounded
+    * ADC with candidate-id tie-breaks; exact L2² rides along to exhibit
+    * the approximation. */
+  def adcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              coarse: IvfAnn.Model, model: Model, nProbe: Int): DataFrame =
+    adcScored(queries, candidates, coarse, model, nProbe)
       .select(col("query_id"), col("cand_id"),
-        round(adc, 6).as("adc_dist"),
+        round(col("adc_raw"), 6).as("adc_dist"),
         round(l2sq(col("q_emb"), col("c_emb")), 6).as("exact_dist"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc_dist"), col("cand_id"))).cast(LongType))
       .filter(col("rank") <= k)
-  }
 }

@@ -57,6 +57,41 @@ class PqAnnSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rerank with a full shortlist is row-identical to exact IVF topK") {
+    // With shortlist >= the whole candidate pool, the ADC stage keeps
+    // everything and the exact-cosine rerank IS IvfAnn.topK over the
+    // same probed cells — the two lanes must agree bit-for-bit.
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    val rerank = PqAnn.adcRerankTopK(q, emb, k = 5, shortlist = n, coarse,
+        pq, nProbe = 4)
+      .select($"query_id", $"cand_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val exact = IvfAnn.topK(q, emb, k = 5, coarse, nProbe = 4)
+      .select($"query_id", $"cand_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(rerank == exact)
+  }
+
+  test("rerank recall against bruteforce is monotone in the shortlist") {
+    // S(r1) ⊆ S(r2) for r1 <= r2, and any global-top-5 member present in
+    // a shortlist always survives its exact-cosine top-5 (only other
+    // global-top-5 members can outrank it) — so hits = |S ∩ top5| is
+    // monotone in the shortlist size. This is the property that makes
+    // the shortlist a pure recall/cost knob.
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 10)
+    val brute = operators.Similarity.bruteForceTopK(q, emb, k = 5)
+      .select($"query_id", $"cand_id")
+    def hits(shortlist: Int): Long =
+      PqAnn.adcRerankTopK(q, emb, k = 5, shortlist, coarse, pq, nProbe = 4)
+        .select($"query_id", $"cand_id")
+        .join(brute, Seq("query_id", "cand_id")).count()
+    val h = Seq(5, 20, 100).map(hits)
+    assert(h == h.sorted, s"recall not monotone in shortlist: $h")
+  }
+
   test("ADC error is bounded by the candidate's reconstruction error") {
     // The exact PQ guarantee (data-independent): adc = ‖q − recon(x)‖²,
     // so by the triangle inequality |√adc − √exact| ≤ ‖x − recon(x)‖.
