@@ -227,31 +227,50 @@ object StreamOps {
     changes.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // A crash between swapSnapshot's two moves leaves ONLY `.old`
-        // (live dir gone). Reading a missing live dir as an empty base
-        // would silently discard the whole prior snapshot, so finish the
-        // interrupted swap first: promote `.old` back to live, then
-        // merge against it as usual.
-        recoverSnapshot(snapshotDir)
-        val dir = new java.io.File(snapshotDir)
-        val base =
-          if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-            spark.read.parquet(snapshotDir)
-          else
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(
-                batch.schema.filterNot(f => f.name == opCol)))
-        val merged = graft.etl.CdcMerge.merge(
-          base, batch, keys, col(opCol),
-          version.map(col)).drop("change_applied")
-        // write-then-swap so a failed write never clobbers the snapshot
-        val tmp = snapshotDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        swapSnapshot(tmp, snapshotDir)
+        mergeBatch(batch, snapshotDir, keys, opCol, version)
       }
       .start()
+
+  /** One micro-batch of [[cdcUpsert]] — package-visible so specs can
+    * drive batches directly (the appendDeltaBatch convention).
+    * Add-column schema evolution (graft.etl.SchemaEvolve): a batch that
+    * ADDS columns widens the snapshot (prior rows NULL there); a retype
+    * fails loudly; a batch missing an old column upserts NULL for it
+    * (full-row-image convention). */
+  private[graft] def mergeBatch(batch: DataFrame, snapshotDir: String,
+                                keys: Seq[String], opCol: String,
+                                version: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    // A crash between swapSnapshot's two moves leaves ONLY `.old`
+    // (live dir gone). Reading a missing live dir as an empty base
+    // would silently discard the whole prior snapshot, so finish the
+    // interrupted swap first: promote `.old` back to live, then
+    // merge against it as usual.
+    recoverSnapshot(snapshotDir)
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(f => f.name == opCol))
+    val dir = new java.io.File(snapshotDir)
+    val base0 =
+      if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(snapshotDir)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+    // evolved = base's columns plus whatever the batch added; both sides
+    // conformed so the merge sees one schema (old base rows NULL-filled)
+    val evolvedSchema = graft.etl.SchemaEvolve.evolved(base0.schema, payloadSchema)
+    val base = graft.etl.SchemaEvolve.conform(base0, evolvedSchema)
+    val batchConformed = graft.etl.SchemaEvolve.conform(batch,
+      org.apache.spark.sql.types.StructType(
+        evolvedSchema.fields :+ batch.schema(opCol)))
+    val merged = graft.etl.CdcMerge.merge(
+      base, batchConformed, keys, col(opCol),
+      version.map(col)).drop("change_applied")
+    // write-then-swap so a failed write never clobbers the snapshot
+    val tmp = snapshotDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swapSnapshot(tmp, snapshotDir)
+  }
 
   /** Partition-scoped streaming CDC upsert — copy-on-write at partition
     * granularity, the shape that survives a 100 TB snapshot.
@@ -321,12 +340,28 @@ object StreamOps {
     affected.foreach(v => require(dirSafe.pattern.matcher(v).matches(),
       s"cdcUpsertPartitioned: partition value '$v' is not directory-safe " +
         "(allowed: alphanumerics, '-', '_', '.')"))
-    val baseSchema = org.apache.spark.sql.types.StructType(
+    val payloadSchema = org.apache.spark.sql.types.StructType(
       batch.schema.filterNot(_.name == opCol))
     val liveDirs = affected
       .map(v => Paths.get(snapshotDir, s"$partitionKey=$v"))
       .filter(Files.isDirectory(_))
       .map(_.toString)
+    // Add-column evolution (graft.etl.SchemaEvolve): the read schema is
+    // the union of what's on disk and what the batch carries, so a batch
+    // adding a column widens the rewritten partitions (prior rows NULL)
+    // and a batch missing an old column can't silently DROP it from the
+    // rewrite. The partition column keeps the BATCH's type (discovery
+    // infers it from dir names and must not drift it); retypes elsewhere
+    // fail loudly. mergeSchema on the footer read: affected partitions
+    // may straddle the evolution point.
+    val baseSchema =
+      if (liveDirs.nonEmpty) {
+        val footer = spark.read.option("basePath", snapshotDir)
+          .option("mergeSchema", "true").parquet(liveDirs: _*).schema
+        val footerPinned = org.apache.spark.sql.types.StructType(footer.map(f =>
+          if (f.name == partitionKey) payloadSchema(partitionKey) else f))
+        graft.etl.SchemaEvolve.evolved(footerPinned, payloadSchema)
+      } else payloadSchema
     // base = ONLY the affected partitions (schema pins the partition
     // column's type so discovery can't drift it); empty on first contact
     val base =
@@ -336,8 +371,12 @@ object StreamOps {
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    val batchConformed = graft.etl.SchemaEvolve.conform(batch,
+      org.apache.spark.sql.types.StructType(
+        baseSchema.fields :+ batch.schema(opCol)))
     val merged = graft.etl.CdcMerge.merge(
-      base, batch, keys, col(opCol), version.map(col)).drop("change_applied")
+      base, batchConformed, keys, col(opCol), version.map(col))
+      .drop("change_applied")
     // one job writes every affected partition's merged slice into staging
     merged.write.partitionBy(partitionKey).mode("overwrite")
       .parquet(staging.toString)
@@ -504,13 +543,46 @@ object StreamOps {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
         case None => spark.read.parquet(baseDir.toString)
       }
-    val log = spark.read.parquet(deltas.map(_.toString): _*)
-    val baseSchema = org.apache.spark.sql.types.StructType(
-      log.schema.filterNot(f => f.name == opCol || f.name == "__seq"))
+    // Add-column evolution (graft.etl.SchemaEvolve): the log is read
+    // with mergeSchema so deltas straddling the evolution point union
+    // their columns (pre-evolution rows NULL in the added ones); a
+    // RETYPED column across deltas fails the footer merge loudly, with
+    // the evolution contract named. The reconcile schema is the union
+    // of base's columns (footer or empty-marker) and the log's payload,
+    // so a later batch dropping a column can't silently drop it from
+    // the snapshot either.
+    val log0 =
+      try spark.read.option("mergeSchema", "true")
+        .parquet(deltas.map(_.toString): _*)
+      catch {
+        // Spark surfaces an unmergeable footer pair as "Failed merging
+        // schema"/"Failed to merge" (SparkException or AnalysisException
+        // depending on where inference runs) — rename it to the contract
+        case e: Exception
+            if (e.isInstanceOf[org.apache.spark.SparkException] ||
+              e.isInstanceOf[org.apache.spark.sql.AnalysisException]) &&
+              e.getMessage != null && e.getMessage.toLowerCase.contains("merg") =>
+          throw new IllegalArgumentException(
+            "readMergeOnRead: delta log schemas cannot be merged — a " +
+              "column was retyped across batches; only add-column " +
+              "evolution is supported (a retype requires a table rewrite)", e)
+      }
+    val logPayload = org.apache.spark.sql.types.StructType(
+      log0.schema.filterNot(f => f.name == opCol || f.name == "__seq"))
+    val diskBaseSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (hasBase) Some(spark.read.parquet(baseDir.toString).schema)
+      else emptyBaseSchema
+    val baseSchema = diskBaseSchema match {
+      case Some(b) => graft.etl.SchemaEvolve.evolved(b, logPayload)
+      case None => logPayload
+    }
     val base =
       if (hasBase) spark.read.schema(baseSchema).parquet(baseDir.toString)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    val log = graft.etl.SchemaEvolve.conform(log0,
+      org.apache.spark.sql.types.StructType(baseSchema.fields ++
+        log0.schema.filter(f => f.name == opCol || f.name == "__seq")))
     graft.etl.CdcMerge.merge(base, log, keys, col(opCol),
         version.map(col) :+ col("__seq"))
       .drop("change_applied")

@@ -208,4 +208,121 @@ class CdcMorSpec extends AnyFunSuite with SparkSpec {
       .select($"o_orderkey", $"o_totalprice", $"pmonth"))
     assert(a == b, s"cow=$a mor=$b")
   }
+
+  // ---- add-column schema evolution (graft.etl.SchemaEvolve) ----------
+
+  /** batch2 widened with a `score` column — the evolution point. */
+  private def df2(rows: Seq[(Long, String, Double, String, Long, Int)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("k", "name", "amount", "op", "ver", "score")
+  }
+  private val batch2e = Seq(
+    (2L, "b2", 25.0, "U", 4L, 7), (4L, "d", 40.0, "I", 5L, 8))
+
+  /** The evolved one-shot ground truth: pre-evolution changelog rows
+    * carry NULL score, then one CdcMerge over the union. */
+  private def oneShotEvolved(): Map[Long, (String, Double, Option[Int])] = {
+    val full = df(batch1).withColumn("score", lit(null).cast("int"))
+      .unionByName(df2(batch2e))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        full.schema.filterNot(_.name == "op")))
+    snapE(graft.etl.CdcMerge.merge(empty, full, Seq("k"),
+      col("op"), Seq(col("ver"))).drop("change_applied"))
+  }
+  private def snapE(d: DataFrame): Map[Long, (String, Double, Option[Int])] =
+    d.collect().map(r => r.getLong(r.fieldIndex("k")) ->
+      ((r.getString(r.fieldIndex("name")), r.getDouble(r.fieldIndex("amount")),
+        if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getInt(r.fieldIndex("score")))))).toMap
+
+  test("MOR: an add-column batch evolves the read (old rows NULL-filled)") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    StreamOps.appendDeltaBatch(df2(batch2e), dir, 1L)
+    val got = snapE(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver")))
+    assert(got == oneShotEvolved(), s"$got")
+    // keys 1,3 predate the column; 2,4 were upserted after evolution
+    assert(got(1L)._3.isEmpty && got(3L)._3.isEmpty)
+    assert(got(2L)._3.contains(7) && got(4L)._3.contains(8))
+  }
+
+  test("MOR: evolution across a compaction point (base footer lacks the column)") {
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    StreamOps.appendDeltaBatch(df2(batch2e), dir, 1L)
+    assert(snapE(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver"))) == oneShotEvolved())
+    // compacting the evolved log folds the new column into the base...
+    StreamOps.compactMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+    assert(snapE(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver"))) == oneShotEvolved())
+    // ...and a post-evolution batch NOT carrying the column upserts NULL
+    // for it (full-row-image convention) without narrowing the schema
+    StreamOps.appendDeltaBatch(df(Seq((2L, "b3", 26.0, "U", 9L))), dir, 2L)
+    val after = snapE(StreamOps.readMergeOnRead(spark, dir,
+      Seq("k"), "op", Seq("ver")))
+    assert(after(2L) == (("b3", 26.0, None)))
+    assert(after(4L)._3.contains(8), "untouched key must keep its value")
+  }
+
+  test("MOR: a retyped column is rejected loudly, not silently cast") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    StreamOps.appendDeltaBatch(df(batch1), dir, 0L)
+    val retyped = Seq((2L, "b2", "not-a-number", "U", 4L))
+      .toDF("k", "name", "amount", "op", "ver") // amount: double -> string
+    StreamOps.appendDeltaBatch(retyped, dir, 1L)
+    val e = intercept[Exception] {
+      StreamOps.readMergeOnRead(spark, dir, Seq("k"), "op", Seq("ver"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("merg") ||
+      e.getMessage.contains("retyped"), e.getMessage)
+  }
+
+  test("COW mergeBatch: add-column stream equals the evolved one-shot merge") {
+    val dir = tmp() + "/snap"
+    StreamOps.mergeBatch(df(batch1), dir, Seq("k"), "op", Seq("ver"))
+    StreamOps.mergeBatch(df2(batch2e), dir, Seq("k"), "op", Seq("ver"))
+    assert(snapE(spark.read.parquet(dir)) == oneShotEvolved())
+    // retype rejected loudly by SchemaEvolve before anything is written
+    val spark0 = spark
+    import spark0.implicits._
+    val retyped = Seq((2L, "b2", "oops", "U", 9L))
+      .toDF("k", "name", "amount", "op", "ver")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.mergeBatch(retyped, dir, Seq("k"), "op", Seq("ver"))
+    }
+    assert(e.getMessage.contains("retyped"))
+    assert(snapE(spark.read.parquet(dir)) == oneShotEvolved(),
+      "failed evolution must not have touched the snapshot")
+  }
+
+  test("COW partitioned: add-column widens, and a narrower batch can't drop columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/part"
+    val b1 = Seq((1L, "a", 10.0, "I", 1L, 3), (2L, "b", 20.0, "I", 2L, 3))
+      .toDF("k", "name", "amount", "op", "ver", "pday")
+    StreamOps.mergeBatchPartitioned(b1, dir, Seq("k"), "op", Seq("ver"), "pday")
+    // evolution point: add `score`
+    val b2 = Seq((2L, "b2", 25.0, "U", 4L, 3, 7))
+      .toDF("k", "name", "amount", "op", "ver", "pday", "score")
+    StreamOps.mergeBatchPartitioned(b2, dir, Seq("k"), "op", Seq("ver"), "pday")
+    val got1 = snapE(spark.read.parquet(dir))
+    assert(got1 == Map(1L -> (("a", 10.0, None)), 2L -> (("b2", 25.0, Some(7)))))
+    // a later batch WITHOUT score must not narrow the partition's schema
+    val b3 = Seq((1L, "a2", 11.0, "U", 5L, 3))
+      .toDF("k", "name", "amount", "op", "ver", "pday")
+    StreamOps.mergeBatchPartitioned(b3, dir, Seq("k"), "op", Seq("ver"), "pday")
+    val got2 = snapE(spark.read.parquet(dir))
+    assert(got2 == Map(1L -> (("a2", 11.0, None)), 2L -> (("b2", 25.0, Some(7)))),
+      "k=2's score must survive a narrower later batch")
+  }
 }
