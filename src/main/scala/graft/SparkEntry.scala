@@ -39,7 +39,8 @@ object SparkEntry {
     * find-spans report and the strip — find-spans is the dominant cost
     * of both queries, and a production pipeline materializes it once. */
   private def dupSpans40(s: SparkSession, dir: String): DataFrame =
-    operators.DerivedCache.table(s, s"$dir#dupspans40") {
+    operators.DerivedCache.tableFor(s, s"$dir#dupspans40",
+      Seq(s"$dir/documents.parquet")) {
       operators.SubstringDedup.duplicateSpans(
         Tables.documents(s, dir), col("doc_id"), col("text"), n = 40)
     }
@@ -48,7 +49,8 @@ object SparkEntry {
     * shared by the exact all-pairs join and its compact form — the
     * corpus tokenize + df-count + per-doc sort runs once per dir. */
   private def ppjoinSets(s: SparkSession, dir: String): DataFrame =
-    operators.DerivedCache.table(s, s"$dir#ppjoin_sets") {
+    operators.DerivedCache.tableFor(s, s"$dir#ppjoin_sets",
+      Seq(s"$dir/documents.parquet")) {
       operators.AllPairs.buildTokenSets(
         Tables.documents(s, dir), col("doc_id"), col("text"))
     }

@@ -29,12 +29,16 @@ import org.apache.spark.sql.functions._
   * (long, long) rows exactly; no value can drift through the write.
   *
   * Lifecycle: one temp directory per JVM (driver runs = one JVM per
-  * phase), keyed by (sf dir, variant); ConcurrentHashMap.computeIfAbsent
-  * makes each build happen exactly once even under concurrent callers.
-  * Nothing is cached in executor memory — Bench's between-query cache
-  * teardown does not touch it, and every consumer sees a plain parquet
-  * scan (filters/pruning push down like any other source).
-  */
+  * phase), keyed by (sf dir, variant, INPUT FINGERPRINT) through
+  * [[DerivedCache.tableFor]] — same-key builds happen exactly once via
+  * DerivedCache's per-key double-checked locking (never
+  * ConcurrentHashMap.computeIfAbsent; see its scaladoc for the
+  * recursive-update hazard), and a rewrite of the underlying fact table
+  * within the JVM triggers a rebuild instead of serving the stale
+  * derivation. Nothing is cached in executor memory — Bench's
+  * between-query cache teardown does not touch it, and every consumer
+  * sees a plain parquet scan (filters/pruning push down like any other
+  * source). */
 object CoPurchase {
 
   /** Basket cap for the FULL graph (counted before pairing — per-basket
@@ -47,24 +51,29 @@ object CoPurchase {
   val SampleMod = 50
   val SampleCap = 8
 
-  /** Write-once machinery now lives in [[DerivedCache]] (double-checked
-    * locking, never computeIfAbsent — see its scaladoc for the
-    * recursive-update hazard this file discovered). */
-  private def materialize(s: SparkSession, dir: String, variant: String)
-                         (build: => DataFrame): DataFrame =
-    DerivedCache.table(s, s"$dir#$variant")(build)
+  private def materialize(s: SparkSession, dir: String, variant: String,
+                          input: String)(build: => DataFrame): DataFrame =
+    DerivedCache.tableFor(s, s"$dir#$variant", Seq(input))(build)
+
+  /** The distinct+cap stage over ANY lineitem-shaped fact slice:
+    * distinct (basket, item) pairs, baskets over `cap` items excluded.
+    * Columns (g, i). Shared by the materialized full build and the
+    * incremental delta path — one definition, so they can't drift. */
+  def itemsOf(fact: DataFrame, cap: Int = FullCap): DataFrame = {
+    val it = fact
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .distinct()
+    val ok = it.groupBy(col("g")).count()
+      .filter(col("count") <= cap).select(col("g"))
+    it.join(ok, "g")
+  }
 
   /** Distinct (basket, item) pairs of the full lineitem fact, baskets
     * over [[FullCap]] items excluded — the shared first stage of the
     * full edge set AND the co-occurrence recommender. Columns (g, i). */
   def items(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "items64") {
-      val it = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
-        .distinct()
-      val ok = it.groupBy(col("g")).count()
-        .filter(col("count") <= FullCap).select(col("g"))
-      it.join(ok, "g")
+    materialize(s, dir, "items64", s"$dir/lineitem.parquet") {
+      itemsOf(Tables.lineitem(s, dir))
     }
 
   /** Symmetric distinct co-purchase edges over the full fact (cap 64) —
@@ -76,7 +85,7 @@ object CoPurchase {
     // lazy `items` call inside the build block would re-enter
     // materialize mid-build — see the lock note above)
     val it = items(s, dir)
-    materialize(s, dir, "edges64") {
+    materialize(s, dir, "edges64", s"$dir/lineitem.parquet") {
       PageRank.edgesFromItems(it)
     }
   }
@@ -84,9 +93,42 @@ object CoPurchase {
   /** Symmetric distinct edges over the 1-in-50 order sample (cap 8) —
     * row-identical to the inline sampled derivation. */
   def sampledEdges(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "edges_s50c8") {
+    materialize(s, dir, "edges_s50c8", s"$dir/lineitem.parquet") {
       PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir).filter(col("l_orderkey") % SampleMod === 0),
         col("l_orderkey"), col("l_partkey"), maxBasket = SampleCap)
     }
+
+  // ---- incremental refresh (the q_incremental_agg discipline applied
+  // ---- to the graph derivation) --------------------------------------
+
+  /** The NEW edges an append-only fact delta contributes: the delta's
+    * own capped items paired, minus pairs the existing edge table
+    * already holds. Contract (the standard append-only fact-delta
+    * contract): the delta carries COMPLETE new baskets — basket ids not
+    * present in the existing fact — so the cap and the pairing are
+    * decided entirely within the delta. Work scales with the DELTA: the
+    * pairing is delta-local, and the anti-join probes the existing edge
+    * table on its key without re-deriving anything (with the edge table
+    * bucketed by (src, dst) — how a nightly build would write it — only
+    * the delta side shuffles). Edges are add-only under appends (a
+    * distinct pair, once present, never leaves), which is what makes
+    * the merge a union rather than a rebuild. */
+  def edgeDelta(existingEdges: DataFrame, deltaFact: DataFrame,
+                cap: Int = FullCap): DataFrame =
+    PageRank.edgesFromItems(itemsOf(deltaFact, cap))
+      .join(existingEdges, Seq("src", "dst"), "left_anti")
+
+  /** The refreshed edge table: existing ∪ the delta's new edges. Pinned
+    * by CoPurchaseSpec set-equal to a full rebuild over (base ∪ delta),
+    * so consumers can't tell refresh from recompute. */
+  def refreshedEdges(existingEdges: DataFrame, deltaFact: DataFrame,
+                     cap: Int = FullCap): DataFrame =
+    existingEdges.unionByName(edgeDelta(existingEdges, deltaFact, cap))
+
+  /** The refreshed items table: existing ∪ the delta's capped items —
+    * disjoint by construction (new baskets only), so a plain union. */
+  def refreshedItems(existingItems: DataFrame, deltaFact: DataFrame,
+                     cap: Int = FullCap): DataFrame =
+    existingItems.unionByName(itemsOf(deltaFact, cap))
 }

@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Correctness contract: `build` must be DETERMINISTIC for the given
   * key and produce parquet-exact columns (longs/strings/etc.) — the
   * specs pin each registered derivation row-identical to its inline
-  * form. Concurrency: double-checked under one coarse lock, NEVER
+  * form. INPUT VERSIONING: callers register through [[tableFor]], which
+  * folds a fingerprint of the input file listing (path + size + mtime,
+  * recursive) into the cache key — a JVM that rewrites an input table
+  * (the CDC lanes write parquet) gets a REBUILD on next access instead
+  * of a stale derivation; untouched inputs keep hitting the cache.
+  * Concurrency: double-checked under one per-key lock, NEVER
   * ConcurrentHashMap.computeIfAbsent — a build that reads another
   * derived table would nest computes on the same map, which throws
   * "Recursive update" whenever the two keys share a hash bin (bin
@@ -35,16 +40,54 @@ object DerivedCache {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private lazy val baseDir = {
     val d = java.nio.file.Files.createTempDirectory("graft-derived")
-    // the derivations are GB-scale at sf10 and per-JVM: clear them on
+    // The derivations are GB-scale at sf10 and per-JVM: clear them on
     // exit or every bench/verify/test run leaks its full set to /tmp —
-    // the same disk the shuffle already pressures
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.Fs.deleteRec(d)))
+    // the same disk the shuffle already pressures. Registered with
+    // Hadoop's ShutdownHookManager at priority 0 so it runs AFTER
+    // Spark's own shutdown hooks (SparkContext stop is priority 40+ in
+    // the same manager) — an executor task still scanning a derived
+    // parquet during shutdown must not see its files vanish first; the
+    // delete itself also tolerates concurrent-removal noise.
+    try org.apache.hadoop.util.ShutdownHookManager.get()
+      .addShutdownHook(new Runnable {
+        def run(): Unit = try graft.Fs.deleteRec(d) catch { case _: Exception => () }
+      }, 0)
+    catch { case _: IllegalStateException => () } // already shutting down
     d.toString
   }
 
+  /** Version fingerprint of input paths: every file's path, size and
+    * mtime (directories walked recursively, name-sorted), folded into a
+    * stable 64-bit hex hash. Pure metadata — never opens the files. */
+  def fingerprint(inputs: Seq[String]): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else if (f.isFile) Seq(f)
+      else Seq.empty
+    val sig = inputs.sorted.flatMap(p => walk(new java.io.File(p)))
+      .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
+      .mkString("\n")
+    java.lang.Long.toHexString(
+      sig.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+  }
+
+  /** The derived table for `key` over the given input paths: the inputs'
+    * file-listing fingerprint joins the cache key, so mutating an input
+    * (size or mtime change) triggers a rebuild instead of serving the
+    * stale derivation. This is the registration every derivation should
+    * use; [[table]] remains for keys whose inputs are immutable by
+    * contract. */
+  def tableFor(s: SparkSession, key: String, inputs: Seq[String])
+              (build: => DataFrame): DataFrame =
+    table(s, s"$key@${fingerprint(inputs)}")(build)
+
   /** The derived table for `key` (any stable string naming the data dir
-    * + derivation variant), building and writing it on first call. */
+    * + derivation variant), building and writing it on first call.
+    * The caller asserts the inputs behind `key` never change within the
+    * JVM's lifetime — prefer [[tableFor]], which checks instead of
+    * trusting. */
   def table(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val existing = paths.get(key)
     val p = if (existing != null) existing

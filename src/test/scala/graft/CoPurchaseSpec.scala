@@ -44,6 +44,36 @@ class CoPurchaseSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(mat).nonEmpty)
   }
 
+  test("incremental edge refresh equals the full rebuild (merged == recomputed)") {
+    // Split the fact by ORDER KEY so the delta carries complete new
+    // baskets — the append-only fact-delta contract. The refreshed
+    // table must be set-identical to a from-scratch rebuild over the
+    // whole fact, and the delta's own edge contribution must be
+    // disjoint from the existing set (add-only under appends).
+    val li = Tables.lineitem(spark, sf)
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 10 === 0)
+    val existing = operators.PageRank.edgesFromItems(
+      operators.CoPurchase.itemsOf(base))
+    val fresh = operators.CoPurchase.edgeDelta(existing, delta)
+    assert(pairs(fresh).nonEmpty, "delta must contribute edges")
+    assert(pairs(fresh).intersect(pairs(existing)).isEmpty,
+      "edgeDelta must exclude already-present pairs")
+    val merged = operators.CoPurchase.refreshedEdges(existing, delta)
+    val rebuilt = operators.PageRank.edgesFromItems(
+      operators.CoPurchase.itemsOf(li))
+    assert(pairs(merged) == pairs(rebuilt))
+  }
+
+  test("incremental items refresh equals the full rebuild") {
+    val li = Tables.lineitem(spark, sf)
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 10 === 0)
+    val merged = operators.CoPurchase.refreshedItems(
+      operators.CoPurchase.itemsOf(base), delta)
+    assert(pairs(merged) == pairs(operators.CoPurchase.itemsOf(li)))
+  }
+
   test("consumers read a plain parquet scan (no re-derivation in the plan)") {
     val p = operators.CoPurchase.fullEdges(spark, sf)
       .queryExecution.executedPlan.toString

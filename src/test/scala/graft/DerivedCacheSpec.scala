@@ -57,4 +57,26 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
     assert(get() == get())
     assert(builds.get() == 1)
   }
+
+  test("tableFor rebuilds when an input file changes, caches when it doesn't") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("derived-ver")
+    val input = dir.resolve("t.txt")
+    Files.writeString(input, "v1")
+    val builds = new AtomicInteger(0)
+    val key = s"spec#versioned-${System.nanoTime()}"
+    def get() = rows(DerivedCache.tableFor(spark, key, Seq(input.toString)) {
+      builds.incrementAndGet(); (1L to 5L).toDF("v")
+    })
+    get(); get()
+    assert(builds.get() == 1, "unchanged input must hit the cache")
+    // mutate the input: size changes -> new fingerprint -> rebuild
+    Files.writeString(input, "v2-but-longer")
+    get()
+    assert(builds.get() == 2, "a changed input must trigger a rebuild")
+    get()
+    assert(builds.get() == 2)
+    graft.Fs.deleteRec(dir)
+  }
 }

@@ -649,6 +649,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming drift scoring equals the q_drift_psi driver query on real orders") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sixth driver-oracle-anchored streaming parity: the first-era
+    // orders flow through driftHistogram (one 20000-day window bucket
+    // holds the whole era, q_drift_psi's $25k bins) and are scored
+    // against the second era as the baseline — exactly the driver
+    // query's orientation ((a_share - b_share) * ln(a/b)), so every
+    // per-bin psi_component must come out BIT-identical to the
+    // oracle-checked batch monitor, union domain included.
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("event_id"), $"o_orderdate".as("ts"),
+        $"o_custkey".as("user_id"), lit("order").as("event_type"),
+        $"o_totalprice".as("value"))
+      .as[Event].collect()
+    val (eraA, eraB) = orders.partition(
+      _.ts.before(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val in = MemoryStream[Event]
+    val q = StreamOps.driftHistogram(in.toDF(), binCents = 2500000L,
+        windowLen = "20000 days")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("driftpar").start()
+    eraA.grouped(300).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val hist = spark.table("driftpar").toDF("bucket", "bin", "n")
+    assert(hist.select($"bucket").distinct().count() == 1,
+      "era A must land in a single window bucket")
+    val baseline = eraB.toSeq.toDF()
+      .groupBy(expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 2500000")
+        .as("bin"))
+      .agg(count(lit(1)).as("n_base"))
+    val got = StreamOps.scoreDrift(hist, baseline).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val want = SparkEntry.queries("q_drift_psi")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want,
+      s"stream/batch diverge: onlyStream=${got.toSet -- want.toSet} " +
+        s"onlyBatch=${want.toSet -- got.toSet}")
+    assert(want.nonEmpty && want.values.exists(_._3 != 0.0))
+  }
+
   test("streaming drift histogram equals the batch histogram, any batching; scoring matches the PSI arithmetic") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

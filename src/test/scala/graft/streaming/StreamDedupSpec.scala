@@ -1,7 +1,8 @@
 package graft.streaming
 
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 import graft.operators.{Dedup, OpCaches}
+import org.apache.spark.sql.functions.round
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
@@ -73,6 +74,50 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec {
     val nearIds = seq.collect { case (id, _, t) if t.endsWith(" zzz") => id }
     assert(nearIds.exists(id => !got(id)._2),
       "a near-copy (non-exact) must be dropped too")
+  }
+
+  test("streamed pairs and verdicts equal the q_dedup_minhash driver query on the full documents table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // driver-oracle anchor: the ENTIRE real documents table (not a
+    // planted sample) streamed in doc_id order with one horizon
+    // covering the whole corpus must reproduce the oracle-checked
+    // q_dedup_minhash pair set — same (id_a, id_b) pairs, same
+    // verified jaccard — and the per-doc verdicts must equal the
+    // first-wins policy derived from those driver-query rows.
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val hits = StreamDedup.nearDupHits(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5,
+      horizon = "30 days")
+    val q = hits.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("ndh_drv").start()
+    docs.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }
+      .grouped(120).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamedPairs = spark.table("ndh_drv")
+      .filter($"partner" >= 0)
+      .select($"partner".as("id_a"), $"doc_id".as("id_b"),
+        round($"jaccard", 6).as("jaccard"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = SparkEntry.queries("q_dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    OpCaches.releaseAll()
+    assert(streamedPairs == want,
+      s"stream/driver pair sets diverge: onlyStream=${streamedPairs -- want} " +
+        s"onlyBatch=${want -- streamedPairs}")
+    assert(want.nonEmpty, "the driver query must find pairs on real docs")
+    val verdicts = StreamDedup.verdicts(spark.table("ndh_drv")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val dropped = want.map(_._2)
+    docs.foreach { case (id, _) =>
+      assert(verdicts(id) == !dropped.contains(id),
+        s"doc $id verdict diverges from the driver pair policy")
+    }
   }
 
   test("watermark horizon bounds both comparisons and state") {
