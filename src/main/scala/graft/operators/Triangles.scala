@@ -70,13 +70,17 @@ object Triangles {
       .select(col("node"), col("c").as("n_triangles"))
     else {
       val parts = (0 until batches).map { k =>
-        val t = closeSlice(oriented.filter(
+        val slice = closeSlice(oriented.filter(
             pmod(xxhash64(col("u")), lit(batches)) === k))
-          .localCheckpoint(true) // eager: severs lineage to slice shuffles
-        // the severed shuffles are deleted by the ContextCleaner once
-        // their weak refs are GC'd — nudge so disk frees BEFORE the
-        // next slice starts writing (the whole point of batching)
-        System.gc()
+        val t = slice.localCheckpoint(true) // eager: severs lineage to slice shuffles
+        // unregister the slice's wedge shuffles DETERMINISTICALLY so
+        // disk frees before the next slice starts writing (the whole
+        // point of batching) — no GC/weak-ref timing involved:
+        // cleanShuffleDependencies (SPARK-31756) walks the severed
+        // plan's ancestry and stops at any persisted RDD, so the cached
+        // oriented edge list and its upstream shuffle survive while the
+        // slice-local wedge/close shuffle files are removed now
+        slice.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
         t
       }
       parts.reduce(_ unionAll _)

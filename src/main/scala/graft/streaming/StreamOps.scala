@@ -496,7 +496,19 @@ object StreamOps {
     * base (`_compacted_through`, promoted atomically with it), and a
     * request older than that horizon FAILS LOUDLY instead of silently
     * returning a later state — the same contract every lake format's
-    * retention gives time travel. */
+    * retention gives time travel.
+    *
+    * Reader-vs-COMPACTOR concurrency: the returned DataFrame is LAZY
+    * over the delta listing taken here, so an action that executes it
+    * after a concurrent [[compactMergeOnRead]] deleted the consumed
+    * delta dirs fails with FileNotFoundException (a concurrent APPENDER
+    * is safe — the listing simply doesn't include its new delta). The
+    * recovery contract: re-invoke readMergeOnRead and re-run the action
+    * — the post-swap base already contains the folded deltas, so one
+    * retry converges to the identical snapshot. Schedule reads off the
+    * compaction window (or wrap the action in that single retry); this
+    * is the same read-after-vacuum window every file-listing-based lake
+    * reader has, narrowed here to the one compaction swap. */
   def readMergeOnRead(spark: SparkSession, tableDir: String,
                       keys: Seq[String], opCol: String,
                       version: Seq[String],
@@ -904,8 +916,21 @@ object StreamOps {
     * State per user = ONLY the touch buffer inside the horizon of the
     * newest event seen (pruned every batch), never the purchases —
     * bounded by horizon × per-user touch rate, the stream-stream join's
-    * bound class, NOT corpus-sized. */
-  def attributionLastTouch(events: Dataset[Event], horizonDays: Int = 3)
+    * bound class, NOT corpus-sized.
+    *
+    * ORDERED-DELIVERY OBSERVABILITY: batch parity requires event-time-
+    * ordered delivery per user (the maxTs-horizon prune assumes future
+    * events arrive at ts >= maxTs). A violated contract must be
+    * visible, not silent: pass `lateEvents` (a
+    * `sparkContext.longAccumulator`) and every event arriving with ts
+    * BELOW the user's pre-batch high-water mark — the cross-batch
+    * misorder that can degrade parity; in-batch disorder is sorted away
+    * — increments it. Zero after a run certifies the feed kept the
+    * contract; nonzero quantifies exactly how much arrived late
+    * (monitor it per trigger like the funnel's loud `require`, but as a
+    * count — late data is a data property, not a caller bug). */
+  def attributionLastTouch(events: Dataset[Event], horizonDays: Int = 3,
+                           lateEvents: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[AttrOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -923,6 +948,11 @@ object StreamOps {
             (tsMicros(e.ts), if (e.event_type == "purchase") 1 else 0,
               e.event_id))
           var st = state.getOption.getOrElse(AttrState(Nil, Long.MinValue))
+          // the pre-batch high-water mark: events below it arrived out
+          // of order ACROSS batches (in-batch disorder is sorted away)
+          val entryMax = st.maxTs
+          lateEvents.foreach(acc =>
+            evs.foreach(e => if (tsMicros(e.ts) < entryMax) acc.add(1L)))
           val out = scala.collection.mutable.ListBuffer.empty[AttrOut]
           evs.foreach { e =>
             val t = tsMicros(e.ts)

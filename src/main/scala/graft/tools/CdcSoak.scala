@@ -69,8 +69,11 @@ object CdcSoak {
 
     /** One soak sequence against `dir` with partition column `pcol`:
       * seed, then nBatches single-month update batches. Returns
-      * per-batch seconds (seed excluded). */
-    def run(dir: String, pcol: String, label: String): Seq[Double] = {
+      * per-batch (seconds, bytes of the partition REWRITTEN by that
+      * batch — measured inside the loop right after the merge, so it is
+      * that batch's true write footprint, not the end-state size after
+      * later batches grew the partition). Seed excluded. */
+    def run(dir: String, pcol: String, label: String): Seq[(Double, Long)] = {
       deleteRec(new java.io.File(dir))
       val base = orders.withColumn("pall", lit(0))
       val (_, seedS) = timed {
@@ -98,8 +101,11 @@ object CdcSoak {
             batch, dir, keys = Seq("o_orderkey"), opCol = "op",
             version = Seq("ver"), partitionKey = pcol)
         }
-        println(f"soak[$label]: batch $i month $m keys<=$keysPerBatch $s%.1f s")
-        s
+        val pval = if (pcol == "pmonth") m else 0
+        val bytes = dirBytes(new java.io.File(dir, s"$pcol=$pval"))
+        println(f"soak[$label]: batch $i month $m keys<=$keysPerBatch $s%.1f s " +
+          f"${bytes / 1024}%d KiB rewritten")
+        (s, bytes)
       }
     }
 
@@ -144,14 +150,12 @@ object CdcSoak {
       (perBatch.map(_._1), perBatch.map(_._2), readS)
     }
 
-    val scoped = run(s"$work/scoped", "pmonth", "partition-scoped")
-    val scopedBytes = (1 to nBatches).map { i =>
-      // steady-state per-batch write = the rewritten month partition
-      val m = months(i % months.length)
-      dirBytes(new java.io.File(s"$work/scoped", s"pmonth=$m"))
-    }
-    val full = run(s"$work/full", "pall", "full-rewrite")
-    val fullBytes = dirBytes(new java.io.File(s"$work/full"))
+    val scopedRes = run(s"$work/scoped", "pmonth", "partition-scoped")
+    val scoped = scopedRes.map(_._1)
+    val scopedBytes = scopedRes.map(_._2)
+    val fullRes = run(s"$work/full", "pall", "full-rewrite")
+    val full = fullRes.map(_._1)
+    val fullBytes = fullRes.map(_._2)
     val (morTimes, morBytes, morRead) = runMor(s"$work/mor")
     // all three snapshots must carry identical content
     // decimal-width hash sum: ANSI mode overflows a raw long sum
@@ -171,7 +175,8 @@ object CdcSoak {
       f"median delta ${median(morBytes.map(_.toDouble)) / 1024}%.0f KiB/batch vs " +
       f"scoped rewrite ${median(scopedBytes.map(_.toDouble)) / 1024}%.0f KiB/batch " +
       f"(write-amp x${median(scopedBytes.map(_.toDouble)) / median(morBytes.map(_.toDouble))}%.1f), " +
-      f"full rewrite ${fullBytes / 1024}%d KiB/batch; reconciled read $morRead%.1f s")
+      f"full rewrite ${median(fullBytes.map(_.toDouble)) / 1024}%.0f KiB/batch; " +
+      f"reconciled read $morRead%.1f s")
     spark.stop()
   }
 

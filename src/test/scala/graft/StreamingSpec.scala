@@ -613,6 +613,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, "click"), (2L, "none"), (3L, "view")), s"got $got")
   }
 
+  test("attribution late-event counter surfaces cross-batch ordering violations") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("attr-late-test")
+    val in = MemoryStream[Event]
+    val q = StreamOps.attributionLastTouch(in.toDS(), horizonDays = 3,
+        lateEvents = Some(acc))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrlate").start()
+    // batch 1 in order (in-batch disorder doesn't count: it's sorted)
+    in.addData(Event(2, ts(10), 1, "view", 0), Event(1, ts(0), 1, "click", 0))
+    q.processAllAvailable()
+    assert(acc.value == 0L, "ordered delivery must leave the counter at 0")
+    // batch 2 violates the contract: ts(5) is behind user 1's high-water
+    // mark ts(10) — parity may degrade, and the counter must say so
+    in.addData(Event(3, ts(5), 1, "click", 0), Event(4, ts(20), 1, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.value == 1L, s"the late touch must be counted, got ${acc.value}")
+  }
+
   test("streaming attribution equals the q_attribution driver query on real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
