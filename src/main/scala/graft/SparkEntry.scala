@@ -758,6 +758,20 @@ object SparkEntry {
   private val mixtureTargets: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1)
 
+  /** q_interleave's integer language weights (relative emit rates) —
+    * one definition feeds the Spark query and the oracle's VALUES
+    * literals (as lcm/weight strides, the exact integers the operator
+    * orders by). */
+  private val interleaveWeights: Map[String, Int] =
+    Map("en" -> 5, "de" -> 2, "es" -> 2, "fr" -> 1, "zh" -> 1)
+
+  private def interleaveStrideValues: String = {
+    val lcmAll = interleaveWeights.values.foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    interleaveWeights.toSeq.sortBy(_._1)
+      .map { case (g, w) => s"('$g', ${lcmAll / w})" }.mkString(", ")
+  }
+
   private def mixtureOracle: String = {
     val values = mixtureTargets.toSeq.sortBy(_._1)
       .map { case (g, s) => s"('$g', $s)" }.mkString(", ")
@@ -775,6 +789,28 @@ object SparkEntry {
        |GROUP BY 1
        |ORDER BY lang""".stripMargin
   }
+
+  /** q_interleave's oracle: the same lcm/weight strides as VALUES
+    * literals, the same two-window derivation — all-integer virtual
+    * time, so the merged order replays exactly. */
+  private def interleaveOracle: String =
+    s"""WITH w AS (SELECT * FROM (VALUES $interleaveStrideValues)
+       |    AS v(grp, stride)),
+       |r AS (
+       |  SELECT d.lang, d.doc_id, w.stride,
+       |    row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY md5(concat('pos:', CAST(d.doc_id AS VARCHAR))),
+       |        d.doc_id) AS grp_rank
+       |  FROM documents d JOIN w ON d.lang = w.grp),
+       |m AS (
+       |  SELECT lang, doc_id, grp_rank, grp_rank * stride AS vt
+       |  FROM r WHERE grp_rank <= 200),
+       |p AS (
+       |  SELECT lang, doc_id, grp_rank,
+       |    row_number() OVER (ORDER BY vt, lang, doc_id) AS interleave_pos
+       |  FROM m)
+       |SELECT interleave_pos, lang, doc_id, grp_rank FROM p
+       |WHERE interleave_pos <= 200 ORDER BY interleave_pos""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -3821,6 +3857,82 @@ object SparkEntry {
           $"n_rows_exposed", $"min_diversity", $"max_class")
     }),
 
+    "q_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      // Training-shard export, loader side: assign every document to
+      // one of 16 shards by the salted-md5 channel and publish the
+      // per-shard manifest (docs, chars, token mass) an epoch planner
+      // reads. Assignment is scan-stage (no shuffle); the manifest is
+      // one small map-side-partial aggregation. Balance is
+      // law-of-large-numbers over the md5-uniform — the oracle
+      // recomputes the exact assignment, so balance is auditable.
+      val d = Tables.documents(s, dir)
+      operators.Sharding.manifest(d, $"doc_id", nShards = 16,
+          Seq("sum_chars" -> $"n_chars",
+            "sum_tokens" -> TextFns.tokenCount($"text").cast(LongType)))
+        .orderBy($"shard_id")
+    }),
+
+    "q_shuffle_shard" -> ((s, dir) => {
+      import s.implicits._
+      // Training-shard export, order side: the reproducible global
+      // shuffle — intra-shard order comes from an md5 channel
+      // INDEPENDENT of the shard channel, so position and membership
+      // are uncorrelated. Emitted: each shard's first three documents
+      // in write order (the determinism probe a resume-from-checkpoint
+      // audit replays). One exchange on shard_id — the write
+      // partitioning itself — and the rank filter is bounded top-k
+      // (WindowGroupLimit / TopKPerGroup), never a full per-shard sort
+      // materialization.
+      graft.plans.GraftExtensions.install(s)
+      operators.Sharding.withPositions(
+          Tables.documents(s, dir).select($"doc_id"), $"doc_id", nShards = 16)
+        .filter($"shuffle_pos" <= 3)
+        .select($"shard_id", $"shuffle_pos", $"doc_id")
+        .orderBy($"shard_id", $"shuffle_pos")
+    }),
+
+    "q_interleave" -> ((s, dir) => {
+      import s.implicits._
+      // Deterministic weighted source interleave — the ordered form of
+      // the mixture question: emit the corpus so every PREFIX tracks
+      // the target language rates (weighted-fair-queueing virtual time,
+      // kept in exact lcm/weight integers — nothing float). First 200
+      // positions of the merged stream (a true prefix at every SF);
+      // per-group candidates are rank-bounded before the single tiny
+      // global top-k, so the corpus never globally sorts.
+      operators.Sharding.interleavePrefix(
+          Tables.documents(s, dir).select($"doc_id", $"lang"),
+          $"lang", $"doc_id", interleaveWeights, k = 200)
+        .select($"interleave_pos", $"lang", $"doc_id", $"grp_rank")
+        .orderBy($"interleave_pos")
+    }),
+
+    "q_survival" -> ((s, dir) => {
+      import s.implicits._
+      // Kaplan–Meier churn curve over user lifetimes: duration = whole
+      // hours from a user's first to last event (exact epoch-micros
+      // floor division — timezone-free), right-censored when the last
+      // event falls inside the feed's final 24 hours (the user may
+      // still be active — retention's blind spot, KM's whole point).
+      // Per-subject derivation is one user_id shuffle; the estimator
+      // itself runs on the tiny distinct-duration table and its
+      // sequential product folds exactly like q_ewma, replayed by the
+      // oracle as a recursive CTE — hash-equal without tolerance.
+      val ev = Tables.events(s, dir)
+      val perUser = ev.groupBy($"user_id")
+        .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      val gm = ev.agg(max($"ts").as("max_ts"))
+      val subjects = perUser.crossJoin(broadcast(gm))
+        .select(
+          expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+            " div 3600000000").as("t"),
+          when($"last_ts" < $"max_ts" - expr("INTERVAL 24 HOUR"), 1L)
+            .otherwise(0L).as("obs"))
+      operators.Survival.kaplanMeier(subjects, $"t", $"obs")
+        .orderBy($"t")
+    }),
+
     "q_cooccur_recs" -> ((s, dir) => {
       import s.implicits._
       // Item-item co-occurrence recommendations ("bought together"):
@@ -6352,6 +6464,73 @@ object SparkEntry {
         |    AS n_rows_exposed,
         |  min(n_sensitive) AS min_diversity, max(sz) AS max_class
         |FROM cls""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks,
+        |    CAST(concat('0x', substr(md5(concat('shard:',
+        |        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 16 AS shard_id
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM a GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    "q_shuffle_shard" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('shard:',
+        |        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 16 AS shard_id,
+        |    md5(concat('pos:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard_id, doc_id,
+        |    row_number() OVER (PARTITION BY shard_id
+        |      ORDER BY shuffle_key, doc_id) AS shuffle_pos
+        |  FROM a)
+        |SELECT shard_id, shuffle_pos, doc_id FROM r WHERE shuffle_pos <= 3
+        |ORDER BY shard_id, shuffle_pos""".stripMargin,
+
+    "q_interleave" -> interleaveOracle,
+
+    "q_survival" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |gm AS (SELECT max(ts) AS max_ts FROM events),
+        |subj AS (
+        |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000
+        |      AS t,
+        |    CASE WHEN last_ts < max_ts - INTERVAL 24 HOUR
+        |      THEN 1 ELSE 0 END AS obs
+        |  FROM per_user, gm),
+        |pert AS (
+        |  SELECT t, count(*) AS n_ending, sum(obs) AS n_events
+        |  FROM subj GROUP BY 1),
+        |risked AS (
+        |  SELECT t, n_events,
+        |    sum(n_ending) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM pert),
+        |ev AS (
+        |  SELECT t, n_risk, n_events,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM risked WHERE n_events > 0),
+        |s AS (
+        |  SELECT rn, t, n_risk, n_events,
+        |    1.0 * (1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      AS surv
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.rn, e.t, e.n_risk, e.n_events,
+        |    s.surv * (1.0 - CAST(e.n_events AS DOUBLE)
+        |      / CAST(e.n_risk AS DOUBLE))
+        |  FROM s JOIN ev e ON e.rn = s.rn + 1)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  round(surv, 6) AS survival
+        |FROM s ORDER BY t""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH cust AS (

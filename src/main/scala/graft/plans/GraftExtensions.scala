@@ -32,7 +32,10 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
     case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(RowNumber(), _), _)
-          if w.orderSpec.nonEmpty =>
+          // empty partitionSpec = a GLOBAL top-k: ClusteredDistribution
+          // can't express it (needs AllTuples) and Spark already handles
+          // it via Limit pushdown — leave it alone
+          if w.orderSpec.nonEmpty && w.partitionSpec.nonEmpty =>
           boundFrom(cond, alias.toAttribute) match {
             case Some(k) if k > 0 =>
               // Spark's own InferWindowGroupLimit may already have inserted
