@@ -73,6 +73,42 @@ class ShardingSpec extends AnyFunSuite with SparkSpec {
     assert(m.map(_.getLong(2)).sum == total.getLong(0), "char mass")
   }
 
+  test("sharded export writes byte-identical shards across runs") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+
+    def export(out: String): Map[String, Seq[String]] = {
+      // the export plan: assign + order, ONE exchange on shard_id (the
+      // write partitioning), write order = shuffle order
+      val positioned = Sharding.withPositions(docs, $"doc_id", 4)
+        .repartition(col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("shuffle_pos"))
+      graft.etl.PartitionedWriter.write(positioned, out,
+        partitionKeys = Seq("shard_id"))
+      // per shard dir: md5 of each data file's bytes, sorted
+      val root = Paths.get(out)
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("shard_id="))
+        .map { dir =>
+          val hashes = Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              java.util.HexFormat.of().formatHex(
+                md.digest(Files.readAllBytes(f)))
+            }.toSeq.sorted
+          dir.getFileName.toString -> hashes
+        }.toMap
+    }
+
+    val a = export("target/shard-export-a")
+    val b = export("target/shard-export-b")
+    assert(a.keySet == (0 until 4).map(i => s"shard_id=$i").toSet)
+    assert(a == b, "re-export produced different shard bytes")
+  }
+
   test("interleave prefix tracks the target weights and is deterministic") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
