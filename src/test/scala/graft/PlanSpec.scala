@@ -457,4 +457,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"bin histogram not partial-aggregated:\n$p")
   }
+
+  test("shard manifest: scan-stage assignment, exactly one data exchange") {
+    val p = plan("q_shard_manifest")
+    // assignment must not shuffle the corpus — the only hash exchange is
+    // the aggregation's own (16 groups); everything else is scan-stage
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"shard assignment added an exchange:\n$p")
+    assert(p.contains("partial_sum"), s"manifest not map-side partial:\n$p")
+  }
+
+  test("shuffle shard: per-shard order is a bounded top-k, pruned below the exchange") {
+    val p = plan("q_shuffle_shard")
+    // the write-order probe must never materialize a full per-shard
+    // sort: a bounded heap (TopKLocal) or Spark's partial
+    // WindowGroupLimit must run BEFORE the shard exchange
+    val lines = p.linesIterator.toList
+    val exchangeAt = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val localAt = lines.indexWhere(l =>
+      l.contains("TopKLocal") || (l.contains("WindowGroupLimit") && l.contains("Partial")))
+    assert(exchangeAt >= 0 && localAt > exchangeAt, // plans print root-first
+      s"no pre-exchange bounded selection:\n$p")
+  }
+
+  test("interleave: global prefix is a TakeOrderedAndProject, never a global sort exchange") {
+    val p = plan("q_interleave")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"prefix merge not a bounded global top-k:\n$p")
+    // one exchange for the per-group rank (on lang); the global merge
+    // must not add a rangepartitioning pass over candidates (the output
+    // ORDER BY rides the already-bounded 200 rows)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"unexpected extra exchange:\n$p")
+  }
+
+  test("survival: the estimator's single-partition stages touch only the duration table") {
+    val p = plan("q_survival")
+    val lines = p.linesIterator.toList
+    // the SinglePartition exchange must sit ABOVE the per-duration
+    // aggregate (tiny table), never above the raw events scan
+    val single = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    val durAgg = lines.indexWhere(l =>
+      l.contains("HashAggregate(keys=[t#") && !l.contains("partial"))
+    assert(single >= 0 && durAgg > single,
+      s"single-partition stage not fed by the duration aggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global max not broadcast:\n$p")
+  }
 }
