@@ -1624,6 +1624,28 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "q_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      // Split-leakage audit — the classic eval-integrity failure: a
+      // near-duplicate pair STRADDLING the train/eval boundary leaks
+      // the answer into training (decontamination's blind spot when
+      // splits are drawn after dedup, or dedup after splits). Pairs
+      // come from the same banded LSH lane as q_dedup_minhash; split
+      // labels are pure md5-bucket FUNCTIONS of doc identity
+      // (q_train_test_split's exact assignment), so the audit adds
+      // zero shuffles and zero joins on top of the dedup it rides.
+      def split(c: Column): Column = {
+        val b = operators.Sampling.hashBucket(c)
+        when(b < 10, "test").when(b < 20, "val").otherwise(lit("train"))
+      }
+      Dedup.minhashLshPairs(Tables.documents(s, dir), $"text", $"doc_id",
+          shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        .select($"id_a", $"id_b", $"jaccard",
+          split($"id_a").as("split_a"), split($"id_b").as("split_b"))
+        .filter($"split_a" =!= $"split_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       // MD5-half signatures (cross-engine reproducible) through the same
@@ -5280,6 +5302,26 @@ object SparkEntry {
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
         |SELECT id_a, id_b, jaccard FROM pairs
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH $minhashPairCtes,
+        |sp AS (
+        |  SELECT id_a, id_b, jaccard,
+        |    CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS ba,
+        |    CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bb
+        |  FROM pairs),
+        |lab AS (
+        |  SELECT id_a, id_b, jaccard,
+        |    CASE WHEN ba < 10 THEN 'test' WHEN ba < 20 THEN 'val'
+        |      ELSE 'train' END AS split_a,
+        |    CASE WHEN bb < 10 THEN 'test' WHEN bb < 20 THEN 'val'
+        |      ELSE 'train' END AS split_b
+        |  FROM sp)
+        |SELECT id_a, id_b, jaccard, split_a, split_b FROM lab
+        |WHERE split_a <> split_b
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components as a SQL oracle: the near-dup pair set (same
