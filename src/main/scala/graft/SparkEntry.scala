@@ -3126,6 +3126,40 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    "q_autocorr" -> ((s, dir) => {
+      import s.implicits._
+      // Lag-k autocorrelation of the daily-revenue series (k = 1..7) —
+      // the seasonality probe behind every forecasting decision (is
+      // there a weekly cycle worth a seasonal term in q_holt_trend's
+      // model?). Pearson correlation between the series and its k-day
+      // calendar lag, from exact decimal moments (the q_corr recipe) so
+      // the value is engine-exact. Scale shape: the corpus collapses to
+      // ONE tiny date aggregation; the 7 lag pairings are broadcast
+      // self-joins of that daily table — adding lags never rescans
+      // orders.
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date($"o_orderdate").as("d"))
+        .agg(sum(dec2($"o_totalprice")).cast(DoubleType).as("rev"))
+      val lags = (1 to 7).map(_.toLong).toDF("lag")
+      val x = $"xa"; val y = $"xb"
+      daily.select($"d", $"rev".as("xa"))
+        .crossJoin(broadcast(lags))
+        .join(daily.select($"d".as("d2"), $"rev".as("xb")),
+          expr("d2 = date_add(d, cast(lag as int))"))
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(30, 6))).cast(DoubleType).as("sx"),
+          sum(y.cast(DecimalType(30, 6))).cast(DoubleType).as("sy"),
+          sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("sxx"),
+          sum((y * y).cast(DecimalType(30, 6))).cast(DoubleType).as("syy"),
+          sum((x * y).cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"))
+        .select($"lag", $"n",
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n" * $"syy" - $"sy" * $"sy")), 6).as("autocorr"))
+        .orderBy($"lag")
+    }),
+
     "q_kmeans_topics" -> ((s, dir) => {
       import s.implicits._
       // corpus topic clustering (SemDeDup/domain-balancing primitive):
@@ -5880,6 +5914,31 @@ object SparkEntry {
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM st
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+        |  AS v(lag)),
+        |prs AS (
+        |  SELECT CAST(l.lag AS BIGINT) AS lag, a.rev AS xa, b.rev AS xb
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+        |st AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(CAST(xa AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(xb AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xa * xa AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(xb * xb AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(xa * xb AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM prs GROUP BY 1)
+        |SELECT lag, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS autocorr
+        |FROM st
+        |ORDER BY lag""".stripMargin,
 
     "q_mixture_sample" -> mixtureOracle,
 
