@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Add-column schema evolution for the CDC lanes — the one evolution
   * every lake format supports (Delta/Iceberg/Hudi `mergeSchema`):
@@ -25,6 +25,20 @@ import org.apache.spark.sql.types.StructType
   * before a column existed when handed the evolved read schema. */
 object SchemaEvolve {
 
+  /** `dt` with every nested nullability flag forced true — the
+    * comparison domain in which "same type" means same type, not same
+    * provenance (parquet reads report containsNull=true where an
+    * in-memory Encoder says false). */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, allNullable(f.dataType), nullable = true, f.metadata)))
+    case a: ArrayType => ArrayType(allNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(allNullable(m.keyType), allNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   /** The evolved schema: `base`'s fields in order, then `incoming`'s new
     * fields in their own order. Type comparison ignores nullability
     * (evolution makes everything newly-added nullable by construction).
@@ -33,7 +47,11 @@ object SchemaEvolve {
     val byName = base.fields.map(f => f.name -> f).toMap
     incoming.fields.foreach { f =>
       byName.get(f.name).foreach { b =>
-        require(b.dataType == f.dataType,
+        // normalize nullability on both sides: it lives NESTED too
+        // (ArrayType.containsNull, struct-field nullable), and a batch
+        // built from case classes legitimately encodes tighter
+        // nullability than the parquet-read base — that is not a retype
+        require(allNullable(b.dataType) == allNullable(f.dataType),
           s"schema evolution: column '${f.name}' retyped from " +
             s"${b.dataType.sql} to ${f.dataType.sql} — only add-column " +
             "evolution is supported; a retype requires a table rewrite")

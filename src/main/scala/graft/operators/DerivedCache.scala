@@ -56,9 +56,15 @@ object DerivedCache {
     d.toString
   }
 
-  /** Version fingerprint of input paths: every file's path, size and
-    * mtime (directories walked recursively, name-sorted), folded into a
-    * stable 64-bit hex hash. Pure metadata — never opens the files. */
+  /** Version fingerprint of input paths: every file's path, size,
+    * mtime AND a hash of its final 4 KiB (directories walked
+    * recursively, name-sorted), folded into a stable 64-bit hex hash.
+    * The tail sample closes the metadata-only blind spot: an in-place
+    * rewrite that preserves byte length within the filesystem's mtime
+    * granularity still changes a parquet file's footer (row-group
+    * offsets/stats live there), so it still re-fingerprints. Cost: one
+    * bounded read per input file — input tables are a handful of
+    * files, never the corpus. */
   def fingerprint(inputs: Seq[String]): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -67,21 +73,62 @@ object DerivedCache {
       else if (f.isFile) Seq(f)
       else Seq.empty
     val sig = inputs.sorted.flatMap(p => walk(new java.io.File(p)))
-      .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
+      .map(f => s"${f.getPath}|${f.length}|${f.lastModified}|${tailHash(f)}")
       .mkString("\n")
     java.lang.Long.toHexString(
       sig.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
 
+  private def tailHash(f: java.io.File): Long = {
+    val len = f.length
+    val n = math.min(4096L, len).toInt
+    if (n <= 0) 0L
+    else {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        raf.seek(len - n)
+        val buf = new Array[Byte](n)
+        raf.readFully(buf)
+        buf.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+      } finally raf.close()
+    }
+  }
+
   /** The derived table for `key` over the given input paths: the inputs'
-    * file-listing fingerprint joins the cache key, so mutating an input
-    * (size or mtime change) triggers a rebuild instead of serving the
-    * stale derivation. This is the registration every derivation should
-    * use; [[table]] remains for keys whose inputs are immutable by
-    * contract. */
+    * file-listing fingerprint joins the cache key (as `key@fp` — '@' is
+    * reserved for this), so mutating an input triggers a rebuild
+    * instead of serving the stale derivation. This is the registration
+    * every derivation should use; [[table]] remains for keys whose
+    * inputs are immutable by contract.
+    *
+    * Superseded versions are EVICTED (entry dropped, parquet deleted):
+    * without eviction a long-lived JVM whose CDC lane rewrites an input
+    * repeatedly strands one GB-scale derivation per rewrite on the disk
+    * the shuffle already pressures. A query built against the old
+    * version and still running fails loudly on the vanished files —
+    * the right outcome, since its input was rewritten underneath it and
+    * its result would be stale. */
   def tableFor(s: SparkSession, key: String, inputs: Seq[String])
-              (build: => DataFrame): DataFrame =
-    table(s, s"$key@${fingerprint(inputs)}")(build)
+              (build: => DataFrame): DataFrame = {
+    val fullKey = s"$key@${fingerprint(inputs)}"
+    val df = table(s, fullKey)(build)
+    evictSuperseded(key, fullKey)
+    df
+  }
+
+  private def evictSuperseded(baseKey: String, keep: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    paths.keySet.asScala.toSeq
+      .filter(k => k != keep && k.startsWith(baseKey + "@"))
+      .foreach { k =>
+        keyLocks.computeIfAbsent(k, _ => new Object).synchronized {
+          val p = paths.remove(k)
+          if (p != null)
+            try graft.Fs.deleteRec(java.nio.file.Paths.get(p))
+            catch { case _: Exception => () }
+        }
+      }
+  }
 
   /** The derived table for `key` (any stable string naming the data dir
     * + derivation variant), building and writing it on first call.

@@ -925,10 +925,13 @@ object StreamOps {
     * `sparkContext.longAccumulator`) and every event arriving with ts
     * BELOW the user's pre-batch high-water mark — the cross-batch
     * misorder that can degrade parity; in-batch disorder is sorted away
-    * — increments it. Zero after a run certifies the feed kept the
-    * contract; nonzero quantifies exactly how much arrived late
-    * (monitor it per trigger like the funnel's loud `require`, but as a
-    * count — late data is a data property, not a caller bug). */
+    * — increments it. The count is AT-LEAST-ONCE under task
+    * retries/speculation (accumulators in transformations are not
+    * exactly-once), so it can only over-state: ZERO after a run still
+    * certifies the feed kept the contract; nonzero is an upper bound on
+    * how much arrived late (monitor it per trigger like the funnel's
+    * loud `require`, but as a count — late data is a data property,
+    * not a caller bug). */
   def attributionLastTouch(events: Dataset[Event], horizonDays: Int = 3,
                            lateEvents: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[AttrOut] = {

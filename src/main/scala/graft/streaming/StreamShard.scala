@@ -19,32 +19,43 @@ import graft.operators.Sharding
   * across batches with no streaming state beyond the shard files
   * themselves (no watermark, no store — the lake IS the state).
   *
-  * Scale shape: each micro-batch does scan-stage assignment plus an
-  * APPEND partitioned by shard_id — O(batch) work, O(batch) write,
-  * never a rewrite; the directory layout matches the batch exporter's,
-  * so readers and the manifest query are shared. Intra-shard ORDER is
+  * Scale shape: each micro-batch does scan-stage assignment plus one
+  * write of its own batch-scoped subdir partitioned by shard_id —
+  * O(batch) work, O(batch) write, never a rewrite of earlier batches;
+  * replay overwrites only the replayed batch's subdir (idempotent).
+  * Readers and the manifest query are shared with the batch layout
+  * modulo the extra `ingest` partition column. Intra-shard ORDER is
   * the one thing streaming cannot reproduce (arrival interleaves
   * shards): positions remain the batch exporter's job at epoch-freeze
   * time — one bounded per-shard rank over the already-routed layout. */
 object StreamShard {
 
-  /** Route a document stream into `outDir/shard_id=N/` (append-only).
-    * foreachBatch gives exactly-once-per-batch-id appends. */
+  /** Route a document stream into `outDir/ingest=<batchId>/shard_id=N/`.
+    * Each micro-batch writes its OWN ingest subdir with overwrite
+    * semantics, so a batch replayed after a crash (foreachBatch re-runs
+    * the same batchId on restart) REPLACES its own files instead of
+    * appending duplicates — idempotence comes from the layout, not from
+    * trusting the checkpoint to never re-deliver. A shard's content is
+    * the union of `shard_id=N` dirs across the ingest subdirs
+    * (partition discovery exposes both as columns; readers and the
+    * manifest drop `ingest`). */
   def shardRouter(docs: DataFrame, key: String, nShards: Int,
                   outDir: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        routeBatch(batch, key, nShards, outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        routeBatch(batch, key, nShards, outDir, batchId)
       }
       .start()
 
   /** One micro-batch of [[shardRouter]] — package-visible so specs can
     * drive batches directly (the appendDeltaBatch convention). */
   private[graft] def routeBatch(batch: DataFrame, key: String,
-                                nShards: Int, outDir: String): Unit =
+                                nShards: Int, outDir: String,
+                                batchId: Long): Unit =
     Sharding.assign(batch, col(key), nShards)
-      .write.partitionBy("shard_id").mode("append").parquet(outDir)
+      .write.partitionBy("shard_id").mode("overwrite")
+      .parquet(s"$outDir/ingest=$batchId")
 
   /** The routed layout's manifest: same aggregation the batch
     * q_shard_manifest runs, over the shard directories. */
@@ -53,7 +64,9 @@ object StreamShard {
     val aggs = weights.map { case (n, c) => sum(col(c)).cast("long").as(n) }
     spark.read.parquet(outDir)
       // partition-dir inference types shard_id as INT; restore the
-      // batch manifest's long schema
+      // batch manifest's long schema. ingest is the per-batch
+      // idempotence dimension, not a data column.
+      .drop("ingest")
       .withColumn("shard_id", col("shard_id").cast("long"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), aggs: _*)

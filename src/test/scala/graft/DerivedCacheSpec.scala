@@ -79,4 +79,43 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
     assert(builds.get() == 2)
     graft.Fs.deleteRec(dir)
   }
+
+  test("same-size in-place rewrite within mtime granularity still re-fingerprints") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("derived-tail")
+    val input = dir.resolve("t.bin")
+    Files.write(input, Array.fill[Byte](8192)(1))
+    val fp1 = DerivedCache.fingerprint(Seq(input.toString))
+    // same byte length, same forced mtime — only CONTENT differs (the
+    // blind spot of a metadata-only fingerprint)
+    val mtime = input.toFile.lastModified()
+    val b = Array.fill[Byte](8192)(1); b(8000) = 2
+    Files.write(input, b)
+    input.toFile.setLastModified(mtime)
+    val fp2 = DerivedCache.fingerprint(Seq(input.toString))
+    assert(fp1 != fp2, "content rewrite was invisible to the fingerprint")
+    graft.Fs.deleteRec(dir)
+  }
+
+  test("a rebuild evicts the superseded derivation's parquet") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("derived-evict")
+    val input = dir.resolve("t.txt")
+    Files.writeString(input, "v1")
+    val key = s"spec#evict-${System.nanoTime()}"
+    val first = DerivedCache.tableFor(spark, key, Seq(input.toString)) {
+      (1L to 5L).toDF("v")
+    }
+    val firstPath = first.inputFiles.head
+      .replaceFirst("^file:", "").replaceFirst("/[^/]*$", "")
+    assert(Files.exists(Paths.get(firstPath)))
+    Files.writeString(input, "v2-but-longer")
+    rows(DerivedCache.tableFor(spark, key, Seq(input.toString)) {
+      (1L to 7L).toDF("v")
+    })
+    assert(!Files.exists(Paths.get(firstPath)),
+      s"superseded derivation not evicted: $firstPath")
+    graft.Fs.deleteRec(dir)
+  }
 }

@@ -8,12 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamShardSpec extends AnyFunSuite with SparkSpec {
 
   private def wipe(dir: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete()
-    }
     val f = new java.io.File(dir)
-    if (f.exists()) rec(f)
+    if (f.exists()) graft.Fs.deleteRec(f.toPath)
   }
 
   test("streamed shard layout's manifest equals the batch q_shard_manifest lane on real documents") {
@@ -54,8 +50,8 @@ class StreamShardSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toVector
     def route(out: String, batches: Seq[Seq[Long]]): Map[Long, Long] = {
       wipe(out)
-      batches.foreach { b =>
-        StreamShard.routeBatch(b.toDF("doc_id"), "doc_id", 4, out)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamShard.routeBatch(b.toDF("doc_id"), "doc_id", 4, out, i.toLong)
       }
       spark.read.parquet(out)
         .select($"doc_id", $"shard_id".cast("long")).collect()
@@ -69,5 +65,23 @@ class StreamShardSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id", $"shard_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == want, "streamed membership != batch assignment")
+  }
+
+  test("a replayed micro-batch overwrites its own subdir — no duplicates") {
+    import spark.implicits._
+    val out = "target/stream-shard-replay"
+    wipe(out)
+    val b0 = (1L to 20L).toVector
+    val b1 = (21L to 35L).toVector
+    StreamShard.routeBatch(b0.toDF("doc_id"), "doc_id", 4, out, 0L)
+    StreamShard.routeBatch(b1.toDF("doc_id"), "doc_id", 4, out, 1L)
+    // crash-recovery replay: foreachBatch re-delivers batchId 1
+    StreamShard.routeBatch(b1.toDF("doc_id"), "doc_id", 4, out, 1L)
+    val got = spark.read.parquet(out).select($"doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.sameElements((b0 ++ b1).sorted),
+      s"replay duplicated or dropped rows: ${got.length} rows")
+    val m = StreamShard.manifestOf(spark, out, Nil).collect()
+    assert(m.map(_.getLong(1)).sum == 35L, "manifest counts inflated")
   }
 }
