@@ -30,6 +30,7 @@ import org.apache.spark.sql.types._
 object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
   private def disc6(price: Column, discount: Column): Column =
     (price * (lit(1.0) - discount)).cast(DecimalType(18, 6))
   /** Exact decimal sum, emitted as double (see parity rules above). */
@@ -94,6 +95,56 @@ object SparkEntry {
       |      (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
       |       WHERE l2.l_partkey = li.l_partkey))
       |ORDER BY s.s_name""".stripMargin
+
+  /** ONE SQL text for q4_order_priority on BOTH engines (the TPC-H Q4
+    * class): priority counts of orders with at least one lineitem
+    * shipped >90 days after the order date — a correlated EXISTS whose
+    * predicate references the OUTER order's date (this schema has no
+    * commit/receipt dates; ship-vs-order lateness is the analogue).
+    * Catalyst decorrelates to one left-semi join on the order key with
+    * the lateness predicate in the join condition — never a per-row
+    * probe. Timestamps are UTC midnights, so `+ INTERVAL 90 DAY` is
+    * exact and identical in both engines. */
+  private val correlatedQ4Sql: String =
+    """SELECT o.o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** ONE SQL text for q21_waiting_suppliers on BOTH engines (the TPC-H
+    * Q21 class): suppliers who were the SOLE late shipper on a finished
+    * multi-supplier order — EXISTS (another supplier on the order) plus
+    * a correlated NOT EXISTS whose predicate references outer columns
+    * from TWO tables (l1's key/supplier and o's date). Catalyst plans
+    * the pair as a left-semi + left-anti join over the lineitem scan
+    * (both correlations are equi on l_orderkey; the lateness and
+    * supplier-inequality predicates ride the join conditions) — the
+    * classic decorrelation stress shape. Lateness = shipped >60 days
+    * after the order date, as in q4's analogue. */
+  private val correlatedQ21Sql: String =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin
 
   /** q_dedup_embedding oracle: same semantics as
     * Similarity.cosineNearDupPairs (pairs whose hyperplane sign-buckets
@@ -790,6 +841,32 @@ object SparkEntry {
        |ORDER BY lang""".stripMargin
   }
 
+  /** q_minhash_recall's shared hash family: H md5-derived minhash
+    * functions h_i(s) = int(md5('i:' + s)[0..8)) — one definition
+    * renders BOTH the Spark aggregate exprs and the oracle's SQL min
+    * lines, so the signatures cannot drift between engines. */
+  private val minhashAuditH = 16
+
+  private def minhashAuditSparkMins: Seq[Column] =
+    (0 until minhashAuditH).map(i => min(expr(
+      s"cast(conv(substring(md5(concat('$i:', sh0)), 1, 8), 16, 10) as bigint)"))
+      .as(s"m$i"))
+
+  private def minhashAuditSqlMins: String =
+    (0 until minhashAuditH).map(i =>
+      s"    min(CAST(concat('0x', substr(md5(concat('$i:', s)), 1, 8)) " +
+        s"AS BIGINT)) AS m$i").mkString(",\n|")
+
+  /** One band-match predicate per banding config: bands of H/bands
+    * consecutive signature positions, all-equal within a band. */
+  private def minhashAuditBandPred(bands: Int): String = {
+    val r = minhashAuditH / bands
+    (0 until bands).map { j =>
+      ((j * r) until ((j + 1) * r))
+        .map(i => s"a.m$i = b.m$i").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+  }
+
   /** q_interleave's oracle: the same lcm/weight strides as VALUES
     * literals, the same two-window derivation — all-integer virtual
     * time, so the merged order replays exactly. */
@@ -905,6 +982,259 @@ object SparkEntry {
       Tables.supplier(s2, dir).createOrReplaceTempView("supplier")
       Tables.nation(s2, dir).createOrReplaceTempView("nation")
       s2.sql(correlatedQ20Sql)
+    }),
+
+    "q4_order_priority" -> ((s, dir) => {
+      // correlated EXISTS (TPC-H Q4 class) through the shared-SQL-text
+      // surface — Catalyst decorrelates to a left-semi join on the order
+      // key (see correlatedQ4Sql's scaladoc); child session isolates the
+      // canonical temp-view names from concurrent queries
+      val s2 = s.newSession()
+      Tables.orders(s2, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
+      s2.sql(correlatedQ4Sql)
+    }),
+
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // EXISTS + correlated-on-two-tables NOT EXISTS (TPC-H Q21 class):
+      // Catalyst plans a semi + anti join over lineitem (see
+      // correlatedQ21Sql's scaladoc)
+      val s2 = s.newSession()
+      Tables.supplier(s2, dir).createOrReplaceTempView("supplier")
+      Tables.orders(s2, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
+      s2.sql(correlatedQ21Sql)
+    }),
+
+    "q6_revenue_delta" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q6 class: pure scan → tight filter → one global agg. The
+      // whole point at 100 TB is that every predicate reaches the
+      // parquet scan (shipdate/discount/quantity all appear in
+      // PushedFilters) and only 3 columns are read; no shuffle beyond
+      // the 1-row partial-agg exchange.
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" <  lit("1998-01-01").cast(TimestampType) &&
+                $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(dsum(dec6($"l_extendedprice" * $"l_discount")).as("revenue"),
+             count(lit(1)).as("n_lines"))
+    }),
+
+    "q7_volume_shipping" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q7 class: bilateral trade volume between two nations by
+      // ship year. Both nation dims broadcast; the customer→nation and
+      // supplier→nation legs filter EARLY (each side restricted to the
+      // two nations before the fact join), and the cross-pair predicate
+      // keeps only the two directed pairs.
+      val n1 = broadcast(Tables.nation(s, dir)
+        .filter($"n_name".isin("NATION_11", "NATION_12"))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .filter($"n_name".isin("NATION_11", "NATION_12"))
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+      val sup = broadcast(Tables.supplier(s, dir).join(n1, $"s_nationkey" === $"s_nk"))
+      val cus = Tables.customer(s, dir).join(n2, $"c_nationkey" === $"c_nk")
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+                $"l_shipdate" <  lit("1998-01-01").cast(TimestampType))
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(cus, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast(LongType).as("l_year"))
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q8 class: one nation's share of a region's spend on one
+      // part type, by order year. num and den are EXACT decimal sums;
+      // the share is the double quotient of their (identically-rounded)
+      // double casts — bit-stable across engines, no rounding fudge.
+      val part = broadcast(Tables.part(s, dir).filter($"p_type" === "ECONOMY"))
+      val n2r = broadcast(Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("c_nk")))
+      val cus = Tables.customer(s, dir).join(n2r, $"c_nationkey" === $"c_nk")
+      val supN = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation")))
+      val vol = disc6($"l_extendedprice", $"l_discount")
+      Tables.lineitem(s, dir)
+        .join(part, $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(cus, $"o_custkey" === $"c_custkey")
+        .join(supN, $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").cast(LongType).as("o_year"))
+        .agg(
+          dsum(when($"supp_nation" === "NATION_5", vol)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("nation_volume"),
+          dsum(vol).as("total_volume"))
+        .select($"o_year", $"nation_volume", $"total_volume",
+          ($"nation_volume" / $"total_volume").as("mkt_share"))
+        .orderBy($"o_year")
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q9 class (no partsupp in this schema → retail price ×
+      // quantity stands in for supply cost): per-supplier-nation,
+      // per-order-year profit on one part family. Decimal subtraction
+      // keeps the sum exact; part + supplier×nation broadcast.
+      val part = broadcast(Tables.part(s, dir).filter($"p_name".like("%bolt%"))
+        .select($"p_partkey", $"p_retailprice"))
+      val supN = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation")))
+      Tables.lineitem(s, dir)
+        .join(part, $"l_partkey" === $"p_partkey")
+        .join(supN, $"l_suppkey" === $"s_suppkey")
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"nation", year($"o_orderdate").cast(LongType).as("o_year"))
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount") -
+               dec6($"p_retailprice" * $"l_quantity")).as("profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q10 class: top-20 customers by revenue lost to returns in
+      // one quarter. Exact decimal revenue → double; the desc sort is on
+      // values both engines derive identically, custkey breaks ties.
+      val n = broadcast(Tables.nation(s, dir))
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1997-10-01").cast(TimestampType) &&
+                $"o_orderdate" <  lit("1998-01-01").cast(TimestampType))
+      Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(n, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+        .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+    }),
+
+    "q13_order_count_dist" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q13 class: distribution of customers by order count,
+      // INCLUDING the zero-order customers — the left outer join whose
+      // right side is pre-filtered (urgent orders excluded) rather than
+      // post-filtered, which would silently drop the nulls.
+      val o = Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT")
+      Tables.customer(s, dir)
+        .join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    "q14_promo_effect" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q14 class: promo share of one month's revenue. num/den as
+      // exact decimal sums; pct = 100.0 · num / den on the identical
+      // doubles (same expression order in both engines).
+      val part = broadcast(Tables.part(s, dir).select($"p_partkey", $"p_type"))
+      val vol = disc6($"l_extendedprice", $"l_discount")
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-09-01").cast(TimestampType) &&
+                $"l_shipdate" <  lit("1997-10-01").cast(TimestampType))
+        .join(part, $"l_partkey" === $"p_partkey")
+        .agg(
+          dsum(when($"p_type" === "PROMO", vol)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("promo_revenue"),
+          dsum(vol).as("total_revenue"))
+        .select($"promo_revenue", $"total_revenue",
+          (lit(100.0) * $"promo_revenue" / $"total_revenue").as("promo_pct"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q15 class: supplier(s) with the maximum quarterly revenue.
+      // The scalar subquery (SELECT max(total_rev)) is a broadcast
+      // 1-row aggregate cross-joined into the per-supplier revenue —
+      // never a driver-side collect; the equality compares DECIMALS
+      // (exact), only the output is cast to double.
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" <  lit("1997-04-01").cast(TimestampType))
+        .groupBy($"l_suppkey")
+        .agg(sum(disc6($"l_extendedprice", $"l_discount")).as("total_rev"))
+      val mx = broadcast(rev.agg(max($"total_rev").as("mx")))
+      rev.join(mx, $"total_rev" === $"mx")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_rev".cast(DoubleType).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    "q18_large_volume" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q18 class: orders whose total quantity clears a threshold,
+      // with their customers. The HAVING runs ONCE per order in the
+      // grouped lineitem (exact decimal > integer literal); the
+      // surviving ~handful of keys then join orders/customer — the qty
+      // sum is NOT recomputed after the join.
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(dec2($"l_quantity")).as("sq"))
+        .filter($"sq" > 180)
+      big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"sq".cast(DoubleType).as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    "q19_brand_size_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q19 class: OR-of-ANDs over mixed part/lineitem predicates.
+      // The per-brand size bounds can't be pushed below the join as one
+      // conjunct, but Catalyst derives the DISJUNCTION's common
+      // implications (brand ∈ {...}, size ≤ 15, qty ≤ 30) onto each
+      // scan; the residual OR evaluates post-join in codegen.
+      val part = broadcast(Tables.part(s, dir)
+        .select($"p_partkey", $"p_brand", $"p_size"))
+      val j = Tables.lineitem(s, dir).join(part, $"l_partkey" === $"p_partkey")
+      val c1 = $"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+        $"l_quantity".between(1, 11)
+      val c2 = $"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+        $"l_quantity".between(10, 20)
+      val c3 = $"p_brand" === "Brand#4" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(20, 30)
+      j.filter(c1 || c2 || c3)
+        .agg(dsum(disc6($"l_extendedprice", $"l_discount")).as("revenue"),
+             count(lit(1)).as("n_lines"))
+    }),
+
+    "q22_dormant_customers" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q22 class: above-average-balance customers with no recent
+      // orders, rolled up by nation. The global average is an exact
+      // decimal (sum, count) broadcast 1-row aggregate; the comparison
+      // is decimal·count > sum — no float boundary. Recency is a
+      // broadcast-able anti join against the filtered orders.
+      val pos = Tables.customer(s, dir).filter($"c_acctbal" > 0.0)
+        .agg(sum(dec2($"c_acctbal")).as("s_bal"), count(lit(1)).as("n_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast(TimestampType))
+      Tables.customer(s, dir)
+        .crossJoin(broadcast(pos))
+        .filter(dec2($"c_acctbal") * $"n_bal" > $"s_bal")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".cast(LongType).as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+             dsum(dec2($"c_acctbal")).as("totacctbal"))
+        .orderBy($"nationkey")
     }),
 
     "q_semi_join" -> ((s, dir) => {
@@ -1644,6 +1974,88 @@ object SparkEntry {
           split($"id_a").as("split_a"), split($"id_b").as("split_b"))
         .filter($"split_a" =!= $"split_b")
         .orderBy($"id_a", $"id_b")
+    }),
+
+    "q_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      // The S-curve audit for minhash-LSH dedup — q_ann_recall's
+      // discipline applied to the dedup lane: with H=16 md5-derived
+      // minhashes over the word-2-shingle domain, band the signature
+      // 2×8 / 4×4 / 8×2 and measure against the EXACT Jaccard ≥ 0.5
+      // truth (integer threshold 3·i ≥ n_a+n_b) what each banding's
+      // candidate generation catches (recall_ppm) and how much it
+      // over-generates (precision_ppm) — the r-rows-per-band knob IS
+      // the S-curve, and this makes its position measured, not assumed.
+      // md5 domain so the oracle replays every signature bit-identically
+      // (the production lane uses xxhash64 — same algebra, cheaper
+      // hash; q_dedup_minhash separately pins END-TO-END completeness
+      // at its operating point). Candidates come from band-bucket
+      // equi-joins (the LSH shape — never all-pairs); only the tiny
+      // per-config counts cross join.
+      // the distinct (doc, shingle) table feeds THREE subtrees (the
+      // signature aggregation, the shingle-df ordering, the truth sets)
+      // — persist it so the explode+distinct shuffle runs once (the
+      // bench/seq harnesses unpersist all persistent RDDs per query)
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .select($"doc_id",
+          explode(operators.Dedup.wordShinglesOf($"toks", 2)).as("sh0"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 16 md5s per (doc, shingle) row make the signature aggregation
+      // scan-heavy — also persisted, so the three banding configs read
+      // signatures instead of re-hashing the corpus each
+      val mh = sh.groupBy($"doc_id")
+        .agg(minhashAuditSparkMins.head, minhashAuditSparkMins.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact truth via the verified PPJoin machinery (prefix + length +
+      // positional filters, recall 1.0 pinned by AllPairsSpec) over the
+      // SHINGLE domain — the engine audits one of its approximations
+      // with another of its exact operators, instead of a naive
+      // quadratic self-join; the >= 0.5 boundary is exact in doubles
+      // (d = 2i), identical to the oracle's integer 3·i >= n_a+n_b
+      val shDf = sh.groupBy($"sh0").agg(count(lit(1)).as("df"))
+      val shingleSets = sh.join(shDf, "sh0")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"df", $"sh0"))).as("ord"))
+        .select($"doc_id", expr("transform(ord, x -> x.sh0)").as("tokens"),
+          size($"ord").as("sz"))
+      val truth = operators.AllPairs
+        .jaccardJoinFromSets(shingleSets, threshold = 0.5)
+        .select($"id_a", $"id_b")
+      def cand(bands: Int): DataFrame = {
+        val r = minhashAuditH / bands
+        val perBand = (0 until bands).map { j =>
+          val key = concat_ws("|",
+            ((j * r) until ((j + 1) * r)).map(i => col(s"m$i").cast(StringType)): _*)
+          mh.select($"doc_id", lit(j).as("band"), key.as("bk"))
+        }.reduce(_ unionAll _)
+        perBand.as("x")
+          .join(perBand.as("y"),
+            col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+      }
+      // one pass over (truth ∪ candidates): full-outer flag joins, one
+      // aggregation, stack to 3 rows — the expensive exact-truth
+      // self-join runs ONCE, each banding's bucket join once
+      val flagged = truth.withColumn("t", lit(1L))
+        .join(cand(2).withColumn("c2", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+        .join(cand(4).withColumn("c4", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+        .join(cand(8).withColumn("c8", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      def both(c: String) = sum(when($"t" === 1L && col(c) === 1L, 1L).otherwise(0L))
+      flagged.agg(
+          sum($"t").as("nt"), sum($"c2").as("nc2"), sum($"c4").as("nc4"),
+          sum($"c8").as("nc8"), both("c2").as("nd2"), both("c4").as("nd4"),
+          both("c8").as("nd8"))
+        .select(expr(
+          "stack(3, 2L, nt, nc2, nd2, 4L, nt, nc4, nd4, 8L, nt, nc8, nd8)" +
+            " as (bands, n_true, n_candidates, n_detected)"))
+        .select($"bands", $"n_true", $"n_candidates", $"n_detected",
+          expr("(1000000 * n_detected) div n_true").as("recall_ppm"),
+          expr("(1000000 * n_detected) div n_candidates").as("precision_ppm"))
+        .orderBy($"bands")
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
@@ -4101,6 +4513,163 @@ object SparkEntry {
     // SQL through the runner surface, decorrelated by Catalyst
     "q17_small_qty_revenue" -> correlatedQ17Sql,
     "q20_part_share_suppliers" -> correlatedQ20Sql,
+    "q4_order_priority" -> correlatedQ4Sql,
+    "q21_waiting_suppliers" -> correlatedQ21Sql,
+
+    "q6_revenue_delta" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND n1.n_name IN ('NATION_11', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_11', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year, nation_volume, total_volume,
+        |  nation_volume / total_volume AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |         - CAST(p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180) t
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_brand_size_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_bal,
+        |    count(*) AS n_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > s_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -5357,6 +5926,61 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard, split_a, split_b FROM lab
         |WHERE split_a <> split_b
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The oracle replays the H=16 md5 minhash signatures exactly (the
+    // shared minhashAudit* generators render both engines' definitions)
+    // and brute-forces each banding's candidate set at oracle scale.
+    "q_minhash_recall" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS s
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id,
+        |$minhashAuditSqlMins
+        |  FROM sh GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |truth AS (
+        |  SELECT x.id_a, x.id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) x
+        |  JOIN cnt ca ON ca.doc_id = x.id_a
+        |  JOIN cnt cb ON cb.doc_id = x.id_b
+        |  WHERE x.i * 3 >= ca.n + cb.n),
+        |cand2 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a JOIN mh b
+        |  ON a.doc_id < b.doc_id AND (${minhashAuditBandPred(2)})),
+        |cand4 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a JOIN mh b
+        |  ON a.doc_id < b.doc_id AND (${minhashAuditBandPred(4)})),
+        |cand8 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a JOIN mh b
+        |  ON a.doc_id < b.doc_id AND (${minhashAuditBandPred(8)}))
+        |SELECT bands, n_true, n_candidates, n_detected,
+        |  (1000000 * n_detected) // n_true AS recall_ppm,
+        |  (1000000 * n_detected) // n_candidates AS precision_ppm
+        |FROM (
+        |  SELECT CAST(2 AS BIGINT) AS bands,
+        |    (SELECT count(*) FROM truth) AS n_true,
+        |    (SELECT count(*) FROM cand2) AS n_candidates,
+        |    (SELECT count(*) FROM truth t JOIN cand2 c
+        |       ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_detected
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT),
+        |    (SELECT count(*) FROM truth),
+        |    (SELECT count(*) FROM cand4),
+        |    (SELECT count(*) FROM truth t JOIN cand4 c
+        |       ON t.id_a = c.id_a AND t.id_b = c.id_b)
+        |  UNION ALL
+        |  SELECT CAST(8 AS BIGINT),
+        |    (SELECT count(*) FROM truth),
+        |    (SELECT count(*) FROM cand8),
+        |    (SELECT count(*) FROM truth t JOIN cand8 c
+        |       ON t.id_a = c.id_a AND t.id_b = c.id_b))
+        |ORDER BY bands""".stripMargin,
 
     // Connected components as a SQL oracle: the near-dup pair set (same
     // brute-force CTEs as q_dedup_minhash) symmetrized into an edge list,

@@ -441,6 +441,65 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q4: correlated EXISTS decorrelates to one semi join — no per-row probe") {
+    val p = plan("q4_order_priority")
+    // RewritePredicateSubquery turns the EXISTS (whose lateness predicate
+    // references the OUTER order's date) into a LeftSemi with the
+    // predicate riding the join condition; a surviving Subquery node
+    // would mean one lineitem probe per order
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    assert(p.linesIterator.exists(_.contains("LeftSemi")),
+      s"EXISTS not a semi join:\n$p")
+    // the order-date window still reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date window not pushed to the orders scan:\n$p")
+  }
+
+  test("q21: EXISTS + correlated NOT EXISTS plan as semi + anti joins") {
+    val p = plan("q21_waiting_suppliers")
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+    // the two-table-correlated NOT EXISTS (l1's key/supplier AND o's
+    // date in the inner predicate) must become a LeftAnti on l_orderkey
+    // with the lateness/inequality conditions in the join
+    assert(p.linesIterator.exists(_.contains("LeftSemi")),
+      s"EXISTS not a semi join:\n$p")
+    assert(p.linesIterator.exists(_.contains("LeftAnti")),
+      s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q15: the scalar max(total_rev) is a broadcast join, not a driver collect") {
+    val p = plan("q15_top_supplier")
+    // the 1-row max aggregate broadcasts into the per-supplier revenue —
+    // the classic scalar-subquery shape kept fully distributed
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"max not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q18: the quantity HAVING runs on grouped lineitem BEFORE the order/customer joins") {
+    val p = plan("q18_large_volume")
+    // sum(l_quantity) > 180 must filter the grouped lineitem first; the
+    // handful of surviving keys then join orders/customer — the qty sum
+    // is never recomputed after the join
+    assert(p.contains("HashAggregate(keys=[l_orderkey"),
+      s"no per-order aggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate(keys=[l_orderkey")) <= 2,
+      s"qty sum recomputed post-join:\n$p")
+  }
+
+  test("q19: the OR-of-ANDs leaves common implications pushed to each scan") {
+    val p = plan("q19_brand_size_revenue")
+    // Catalyst derives the disjunction's common implications onto the
+    // scans: brand IN (...) / size bounds on part, quantity bounds on
+    // lineitem — the residual OR evaluates post-join in codegen
+    assert(p.contains("Or(Or(And("),
+      s"the disjunction did not reach a scan's PushedFilters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"),
+      s"derived common size bound not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+  }
+
   test("token entropy runs in the scan stage — no shuffle before the output sort") {
     val p = plan("q_token_entropy")
     // a per-row statistic must not shuffle the corpus: the only exchange
