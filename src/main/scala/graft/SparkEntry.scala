@@ -3317,6 +3317,26 @@ object SparkEntry {
         .orderBy($"doc_id", $"rank")
     }),
 
+    "q_hybrid_search" -> ((s, dir) => {
+      import s.implicits._
+      // Hybrid retrieval: BM25 lexical lane + embedding-cosine lane over
+      // the same corpus (doc_id ↔ vec_id is the 1:1 text/embedding
+      // pairing), fused by Reciprocal Rank Fusion — integer rrf_ppm, so
+      // the fusion is bit-exact; lane ranks order by decimal BM25 sums /
+      // round-6 cosines with doc-id tiebreaks, so they can't ulp-flip.
+      // The probe set (doc_id < 8) is fixed-size: real query workloads
+      // don't grow with the corpus, and ScaleGen replication keeps base
+      // ids — the corpus side is the only thing that scales.
+      val docs = Tables.documents(s, dir)
+      val lex = operators.HybridSearch.bm25Retrieve(
+        docs, $"text", $"doc_id", $"doc_id" < 8, k = 10)
+      val e = Tables.embeddings(s, dir)
+      val vec = Similarity.bruteForceTopK(e.filter($"vec_id" < 8), e, k = 10)
+        .select($"query_id", $"cand_id".as("doc_id"), $"rank".as("vec_rank"))
+      operators.HybridSearch.rrfFuse(lex, vec, k = 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
     "q_repetition" -> ((s, dir) => {
       import s.implicits._
       // Gopher-style repetition signals: duplicate-bigram fraction and
@@ -6405,6 +6425,75 @@ object SparkEntry {
         |SELECT doc_id, term, tf, bm25, rank FROM ranked
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Hybrid retrieval oracle: the BM25 lane reuses q_bm25's exact scoring
+    // text (per-term round-6 scores summed as DECIMAL — order-independent),
+    // the vector lane reuses the bruteforce cosine text; RRF is integer //
+    "q_hybrid_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |terms AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |  FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM (
+        |    SELECT doc_id, min(dl) AS dl FROM tf GROUP BY 1)),
+        |qterms AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 8),
+        |perterm AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl)),
+        |      6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq USING (term) JOIN qterms q USING (term)
+        |  CROSS JOIN corpus
+        |  WHERE tf.doc_id <> q.query_id),
+        |lexscore AS (SELECT query_id, doc_id, sum(w) AS score
+        |  FROM perterm GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+        |    FROM lexscore)
+        |  WHERE lex_rank <= 10),
+        |vq AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |vscored AS (
+        |  SELECT vq.query_id, c.vec_id AS doc_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(vq.q_emb) + 1),
+        |        i -> CAST(vq.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(vq.q_emb) + 1),
+        |           i -> CAST(vq.q_emb[i] AS DOUBLE) * CAST(vq.q_emb[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM vq, embeddings c
+        |  WHERE vq.query_id <> c.vec_id),
+        |vec AS (SELECT query_id, doc_id, vec_rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS vec_rank
+        |    FROM vscored)
+        |  WHERE vec_rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |    CAST(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        |scored AS (
+        |  SELECT query_id, doc_id, lex_rank, vec_rank,
+        |    CAST(CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END
+        |       + CASE WHEN vec_rank > 0 THEN 1000000 // (60 + vec_rank) ELSE 0 END
+        |      AS BIGINT) AS rrf_ppm
+        |  FROM fused)
+        |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppm, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Hybrid retrieval: a lexical BM25 lane and an embedding-cosine lane
+  * over the same corpus, fused by Reciprocal Rank Fusion (RRF,
+  * Cormack/Clarke/Buettcher SIGIR'09) — the standard recipe behind
+  * "keyword + semantic" search, and in a training-data pipeline the
+  * retrieval step for eval-set decontamination mining and
+  * nearest-neighbor curriculum construction.
+  *
+  * Parity discipline (see SparkEntry's conventions): per-term BM25
+  * scores are rounded to 6 decimals and summed as DECIMAL(18,6) —
+  * the per-(query, doc) total is therefore order-independent and
+  * bit-identical across engines, so ranks (decimal desc, doc tiebreak)
+  * cannot diverge. RRF itself is pure integer arithmetic:
+  * rrf_ppm = Σ_lanes floor(1e6 / (60 + rank)).
+  *
+  * Scale shape: the query set is FIXED-SIZE (a benchmark / probe set —
+  * it does not grow with the corpus), so query terms and query vectors
+  * broadcast; the corpus side stays one doc-term aggregation (the same
+  * two map-side-partial shuffles as [[Bm25]]) plus one map-side scan
+  * for cosines. Per-query ranking is a bounded top-k window. At 100 TB
+  * the lexical lane would serve from the materialized inverted index
+  * (q_inverted_index) with impact-ordered postings and WAND-style
+  * upper-bound pruning — the scoring algebra here is unchanged by that;
+  * the fusion stage only ever sees lane-top-k rows per query.
+  */
+object HybridSearch {
+
+  /** BM25 retrieval: score every corpus doc against each query doc
+    * (score = Σ over the query doc's DISTINCT terms of the corpus
+    * doc's BM25 weight for that term), rank per query. Corpus stats
+    * (N, avgdl, df) are computed over the WHOLE corpus, query docs
+    * included, exactly as a real index would have them. */
+  def bm25Retrieve(docs: DataFrame, text: Column, id: Column,
+                   isQuery: Column, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), isQuery.as("is_q"),
+      TextFns.tokens(text).as("toks"))
+    val terms = toks.select(col("doc_id"), col("is_q"),
+      size(col("toks")).cast(LongType).as("dl"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        first(col("is_q")).as("is_q"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // the query side of the term join is the fixed probe set — broadcast
+    val qTerms = broadcast(tf.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term")))
+    val perTerm = tf.join(dfreq, "term").crossJoin(broadcast(corpus))
+      .join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", round(
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast(DecimalType(18, 6)))
+    val scored = perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** RRF-fuse two ranked lanes (query_id, doc_id, <rank col>): a doc
+    * absent from a lane contributes 0 from that lane (rank reported as
+    * 0). Final per-query order: rrf_ppm desc, doc_id. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      // `div`, not `/`: Spark's `/` is fractional even on longs; the
+      // oracle's `//` is integer floor — both must floor identically
+      .withColumn("rrf_ppm",
+        expr(s"CASE WHEN lex_rank > 0 THEN 1000000L div (${kRrf}L + lex_rank) ELSE 0L END" +
+          s" + CASE WHEN vec_rank > 0 THEN 1000000L div (${kRrf}L + vec_rank) ELSE 0L END"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+}

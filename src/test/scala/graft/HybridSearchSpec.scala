@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{HybridSearch, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HybridSearchSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val lex = {
+    import spark.implicits._
+    HybridSearch.bm25Retrieve(
+      Tables.documents(spark, sf), $"text", $"doc_id", $"doc_id" < 8, k = 10)
+  }
+
+  private lazy val vec = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    Similarity.bruteForceTopK(e.filter($"vec_id" < 8), e, k = 10)
+      .select($"query_id", $"cand_id".as("doc_id"), $"rank".as("vec_rank"))
+  }
+
+  test("bm25Retrieve: never returns the query doc itself, ranks are dense from 1") {
+    import spark.implicits._
+    val rows = lex.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("doc_id")))
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    perQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("lex_rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"gap in ranks for query $q")
+      assert(ranks.length <= 10)
+    }
+  }
+
+  test("rrfFuse: rrf_ppm is exactly the integer formula over the lane ranks") {
+    val fused = HybridSearch.rrfFuse(lex, vec, k = 5).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val l = r.getAs[Long]("lex_rank")
+      val v = r.getAs[Long]("vec_rank")
+      val expected = (if (l > 0) 1000000L / (60L + l) else 0L) +
+        (if (v > 0) 1000000L / (60L + v) else 0L)
+      assert(r.getAs[Long]("rrf_ppm") == expected)
+    }
+  }
+
+  test("rrfFuse: output is ordered by rrf desc with doc-id tiebreak, top-5 per query") {
+    val fused = HybridSearch.rrfFuse(lex, vec, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    fused.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length <= 5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (pa, pb) = (a.getAs[Long]("rrf_ppm"), b.getAs[Long]("rrf_ppm"))
+          assert(pa > pb ||
+            (pa == pb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        case _ =>
+      }
+    }
+  }
+
+  test("rrfFuse: every fused doc came from at least one lane's top-k") {
+    val laneDocs = (lex.select(col("query_id"), col("doc_id")) unionAll
+      vec.select(col("query_id"), col("doc_id"))).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = HybridSearch.rrfFuse(lex, vec, k = 5).collect()
+    fused.foreach { r =>
+      assert(laneDocs.contains(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))))
+    }
+  }
+
+  test("a doc present in BOTH lanes outranks one with only a strictly worse single lane") {
+    // rrf(l, v) with both lanes > rrf from a single lane at any rank ≥
+    // the better of the two: 1/(60+l)+1/(60+v) > 1/(60+min(l,v))… not in
+    // general — so pin the concrete dominance RRF does guarantee:
+    // same lex rank, better vec rank ⇒ strictly higher rrf_ppm.
+    val fused = HybridSearch.rrfFuse(lex, vec, k = 1000)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    fused.foreach { case (_, rs) =>
+      for {
+        a <- rs; b <- rs
+        if a.getAs[Long]("lex_rank") == b.getAs[Long]("lex_rank")
+        if a.getAs[Long]("lex_rank") > 0
+        if a.getAs[Long]("vec_rank") > 0 && b.getAs[Long]("vec_rank") > 0
+        if a.getAs[Long]("vec_rank") < b.getAs[Long]("vec_rank")
+      } assert(a.getAs[Long]("rrf_ppm") > b.getAs[Long]("rrf_ppm"))
+    }
+  }
+}

@@ -500,6 +500,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
   }
 
+  test("hybrid search: fixed query set broadcasts; no cartesian anywhere") {
+    val p = plan("q_hybrid_search")
+    // the probe terms / probe vectors are fixed-size — they must join
+    // broadcast; the only shuffle joins allowed are corpus-keyed (term)
+    // and the tiny lane-fusion full-outer
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("token entropy runs in the scan stage — no shuffle before the output sort") {
     val p = plan("q_token_entropy")
     // a per-row statistic must not shuffle the corpus: the only exchange
