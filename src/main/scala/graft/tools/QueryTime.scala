@@ -24,7 +24,8 @@ object QueryTime {
     val nosort = args.contains("nosort")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt)
       .config("spark.ui.enabled", "false")
       .appName("graft-querytime")
       .getOrCreate()
