@@ -146,6 +146,38 @@ object SparkEntry {
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin
 
+  /** ONE SQL text for q2_min_cost_supplier on BOTH engines (the TPC-H
+    * Q2 class, re-rooted on lineitem because this schema has no
+    * partsupp): each selected part's cheapest ASIA offer, where an
+    * offer is the min observed line price per (part, supplier). The
+    * correlated SCALAR subquery (min cost over the same offer table,
+    * correlated on the outer part key) is what Q2 stresses:
+    * RewriteCorrelatedScalarSubquery turns it into a per-part min
+    * aggregate joined back on p_partkey — never a per-outer-row
+    * re-scan. min/equality compare raw DOUBLE column values (both
+    * engines pick an actual element, so the bits agree); the ORDER BY
+    * is a total order ((p_partkey, s_name) is unique per row), so the
+    * LIMIT truncates identically. */
+  private val correlatedQ2Sql: String =
+    """WITH offer AS (
+      |  SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice) AS cost
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'ASIA'
+      |  GROUP BY 1, 2)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, o.cost
+      |FROM part p
+      |JOIN offer o ON o.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = o.l_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE p.p_size <= 12 AND p.p_type = 'LARGE'
+      |  AND o.cost = (SELECT min(o2.cost) FROM offer o2
+      |                WHERE o2.l_partkey = p.p_partkey)
+      |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
   /** q_dedup_embedding oracle: same semantics as
     * Similarity.cosineNearDupPairs (pairs whose hyperplane sign-buckets
     * are within Hamming distance 1, cosine-verified) — the SAME seeded
@@ -1235,6 +1267,91 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
              dsum(dec2($"c_acctbal")).as("totacctbal"))
         .orderBy($"nationkey")
+    }),
+
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // correlated SCALAR subquery (TPC-H Q2 class): the per-part min
+      // cost is decorrelated into an aggregate joined back on the part
+      // key (see correlatedQ2Sql's scaladoc); child session isolates
+      // the canonical temp-view names from concurrent queries
+      val s2 = s.newSession()
+      Tables.part(s2, dir).createOrReplaceTempView("part")
+      Tables.supplier(s2, dir).createOrReplaceTempView("supplier")
+      Tables.nation(s2, dir).createOrReplaceTempView("nation")
+      Tables.region(s2, dir).createOrReplaceTempView("region")
+      Tables.lineitem(s2, dir).createOrReplaceTempView("lineitem")
+      s2.sql(correlatedQ2Sql)
+    }),
+
+    "q11_important_parts" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q11 class: parts whose ASIA-supplied inventory value
+      // clears a fixed fraction of the regional total. The total is a
+      // 1-row exact-decimal aggregate broadcast back (the uncorrelated
+      // scalar subquery kept fully distributed, as in q15); the
+      // threshold compares v * 1000 > tot in DECIMALs — no float
+      // boundary.
+      val n2r = broadcast(Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("s_nk")))
+      val sup = broadcast(Tables.supplier(s, dir)
+        .join(n2r, $"s_nationkey" === $"s_nk")
+        .select($"s_suppkey"))
+      val valPerPart = Tables.lineitem(s, dir)
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum(dec2($"l_extendedprice")).as("v"))
+      val tot = broadcast(valPerPart.agg(sum($"v").as("tot")))
+      valPerPart.crossJoin(tot)
+        .filter($"v" * 1000 > $"tot")
+        .select($"l_partkey".as("partkey"),
+          $"v".cast(DoubleType).as("value"))
+        .orderBy($"value".desc, $"partkey")
+    }),
+
+    "q12_late_priority" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q12 class (no shipmode column → the return flag stands in
+      // as the low-cardinality channel): among 1997 lines shipped >60
+      // days after their order, how many belonged to high- vs
+      // low-priority orders. Pure integer conditional counts (count of
+      // a nullable CASE — BIGINT in both engines) after one fact-fact
+      // equi join; the ship-date window reaches the lineitem scan.
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" <  lit("1998-01-01").cast(TimestampType))
+        .join(Tables.orders(s, dir)
+            .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"l_returnflag")
+        .agg(count(when(high, lit(1))).as("high_line_count"),
+             count(when(!high, lit(1))).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q16_supplier_part_types" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q16 class: distinct supplier counts per (brand, type,
+      // size), excluding the "complaint" suppliers (negative balance
+      // stands in for the comment scan) — the NOT IN planned as an
+      // anti join against a tiny exclusion set, never a per-row probe;
+      // the brand/type/size sieve is pushed to the broadcast part scan.
+      val excl = Tables.supplier(s, dir)
+        .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+      val part = broadcast(Tables.part(s, dir)
+        .filter($"p_brand" =!= "Brand#12" && $"p_type" =!= "PROMO" &&
+                $"p_size".isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size"))
+      Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+        .join(part, $"l_partkey" === $"p_partkey")
+        .join(excl, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type",
+          $"p_size".cast(LongType).as("p_size"))
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
     }),
 
     "q_semi_join" -> ((s, dir) => {
@@ -4690,6 +4807,49 @@ object SparkEntry {
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    // same text both engines — the correlated scalar min decorrelated
+    // by Catalyst (see correlatedQ2Sql's scaladoc)
+    "q2_min_cost_supplier" -> correlatedQ2Sql,
+
+    "q11_important_parts" ->
+      """WITH val AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS value
+        |FROM val
+        |WHERE v * 1000 > (SELECT sum(v) FROM val)
+        |ORDER BY value DESC, partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q16_supplier_part_types" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

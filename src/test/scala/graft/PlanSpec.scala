@@ -500,6 +500,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
   }
 
+  test("q2: correlated scalar min decorrelates to a per-part aggregate join") {
+    val p = plan("q2_min_cost_supplier")
+    // RewriteCorrelatedScalarSubquery must turn the per-part min(cost)
+    // into a per-part aggregate joined back on the part key; a surviving
+    // Subquery node would re-run the offer derivation per outer row
+    assert(!p.contains("Subquery"), s"per-row scalar subquery survived:\n$p")
+    assert(p.contains("HashAggregate(keys=[l_partkey"),
+      s"no decorrelated per-part min aggregate:\n$p")
+    // the part sieve still reaches the part scan
+    assert(p.contains("PushedFilters: [IsNotNull(p_size)") ||
+           p.contains("LessThanOrEqual(p_size,12)"),
+      s"part sieve not pushed to the part scan:\n$p")
+  }
+
+  test("q11: the value total is a broadcast 1-row aggregate, not a driver collect") {
+    val p = plan("q11_important_parts")
+    // the uncorrelated scalar total broadcasts into the per-part values
+    // (the q15 discipline); suppliers reach lineitem as a broadcast join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total not broadcast:\n$p")
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")),
+      s"supplier filter not a broadcast join:\n$p")
+  }
+
+  test("q12: the ship-date window reaches the lineitem scan") {
+    val p = plan("q12_late_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"ship-date window not pushed:\n$p")
+    // only the 3 needed lineitem columns are read
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_shipdate")).getOrElse("")
+    assert(!read.contains("l_extendedprice") && !read.contains("l_partkey"),
+      s"column pruning lost: $read")
+  }
+
+  test("q16: the NOT IN is an anti join; the part sieve is pushed and broadcast") {
+    val p = plan("q16_supplier_part_types")
+    assert(p.linesIterator.exists(_.contains("LeftAnti")),
+      s"NOT IN not an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    assert(p.contains("In(p_size, [1,5,10,15,20,25,30,35])") ||
+           p.contains("In(p_size"),
+      s"size sieve not pushed to the part scan:\n$p")
+  }
+
   test("hybrid search: fixed query set broadcasts; no cartesian anywhere") {
     val p = plan("q_hybrid_search")
     // the probe terms / probe vectors are fixed-size — they must join
