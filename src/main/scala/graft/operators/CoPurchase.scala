@@ -55,6 +55,11 @@ object CoPurchase {
                           input: String)(build: => DataFrame): DataFrame =
     DerivedCache.tableFor(s, s"$dir#$variant", Seq(input))(build)
 
+  private def materializeAt(s: SparkSession, dir: String, variant: String,
+                            input: String, fp: String)
+                           (build: => DataFrame): DataFrame =
+    DerivedCache.tableAt(s, s"$dir#$variant", Seq(input), fp)(build)
+
   /** The distinct+cap stage over ANY lineitem-shaped fact slice:
     * distinct (basket, item) pairs, baskets over `cap` items excluded.
     * Columns (g, i). Shared by the materialized full build and the
@@ -71,21 +76,33 @@ object CoPurchase {
   /** Distinct (basket, item) pairs of the full lineitem fact, baskets
     * over [[FullCap]] items excluded — the shared first stage of the
     * full edge set AND the co-occurrence recommender. Columns (g, i). */
-  def items(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "items64", s"$dir/lineitem.parquet") {
+  def items(s: SparkSession, dir: String): DataFrame = {
+    val input = s"$dir/lineitem.parquet"
+    itemsAt(s, dir, input, DerivedCache.fingerprint(Seq(input)))
+  }
+
+  private def itemsAt(s: SparkSession, dir: String, input: String,
+                      fp: String): DataFrame =
+    materializeAt(s, dir, "items64", input, fp) {
       itemsOf(Tables.lineitem(s, dir))
     }
 
   /** Symmetric distinct co-purchase edges over the full fact (cap 64) —
     * row-identical to PageRank.coOccurrenceEdges(lineitem, 64), built
     * from the materialized [[items]] table so the distinct+cap stage is
-    * computed once per JVM, not once per consumer. */
+    * computed once per JVM, not once per consumer. The fact table is
+    * fingerprinted ONCE and the same fingerprint keys both the items64
+    * and edges64 derivations, so a concurrent lineitem rewrite between
+    * the two stages cannot cache edges built from one snapshot's items
+    * under the other snapshot's key. */
   def fullEdges(s: SparkSession, dir: String): DataFrame = {
+    val input = s"$dir/lineitem.parquet"
+    val fp = DerivedCache.fingerprint(Seq(input))
     // materialize the items table BEFORE entering the edges build (a
     // lazy `items` call inside the build block would re-enter
     // materialize mid-build — see the lock note above)
-    val it = items(s, dir)
-    materialize(s, dir, "edges64", s"$dir/lineitem.parquet") {
+    val it = itemsAt(s, dir, input, fp)
+    materializeAt(s, dir, "edges64", input, fp) {
       PageRank.edgesFromItems(it)
     }
   }

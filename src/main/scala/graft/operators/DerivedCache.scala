@@ -109,18 +109,37 @@ object DerivedCache {
     * the right outcome, since its input was rewritten underneath it and
     * its result would be stale. */
   def tableFor(s: SparkSession, key: String, inputs: Seq[String])
-              (build: => DataFrame): DataFrame = {
-    val fullKey = s"$key@${fingerprint(inputs)}"
+              (build: => DataFrame): DataFrame =
+    tableAt(s, key, inputs, fingerprint(inputs))(build)
+
+  /** [[tableFor]] with a caller-supplied fingerprint — for derivation
+    * CHAINS (edges built from a derived items table): fingerprint the
+    * shared input ONCE and thread the same `fp` through every stage, so
+    * a concurrent input rewrite can't key stage 2 to a newer snapshot
+    * than the stage-1 table it was actually built from. */
+  def tableAt(s: SparkSession, key: String, inputs: Seq[String], fp: String)
+             (build: => DataFrame): DataFrame = {
+    val fullKey = s"$key@$fp"
     val df = table(s, fullKey)(build)
-    evictSuperseded(key, fullKey)
+    evictSuperseded(key, fullKey, inputs)
     df
   }
 
-  private def evictSuperseded(baseKey: String, keep: String): Unit = {
+  /** Drop '@'-versioned siblings of `keep` that are stale relative to
+    * the input state NOW: the fingerprint is re-computed at eviction
+    * time and matching keys are spared, so a caller that fingerprinted
+    * BEFORE a concurrent rewrite finished cannot delete the fresher
+    * fingerprint's just-built parquet — it only ever removes versions
+    * current neither to itself nor to the present input state (its own
+    * stale entry is then evicted by the next fresh caller). */
+  private def evictSuperseded(baseKey: String, keep: String,
+                              inputs: Seq[String]): Unit = {
     import scala.jdk.CollectionConverters._
-    paths.keySet.asScala.toSeq
+    val stale = paths.keySet.asScala.toSeq
       .filter(k => k != keep && k.startsWith(baseKey + "@"))
-      .foreach { k =>
+    if (stale.nonEmpty) {
+      val current = s"$baseKey@${fingerprint(inputs)}"
+      stale.filter(_ != current).foreach { k =>
         keyLocks.computeIfAbsent(k, _ => new Object).synchronized {
           val p = paths.remove(k)
           if (p != null)
@@ -128,6 +147,7 @@ object DerivedCache {
             catch { case _: Exception => () }
         }
       }
+    }
   }
 
   /** The derived table for `key` (any stable string naming the data dir

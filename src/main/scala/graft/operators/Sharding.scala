@@ -100,8 +100,15 @@ object Sharding {
   def interleavePrefix(df: DataFrame, group: Column, key: Column,
                        weights: Map[String, Int], k: Int): DataFrame = {
     require(weights.values.forall(_ > 0), "weights must be positive")
-    val lcmAll = weights.values.foldLeft(1L)((a, b) =>
-      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    // lcm in BigInt: large co-prime weights would silently overflow the
+    // Long fold and corrupt every stride; an unrepresentable weight set
+    // (or one whose max virtual time k·lcm exceeds Long) fails loudly
+    val lcmBig = weights.values.foldLeft(BigInt(1))((a, b) =>
+      a / a.gcd(BigInt(b)) * b)
+    require((lcmBig * k).isValidLong,
+      s"weight lcm $lcmBig times k=$k overflows Long; reduce the weights " +
+        "to a coarser ratio")
+    val lcmAll = lcmBig.toLong
     val spark = df.sparkSession
     import spark.implicits._
     val wtab = weights.toSeq.map { case (g, w) => (g, lcmAll / w) }

@@ -118,4 +118,37 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
       s"superseded derivation not evicted: $firstPath")
     graft.Fs.deleteRec(dir)
   }
+
+  test("a stale-fingerprint caller cannot evict the current derivation") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("derived-race")
+    val input = dir.resolve("t.txt")
+    Files.writeString(input, "v1")
+    val key = s"spec#race-${System.nanoTime()}"
+    // caller A fingerprints BEFORE the rewrite...
+    val staleFp = DerivedCache.fingerprint(Seq(input.toString))
+    // ...a concurrent rewrite lands and caller B builds against it
+    Files.writeString(input, "v2-but-longer")
+    val fresh = DerivedCache.tableFor(spark, key, Seq(input.toString)) {
+      (1L to 7L).toDF("v")
+    }
+    val freshPath = fresh.inputFiles.head
+      .replaceFirst("^file:", "").replaceFirst("/[^/]*$", "")
+    assert(Files.exists(Paths.get(freshPath)))
+    // caller A now finishes its table() + eviction with the stale fp:
+    // it must NOT delete B's current derivation out from under B
+    DerivedCache.tableAt(spark, key, Seq(input.toString), staleFp) {
+      (1L to 5L).toDF("v")
+    }
+    assert(Files.exists(Paths.get(freshPath)),
+      "stale caller evicted the CURRENT derivation")
+    assert(rows(spark.read.parquet(freshPath)) == (1L to 7L).toSet)
+    // the next current-fingerprint caller sweeps A's stale entry
+    val again = DerivedCache.tableFor(spark, key, Seq(input.toString)) {
+      (1L to 7L).toDF("v")
+    }
+    assert(rows(again) == (1L to 7L).toSet)
+    graft.Fs.deleteRec(dir)
+  }
 }

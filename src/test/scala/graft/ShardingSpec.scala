@@ -134,4 +134,17 @@ class ShardingSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     assert(first.sameElements(again), "prefix changed under repartitioning")
   }
+
+  test("an unrepresentable weight lcm fails loudly instead of corrupting strides") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    // large pairwise-coprime weights whose lcm overflows Long: the old
+    // unchecked fold would wrap silently and emit a wrong interleave
+    val primes = Seq(2147483647, 2147483629, 2147483587)
+    val weights = Map("en" -> primes(0), "de" -> primes(1), "es" -> primes(2))
+    val e = intercept[IllegalArgumentException] {
+      Sharding.interleavePrefix(docs, $"lang", $"doc_id", weights, 10)
+    }
+    assert(e.getMessage.contains("overflows Long"))
+  }
 }
