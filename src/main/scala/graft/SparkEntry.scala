@@ -2170,8 +2170,14 @@ object SparkEntry {
           "stack(3, 2L, nt, nc2, nd2, 4L, nt, nc4, nd4, 8L, nt, nc8, nd8)" +
             " as (bands, n_true, n_candidates, n_detected)"))
         .select($"bands", $"n_true", $"n_candidates", $"n_detected",
-          expr("(1000000 * n_detected) div n_true").as("recall_ppm"),
-          expr("(1000000 * n_detected) div n_candidates").as("precision_ppm"))
+          // explicit zero guards: on a degenerate corpus (no true pairs /
+          // no candidates) Spark's `div` yields NULL while DuckDB's `//`
+          // raises — the CASE makes both engines return NULL in kind
+          expr("CASE WHEN n_true = 0 THEN NULL" +
+            " ELSE (1000000 * n_detected) div n_true END").as("recall_ppm"),
+          expr("CASE WHEN n_candidates = 0 THEN NULL" +
+            " ELSE (1000000 * n_detected) div n_candidates END")
+            .as("precision_ppm"))
         .orderBy($"bands")
     }),
 
@@ -3186,6 +3192,57 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "q_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet's per-language head/middle/tail split: rank every doc by
+      // the q_lm_score unigram cross-entropy WITHIN its language, cut
+      // terciles — the bucket boundaries that decide what a crawl keeps.
+      // Rides the same broadcast logprob table; the only new shuffle is
+      // the per-language ntile window over doc-level rows.
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", explode(TextFns.tokens($"text")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum($"cnt").as("total"))
+      val lp = freq.crossJoin(broadcast(total))
+        .select($"tok",
+          round(log($"cnt".cast(DoubleType) / $"total"), 8)
+            .cast(DecimalType(18, 8)).as("logp"))
+      val ce = toks.join(broadcast(lp), "tok")
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logp"))
+        .select($"doc_id", $"lang",
+          round(-($"sum_logp".cast(DoubleType)) / $"n_tokens", 6).as("ce"))
+      val w = Window.partitionBy($"lang").orderBy($"ce", $"doc_id")
+      ce.withColumn("bucket", ntile(3).over(w).cast(LongType))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"ce").as("min_ce"), max($"ce").as("max_ce"))
+        .orderBy($"lang", $"bucket")
+    }),
+
+    "q_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      // tokenizer-vocab coverage: out-of-vocabulary fraction per doc
+      // against the corpus top-1000 vocabulary (count desc, token
+      // tiebreak). The vocab ranks over the (bounded-cardinality) freq
+      // table and broadcasts; scoring is one map-side left join.
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val vocab = freq
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"cnt".desc, $"tok")))
+        .filter($"rk" <= 1000)
+        .select($"tok", lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+        .orderBy($"doc_id")
+    }),
+
     "q_quality_bins" -> ((s, dir) => {
       import s.implicits._
       // curriculum-style decile binning: ntile over (length, id) within
@@ -3434,6 +3491,21 @@ object SparkEntry {
         .orderBy($"doc_id", $"rank")
     }),
 
+    "q_bitext_mine" -> ((s, dir) => {
+      import s.implicits._
+      // margin-based bitext mining between two label groups standing in
+      // for two languages of a shared embedding space — ratio margin +
+      // mutual-best, the LASER/CCMatrix parallel-corpus miner. Fixed-size
+      // blocks (vec_id < 5000): production shards both corpora by the
+      // common IVF quantizer and runs this kernel per cell pair.
+      val e = Tables.embeddings(s, dir)
+      operators.BitextMine.minePairs(
+          e.filter($"label" === 0 && $"vec_id" < 5000),
+          e.filter($"label" === 1 && $"vec_id" < 5000),
+          $"vec_id", $"embedding", k = 4)
+        .orderBy($"id_a")
+    }),
+
     "q_hybrid_search" -> ((s, dir) => {
       import s.implicits._
       // Hybrid retrieval: BM25 lexical lane + embedding-cosine lane over
@@ -3506,6 +3578,19 @@ object SparkEntry {
       val bench = docs.filter($"doc_id" % 97 === 0)
       val train = docs.filter($"doc_id" % 97 =!= 0)
       operators.Decontaminate.contaminated(train, bench, $"text", $"doc_id", n = 5)
+        .orderBy($"doc_id")
+    }),
+
+    "q_decontaminate_strip" -> ((s, dir) => {
+      import s.implicits._
+      // the removal half of q_decontaminate: redact exactly the token
+      // spans colliding with a benchmark 5-gram, keep everything else.
+      // Benchmark grams AND the per-doc covered-position arrays both
+      // broadcast, so the corpus-side removal is one map-side pass.
+      val docs = Tables.documents(s, dir)
+      operators.Decontaminate.stripContaminated(
+          docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+          $"text", $"doc_id", n = 5)
         .orderBy($"doc_id")
     }),
 
@@ -3594,6 +3679,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logp"))
         .select($"doc_id", $"n_tokens",
           round(-($"sum_logp".cast(DoubleType)) / $"n_tokens", 6).as("cross_entropy"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      // DSIR importance resampling (Xie et al. 2023) toward the English
+      // slice: per-doc log importance weight over hashed word
+      // unigram+bigram features (B=4096, add-one smoothing). Histograms
+      // reduce map-side to <= B rows, the log-ratio table broadcasts, so
+      // scoring the corpus is two scans + one per-doc aggregation.
+      val docs = Tables.documents(s, dir)
+      operators.Dsir.weights(docs, docs.filter($"lang" === "en"),
+          $"text", $"doc_id", numBuckets = 4096)
         .orderBy($"doc_id")
     }),
 
@@ -4412,6 +4510,18 @@ object SparkEntry {
         .filter($"neg_rank" <= 5)
         .select($"u".as("custkey"), $"neg_rank", $"item")
         .orderBy($"custkey", $"neg_rank")
+    }),
+
+    "q_epoch_plan" -> ((s, dir) => {
+      import s.implicits._
+      // data-constrained epoch planning: a 2×-corpus token budget split
+      // uniformly across sources, filled with whole epochs (cap 4) plus
+      // a deterministic md5-prefix fractional epoch — all integers, so
+      // a sharded exporter can re-derive the exact selection
+      operators.EpochPlan.plan(Tables.documents(s, dir), $"source",
+          $"doc_id", size(TextFns.tokens($"text")),
+          budgetEpochs = 2, maxEpochs = 4)
+        .orderBy($"source")
     }),
 
     "q_source_mix" -> ((s, dir) => {
@@ -6140,8 +6250,10 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a JOIN mh b
         |  ON a.doc_id < b.doc_id AND (${minhashAuditBandPred(8)}))
         |SELECT bands, n_true, n_candidates, n_detected,
-        |  (1000000 * n_detected) // n_true AS recall_ppm,
-        |  (1000000 * n_detected) // n_candidates AS precision_ppm
+        |  CASE WHEN n_true = 0 THEN NULL
+        |    ELSE (1000000 * n_detected) // n_true END AS recall_ppm,
+        |  CASE WHEN n_candidates = 0 THEN NULL
+        |    ELSE (1000000 * n_detected) // n_candidates END AS precision_ppm
         |FROM (
         |  SELECT CAST(2 AS BIGINT) AS bands,
         |    (SELECT count(*) FROM truth) AS n_true,
@@ -6589,6 +6701,48 @@ object SparkEntry {
     // Hybrid retrieval oracle: the BM25 lane reuses q_bm25's exact scoring
     // text (per-term round-6 scores summed as DECIMAL — order-independent),
     // the vector lane reuses the bruteforce cosine text; RRF is integer //
+    // same cosine formula as q_decontaminate_embedding rounded at 8 into
+    // DECIMAL; k-NN means re-round at 8 after the double division; the
+    // margin is one double op on exact inputs, rounded at 6; every rank
+    // orders by (value desc, partner id)
+    "q_bitext_mine" ->
+      """WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings
+        |  WHERE label = 0 AND vec_id < 5000),
+        |b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings
+        |  WHERE label = 1 AND vec_id < 5000),
+        |sc AS (SELECT id_a, id_b,
+        |  CAST(round(
+        |    list_sum(list_transform(range(1, len(ea) + 1),
+        |      i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+        |         i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+        |         i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))
+        |  , 8) AS DECIMAL(18,8)) AS cos
+        |  FROM a, b),
+        |ma AS (SELECT id_a,
+        |    round(CAST(sum(cos) AS DOUBLE) / count(*), 8) AS mean_a
+        |  FROM (SELECT id_a, cos, row_number() OVER (PARTITION BY id_a
+        |      ORDER BY cos DESC, id_b) AS rn FROM sc) x
+        |  WHERE rn <= 4 GROUP BY 1),
+        |mb AS (SELECT id_b,
+        |    round(CAST(sum(cos) AS DOUBLE) / count(*), 8) AS mean_b
+        |  FROM (SELECT id_b, cos, row_number() OVER (PARTITION BY id_b
+        |      ORDER BY cos DESC, id_a) AS rn FROM sc) x
+        |  WHERE rn <= 4 GROUP BY 1),
+        |mg AS (SELECT id_a, id_b, cos,
+        |    round(2.0 * CAST(cos AS DOUBLE) / (mean_a + mean_b), 6) AS margin
+        |  FROM sc JOIN ma USING (id_a) JOIN mb USING (id_b)),
+        |r AS (SELECT id_a, id_b, cos, margin,
+        |    row_number() OVER (PARTITION BY id_a
+        |      ORDER BY margin DESC, id_b) AS ra,
+        |    row_number() OVER (PARTITION BY id_b
+        |      ORDER BY margin DESC, id_a) AS rb
+        |  FROM mg)
+        |SELECT id_a, id_b, CAST(cos AS DOUBLE) AS cosine, margin
+        |FROM r WHERE ra = 1 AND rb = 1
+        |ORDER BY id_a""".stripMargin,
+
     "q_hybrid_search" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -6692,6 +6846,35 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
+    // removal replayed positionally: a token survives iff no colliding
+    // gram's [p, p+4] span covers it; survivors re-join in order
+    "q_decontaminate_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |flag AS (SELECT g.doc_id, g.p FROM g JOIN b USING (gram)
+        |  WHERE g.doc_id % 97 <> 0),
+        |cov AS (SELECT DISTINCT doc_id, p + k AS pos FROM flag, range(5) r(k)),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE doc_id % 97 <> 0),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, len(toks) AS n_tokens FROM t
+        |  WHERE doc_id % 97 <> 0)
+        |SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate_embedding" ->
       """WITH bench AS (
         |  SELECT vec_id AS bench_id, embedding AS b_emb
@@ -6727,6 +6910,42 @@ object SparkEntry {
         |SELECT toks.doc_id, count(*) AS n_tokens,
         |  round(-(CAST(sum(logp) AS DOUBLE)) / count(*), 6) AS cross_entropy
         |FROM toks JOIN lp USING (tok)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // same hashed-feature domain (md5 first-8-hex mod B), same add-one
+    // smoothing, the same round-at-8 decimal-sum discipline — the only
+    // double ops (ln, final round) run on identical exact inputs
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(tk) AS feature FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS feature
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |fb AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(feature), 1, 8)) AS BIGINT) % 4096
+        |      AS bucket
+        |  FROM feats),
+        |hist AS (SELECT bucket,
+        |    count(*) FILTER (WHERE lang = 'en') AS cnt_t,
+        |    count(*) AS cnt_s
+        |  FROM fb GROUP BY 1),
+        |dom AS (SELECT unnest(range(4096)) AS bucket),
+        |h2 AS (SELECT dom.bucket,
+        |    coalesce(cnt_t, 0) AS cnt_t, coalesce(cnt_s, 0) AS cnt_s
+        |  FROM dom LEFT JOIN hist ON hist.bucket = dom.bucket),
+        |tot AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_s) AS tot_s FROM h2),
+        |lam AS (SELECT bucket,
+        |    CAST(round(ln((cnt_t + 1) / CAST(tot_t + 4096 AS DOUBLE)) -
+        |               ln((cnt_s + 1) / CAST(tot_s + 4096 AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS lambda
+        |  FROM h2 CROSS JOIN tot)
+        |SELECT fb.doc_id, count(*) AS n_feats,
+        |  round(CAST(sum(lambda) AS DOUBLE), 6) AS log_weight
+        |FROM fb JOIN lam USING (bucket)
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
@@ -6814,6 +7033,48 @@ object SparkEntry {
         |ORDER BY lag""".stripMargin,
 
     "q_mixture_sample" -> mixtureOracle,
+
+    // same logprob table as q_lm_score; ntile over an identical total
+    // order (ce, doc_id) is engine-invariant
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |lp AS (SELECT tok,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE) / total), 8) AS DECIMAL(18,8))
+        |    AS logp
+        |  FROM freq CROSS JOIN tot),
+        |ce AS (SELECT doc_id, lang,
+        |    round(-(CAST(sum(logp) AS DOUBLE)) / count(*), 6) AS ce
+        |  FROM toks JOIN lp USING (tok) GROUP BY 1, 2),
+        |b AS (SELECT lang, ce,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id) AS bucket
+        |  FROM ce)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  min(ce) AS min_ce, max(ce) AS max_ce
+        |FROM b GROUP BY 1, 2
+        |ORDER BY lang, bucket""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |v AS (SELECT tok, 1 AS in_v FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+        |    FROM freq) x
+        |  WHERE rk <= 1000)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE in_v IS NULL) AS BIGINT) AS n_oov,
+        |  (1000000 * count(*) FILTER (WHERE in_v IS NULL)) // count(*)
+        |    AS oov_ppm
+        |FROM toks LEFT JOIN v USING (tok)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quality_bins" ->
       """WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
@@ -7407,6 +7668,44 @@ object SparkEntry {
         |SELECT custkey, CAST(neg_rank AS BIGINT) AS neg_rank, item
         |FROM rkd WHERE neg_rank <= 5
         |ORDER BY custkey, neg_rank""".stripMargin,
+
+    // identical integer budget arithmetic; the fractional prefix is the
+    // same (md5 channel, doc_id) cumsum on both sides
+    "q_epoch_plan" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_toks,
+        |    md5('ep:' || doc_id) AS ch
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS k
+        |  FROM s),
+        |p AS (SELECT source, n_docs, n_tokens, (tot * 2) // k AS target
+        |  FROM s CROSS JOIN t),
+        |p2 AS (SELECT source, n_docs, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(CAST(4 AS BIGINT), target // n_tokens) END
+        |      AS full_epochs,
+        |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(target, 4 * n_tokens) -
+        |        least(CAST(4 AS BIGINT), target // n_tokens) * n_tokens END
+        |      AS rem
+        |  FROM p),
+        |c AS (SELECT source, doc_id, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY source ORDER BY ch, doc_id) AS cum
+        |  FROM d),
+        |x AS (SELECT c.source, count(*) AS extra_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS extra_tokens
+        |  FROM c JOIN p2 USING (source) WHERE cum <= rem GROUP BY 1)
+        |SELECT p2.source, n_docs, n_tokens, full_epochs,
+        |  coalesce(extra_docs, 0) AS extra_docs,
+        |  coalesce(extra_tokens, 0) AS extra_tokens,
+        |  full_epochs * n_tokens + coalesce(extra_tokens, 0)
+        |    AS planned_tokens
+        |FROM p2 LEFT JOIN x USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q_source_mix" ->
       """WITH d AS (

@@ -42,6 +42,50 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Span-level redaction — the REMOVAL half of n-gram decontamination
+    * (the q_substring_strip policy applied to eval leakage): instead of
+    * dropping a contaminated document wholesale, cut exactly the token
+    * spans that collide with a benchmark n-gram and keep the rest. The
+    * output is the redacted token stream (training pipelines tokenize
+    * anyway; re-joining surviving tokens with single spaces is the
+    * canonical normalized form).
+    *
+    * Scale shape: gram extraction is row-local; the benchmark gram set
+    * broadcasts; the flagged START positions are rare, so the per-doc
+    * covered-position arrays aggregate from almost nothing and BROADCAST
+    * back — the corpus-side removal is then one map-side array filter
+    * (`filter(toks, (t, i) -> !contains(cover, i))`). No shuffle ever
+    * touches the training corpus.
+    *
+    * Emits (doc_id, n_tokens, n_removed, clean_text) for EVERY training
+    * doc — uncontaminated docs pass through with n_removed = 0. */
+  def stripContaminated(train: DataFrame, benchmark: DataFrame,
+                        text: Column, id: Column, n: Int = 13): DataFrame = {
+    val benchGrams = docGrams(benchmark, text, id, n)
+      .select(col("gram")).distinct()
+    val toks = train.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+    // indexed gram starts (0-based); the CASE guards Spark's descending
+    // sequence(0, negative) on docs shorter than n tokens
+    val starts = toks.select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) < $n THEN array() " +
+          s"ELSE transform(sequence(0, size(toks) - $n), " +
+          s"p -> struct(p AS p, concat_ws(' ', slice(toks, p + 1, $n)) AS gram)) END"))
+        .as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.gram").as("gram"))
+    val cover = starts.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        expr(s"sequence(p, p + ${n - 1})"))))).as("cover"))
+    toks.join(broadcast(cover), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cover")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", expr(
+          "CASE WHEN cover IS NULL THEN toks " +
+            "ELSE filter(toks, (t, i) -> NOT array_contains(cover, i)) END"))
+          .as("clean_text"))
+  }
+
   /** Embedding-space decontamination — the semantic complement of the
     * n-gram test: flag training vectors whose cosine to ANY benchmark
     * vector reaches `threshold` (paraphrased eval leakage that exact

@@ -148,6 +148,26 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming n-gram decontamination — q_decontaminate's lane on an
+    * unbounded document feed: the benchmark gram set is a STATIC
+    * broadcast table (eval suites change by release, not by batch), each
+    * arriving doc explodes to its word n-grams map-side, colliding grams
+    * survive the stream-static join, and the per-doc hit count
+    * aggregates. Gram extraction and the broadcast probe are stateless;
+    * the only streaming state is one count per CONTAMINATED doc — rare
+    * by construction, so state stays small without a watermark (add one
+    * upstream if a feed can re-emit a doc id forever). Parity with the
+    * oracle-checked batch query is pinned on real documents in
+    * StreamingSpec. */
+  def decontaminate(docs: DataFrame, benchGrams: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 5): DataFrame =
+    graft.operators.Decontaminate
+      .docGrams(docs, col(textCol), col(idCol), n)
+      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+
   /** Watermarked stream-stream inner join: each click joins purchases of
     * the same user that happened within `horizon` BEFORE it — the
     * streaming twin of the batch q_range_join (RangeJoin.pointInInterval).

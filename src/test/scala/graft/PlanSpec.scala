@@ -617,4 +617,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"global max not broadcast:\n$p")
   }
+
+  test("dsir: the log-ratio table joins broadcast; the corpus never sort-merges") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"lambda table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge join:\n$p")
+  }
+
+  test("decontaminate strip: benchmark grams and cover arrays broadcast; removal is map-side") {
+    val p = plan("q_decontaminate_strip")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge join:\n$p")
+  }
+
+  test("bitext mining: the smaller side broadcasts — no shuffled pair join") {
+    val p = plan("q_bitext_mine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pair scoring not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pair join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("oov rate: the vocab broadcasts back to the token stream") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream sort-merged:\n$p")
+  }
+
+  test("epoch plan: shares broadcast to the cumsum side; one corpus window shuffle") {
+    val p = plan("q_epoch_plan")
+    assert(p.contains("BroadcastHashJoin"), s"shares not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"share join shuffled:\n$p")
+  }
 }

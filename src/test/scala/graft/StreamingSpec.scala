@@ -670,6 +670,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming decontamination equals the q_decontaminate driver query on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ninth driver-oracle-anchored streaming parity: the training slice
+    // of the real corpus streams through the stateless gram-explode +
+    // broadcast benchmark probe; the per-doc hit counts must equal the
+    // oracle-checked batch query row for row, and be invariant to how
+    // the feed is batched (gram extraction is row-local, the count is
+    // an order-free aggregate).
+    val docs = Tables.documents(spark, sf)
+    val benchGrams = operators.Decontaminate
+      .docGrams(docs.filter($"doc_id" % 97 === 0), $"text", $"doc_id", n = 5)
+      .select($"gram").distinct()
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toVector
+    def replay(chunk: Int, name: String): Map[Long, Long] = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.decontaminate(
+          in.toDF().toDF("doc_id", "text"), benchGrams)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      train.grouped(chunk).foreach { b => in.addData(b); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      q.stop(); out
+    }
+    val streamed = replay(120, "deconpar1")
+    val want = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed.keySet -- want.keySet).take(5)} " +
+        s"onlyBatch=${(want.keySet -- streamed.keySet).take(5)}")
+    assert(replay(7, "deconpar2") == want, "batching changed the verdicts")
+  }
+
   test("streaming drift scoring equals the q_drift_psi driver query on real orders") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
