@@ -3053,6 +3053,52 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_fertility" -> ((s, dir) => {
+      import s.implicits._
+      // tokenizer fertility by language: BPE-ish pieces per word — the
+      // number every multilingual tokenizer decision is judged on (high
+      // fertility = a language pays more sequence length per word).
+      // Both counts come from the codegen byte-walk kernels in the scan
+      // stage; the rollup is one tiny aggregation, ratios in exact ppm.
+      Tables.documents(s, dir)
+        .select($"lang", TextFns.tokenCount($"text").as("n_words"),
+          TextFns.bpePieceCount($"text").as("n_pieces"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_words"),
+          sum($"n_pieces").as("n_pieces"))
+        .select($"lang", $"n_docs", $"n_words", $"n_pieces",
+          expr("CASE WHEN n_words = 0 THEN NULL" +
+            " ELSE (1000000 * n_pieces) div n_words END").as("fertility_ppm"))
+        .orderBy($"lang")
+    }),
+
+    "q_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      // bucketed-batching audit: docs assigned to fixed pad-to-power-of-2
+      // length buckets (the fairseq/packed-batch recipe), per bucket the
+      // padding waste a batch at that size pays. Fixed boundaries keep
+      // the assignment in the scan stage — a global ntile would funnel
+      // the corpus through one sort; over-4096 docs clamp into the top
+      // bucket (the truncation lane). All integer.
+      val targets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+      // n materialized in its own projection: the bucket ladder
+      // references it 8 times, and un-aliased it would re-run the
+      // byte-walk kernel per reference (the q_text_quality note)
+      val bucket = targets.init.foldRight(lit(targets.last): Column) {
+        (t, acc) => when($"n" <= t, lit(t)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select(TextFns.tokenCount($"text").as("n"))
+        .select(bucket.as("bucket"), least($"n", lit(4096L)).as("n_kept"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_kept").as("sum_tokens"))
+        .select($"bucket", $"n_docs", $"sum_tokens",
+          ($"n_docs" * $"bucket").as("padded_tokens"),
+          expr("(1000000 * (n_docs * bucket - sum_tokens))" +
+            " div (n_docs * bucket)").as("waste_ppm"))
+        .orderBy($"bucket")
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       import s.implicits._
       // tokens MATERIALIZED in their own projection: three of the five
@@ -3689,9 +3735,8 @@ object SparkEntry {
       // unigram+bigram features (B=4096, add-one smoothing). Histograms
       // reduce map-side to <= B rows, the log-ratio table broadcasts, so
       // scoring the corpus is two scans + one per-doc aggregation.
-      val docs = Tables.documents(s, dir)
-      operators.Dsir.weights(docs, docs.filter($"lang" === "en"),
-          $"text", $"doc_id", numBuckets = 4096)
+      operators.Dsir.weightsWithin(Tables.documents(s, dir),
+          $"lang" === "en", $"text", $"doc_id", numBuckets = 4096)
         .orderBy($"doc_id")
     }),
 
@@ -6415,6 +6460,44 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // same word/piece regexes as q_token_count, rolled up per language
+    "q_fertility" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |      AS BIGINT) AS n_pieces
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        |  CASE WHEN sum(n_words) = 0 THEN NULL
+        |    ELSE CAST((1000000 * sum(n_pieces)) // sum(n_words) AS BIGINT) END
+        |    AS fertility_ppm
+        |FROM d GROUP BY 1
+        |ORDER BY lang""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH d AS (SELECT
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n
+        |  FROM documents),
+        |b AS (SELECT
+        |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |      WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |      WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |      WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+        |      ELSE 4096 END AS bucket,
+        |    least(n, 4096) AS n_kept
+        |  FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_kept) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+        |  CAST((1000000 * (count(*) * bucket - sum(n_kept)))
+        |    // (count(*) * bucket) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

@@ -36,15 +36,40 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object BitextMine {
 
   /** Mutual-best margin pairs between two embedding sides:
-    * (id_a, id_b, cosine, margin). */
+    * (id_a, id_b, cosine, margin). One block: side B broadcasts. */
   def minePairs(sideA: DataFrame, sideB: DataFrame, id: Column,
                 emb: Column, k: Int = 4): DataFrame = {
     val a = sideA.select(id.as("id_a"), emb.as("emb_a"))
     val b = sideB.select(id.as("id_b"), emb.as("emb_b"))
-    val scored = a.join(broadcast(b))
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.VectorFns.cosine(col("emb_a"), col("emb_b")), 8)
-          .cast(DecimalType(18, 8)).as("cos"))
+    marginMutualBest(score(a.join(broadcast(b))), k, hintBroadcast = true)
+  }
+
+  /** The corpus-scale path: both sides are assigned a BLOCK (an IVF
+    * cell of a quantizer trained on their union — the same coarse
+    * geometry the ANN lanes probe), candidate pairs form only WITHIN a
+    * block (one shuffle join on the cell id, never all-pairs), and
+    * margins/k-NN means/mutual-best all evaluate block-locally (each
+    * vector's candidates are exactly its block, so the downstream
+    * algebra is unchanged). Misses only cross-cell pairs — the same
+    * recall trade the IVF ANN lane makes, measured in SCALE.md. */
+  def minePairsBlocked(sideA: DataFrame, sideB: DataFrame, id: Column,
+                       emb: Column, block: Column, k: Int = 4): DataFrame = {
+    val a = sideA.select(id.as("id_a"), emb.as("emb_a"), block.as("blk"))
+    val b = sideB.select(id.as("id_b"), emb.as("emb_b"), block.as("blk"))
+    // per-vector mean tables are corpus-sized here — no broadcast hint;
+    // the margins join shuffles on the id key like any fact join
+    marginMutualBest(score(a.join(b, Seq("blk"))), k, hintBroadcast = false)
+  }
+
+  private def score(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a"), col("id_b"),
+      round(graft.functions.VectorFns.cosine(col("emb_a"), col("emb_b")), 8)
+        .cast(DecimalType(18, 8)).as("cos"))
+
+  private def marginMutualBest(scored: DataFrame, k: Int,
+                               hintBroadcast: Boolean): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
     // mean of each side's k nearest cosines (rank by rounded cosine,
     // partner-id tiebreak); re-rounded at 8 after the double division
     def knnMean(keyCol: String, rankBy: String, out: String): DataFrame = {
@@ -59,8 +84,8 @@ object BitextMine {
     val mA = knnMean("id_a", "id_b", "mean_a")
     val mB = knnMean("id_b", "id_a", "mean_b")
     val margins = scored
-      .join(broadcast(mA), Seq("id_a"))
-      .join(broadcast(mB), Seq("id_b"))
+      .join(maybeBcast(mA), Seq("id_a"))
+      .join(maybeBcast(mB), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("cos"),
         round(lit(2.0) * col("cos").cast(DoubleType) /
           (col("mean_a") + col("mean_b")), 6).as("margin"))

@@ -42,17 +42,22 @@ object Dsir {
 
   /** (doc_id, feature) rows — one per word unigram AND word bigram
     * occurrence (with multiplicity; DSIR counts occurrences). */
-  def docFeatures(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
-    val uni = toks.select(col("doc_id"), explode(col("toks")).as("feature"))
-    // explicit empty-array guard: Spark's sequence(1, 0) DESCENDS
-    // instead of being empty, which would fabricate null bigrams on
-    // zero- and one-token docs
-    val bi = toks.select(col("doc_id"), explode(expr(
-      "CASE WHEN size(toks) < 2 THEN array() " +
+  def docFeatures(docs: DataFrame, text: Column, id: Column): DataFrame =
+    explodeFeatures(
+      docs.select(id.as("doc_id"), TextFns.tokens(text).as("toks")))
+
+  /** Explode a (…, toks) frame to one row per unigram AND bigram
+    * occurrence, carrying every non-toks column through. One explode of
+    * the concatenated feature array — a union of separate unigram and
+    * bigram explodes would tokenize and scan the corpus twice. The CASE
+    * guards Spark's DESCENDING sequence(1, 0), which would fabricate
+    * null bigrams on zero- and one-token docs. */
+  private def explodeFeatures(t: DataFrame): DataFrame = {
+    val keep = t.columns.filter(_ != "toks").map(col)
+    t.select(keep :+ explode(expr(
+      "concat(toks, CASE WHEN size(toks) < 2 THEN array() " +
         "ELSE transform(sequence(1, size(toks) - 1), " +
-        "i -> concat(toks[i - 1], ' ', toks[i])) END")).as("feature"))
-    uni.unionByName(bi)
+        "i -> concat(toks[i - 1], ' ', toks[i])) END)")).as("feature"): _*)
   }
 
   /** Per-bucket smoothed log-ratio table λ[b] = round(ln p_t[b] − ln
@@ -85,18 +90,59 @@ object Dsir {
 
   /** Per-doc DSIR log importance weights against a target slice:
     * (doc_id, n_feats, log_weight) — log_weight is the exact decimal
-    * feature sum cast to double at the end (row order can't move it). */
+    * feature sum cast to double at the end (row order can't move it).
+    * General form for a target corpus DISJOINT from the raw one; when
+    * the target is a SLICE of the raw corpus, [[weightsWithin]] hashes
+    * the corpus once instead of three times. */
   def weights(raw: DataFrame, target: DataFrame, text: Column, id: Column,
               numBuckets: Int = 4096): DataFrame = {
     val rawFeats = docFeatures(raw, text, id)
     val lam = logRatios(docFeatures(target, text, id), rawFeats, numBuckets)
-    rawFeats
-      .select(col("doc_id"), bucketOf(col("feature"), numBuckets).as("bucket"))
+    score(rawFeats.select(col("doc_id"),
+      bucketOf(col("feature"), numBuckets).as("bucket")), lam)
+  }
+
+  /** [[weights]] when the target distribution is a PREDICATE-selected
+    * slice of the raw corpus (the common case — "resample the crawl
+    * toward its own English/wiki-like slice"): tokenization and feature
+    * hashing run ONCE, the (doc, bucket, is_target) rows persist, and
+    * both histograms fall out of one conditional aggregation. At 100 TB
+    * the persisted feature table is the materialize-once derived table;
+    * everything after it is bounded by B. */
+  def weightsWithin(docs: DataFrame, isTarget: Column, text: Column,
+                    id: Column, numBuckets: Int = 4096): DataFrame = {
+    val fb = explodeFeatures(docs.select(id.as("doc_id"),
+        isTarget.as("is_t"), TextFns.tokens(text).as("toks")))
+      .select(col("doc_id"), col("is_t"),
+        bucketOf(col("feature"), numBuckets).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = fb.groupBy(col("bucket"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_s"))
+    val s = docs.sparkSession
+    val domain = s.range(numBuckets).select(col("id").as("bucket"))
+    val joined = domain.join(hist, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"),
+        coalesce(col("cnt_s"), lit(0L)).as("cnt_s"))
+    val totals = joined.agg(sum(col("cnt_t")).as("tot_t"),
+      sum(col("cnt_s")).as("tot_s"))
+    val lam = joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log((col("cnt_t") + 1).cast(DoubleType) /
+            (col("tot_t") + numBuckets)) -
+          log((col("cnt_s") + 1).cast(DoubleType) /
+            (col("tot_s") + numBuckets)), 8)
+          .cast(DecimalType(18, 8)).as("lambda"))
+    score(fb.select(col("doc_id"), col("bucket")), lam)
+  }
+
+  private def score(docBuckets: DataFrame, lam: DataFrame): DataFrame =
+    docBuckets
       // broadcast by intent: at corpus scale AQE's stats must not flip
       // which side broadcasts run-to-run (the q_lm_score note)
       .join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("lambda")).cast(DoubleType), 6).as("log_weight"))
-  }
 }

@@ -97,6 +97,21 @@ class TrainingPlanSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(_._2).distinct.length == pairs.length)
   }
 
+  test("blocked bitext mining equals brute force when everything shares one block") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val a = e.filter($"label" === 0)
+    val b = e.filter($"label" === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val brute = rows(BitextMine.minePairs(a, b, $"vec_id", $"embedding", k = 4))
+    val blocked = rows(BitextMine.minePairsBlocked(
+      a, b, $"vec_id", $"embedding", lit(0L), k = 4))
+    assert(brute == blocked,
+      s"single-block blocked form diverged: onlyBrute=${(brute -- blocked).take(3)}")
+  }
+
   // ---- EpochPlan ------------------------------------------------------
 
   test("epoch plan: budget shares, caps, and the fractional prefix add up") {
