@@ -2703,14 +2703,14 @@ object SparkEntry {
       // which graft's optimizer rewrites to the bounded TopKPerGroup
       // heaps — a stop word's posting list never funnels a billion-row
       // group through one task's full sort.
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id",
-          explode(split(lower($"text"), "[^a-z0-9]+")).as("term"))
-        .filter($"term" =!= "")
-      val stats = toks.groupBy($"term")
-        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+      // rides the materialized doc-term table: df/tf are one small
+      // aggregation of it, the posting sample reads its already-distinct
+      // (term, doc) rows — the corpus is never re-tokenized
+      val dt = operators.DocTerms.table(s, dir)
+      val stats = dt.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("tf"))
       val w = Window.partitionBy($"term").orderBy($"doc_id")
-      val posts = toks.select($"term", $"doc_id").distinct()
+      val posts = dt.select($"term", $"doc_id")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 10)
         .groupBy($"term")
@@ -3167,7 +3167,10 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       import s.implicits._
       graft.plans.GraftExtensions.install(s)
-      operators.TfIdf.topTerms(Tables.documents(s, dir), $"text", $"doc_id", k = 3)
+      // n_docs counts ALL docs (token-less included) — the one thing the
+      // term table can't see; the count(*) scan is metadata-cheap
+      operators.TfIdf.topTermsFromTf(operators.DocTerms.table(s, dir),
+          Tables.documents(s, dir).select(count(lit(1)).as("n_docs")), k = 3)
         .orderBy($"doc_id", $"rank")
     }),
 
@@ -3245,17 +3248,19 @@ object SparkEntry {
       // terciles — the bucket boundaries that decide what a crawl keeps.
       // Rides the same broadcast logprob table; the only new shuffle is
       // the per-language ntile window over doc-level rows.
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", explode(TextFns.tokens($"text")).as("tok"))
-      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val dt = operators.DocTerms.table(s, dir)
+      val freq = dt.groupBy($"term").agg(sum($"tf").as("cnt"))
       val total = freq.agg(sum($"cnt").as("total"))
       val lp = freq.crossJoin(broadcast(total))
-        .select($"tok",
+        .select($"term",
           round(log($"cnt".cast(DoubleType) / $"total"), 8)
             .cast(DecimalType(18, 8)).as("logp"))
-      val ce = toks.join(broadcast(lp), "tok")
+      val ce = dt.join(broadcast(lp), "term")
         .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logp"))
+        .agg(sum($"tf").as("n_tokens"),
+          // tf as DECIMAL(10,0): a bare BIGINT would push the multiply past
+          // precision 38 and Spark silently TRUNCATES the scale there
+          sum($"logp" * $"tf".cast(DecimalType(10, 0))).as("sum_logp"))
         .select($"doc_id", $"lang",
           round(-($"sum_logp".cast(DoubleType)) / $"n_tokens", 6).as("ce"))
       val w = Window.partitionBy($"lang").orderBy($"ce", $"doc_id")
@@ -3272,18 +3277,17 @@ object SparkEntry {
       // against the corpus top-1000 vocabulary (count desc, token
       // tiebreak). The vocab ranks over the (bounded-cardinality) freq
       // table and broadcasts; scoring is one map-side left join.
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
-      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val dt = operators.DocTerms.table(s, dir)
+      val freq = dt.groupBy($"term").agg(sum($"tf").as("cnt"))
       val vocab = freq
         .withColumn("rk", row_number().over(
-          Window.orderBy($"cnt".desc, $"tok")))
+          Window.orderBy($"cnt".desc, $"term")))
         .filter($"rk" <= 1000)
-        .select($"tok", lit(1L).as("in_v"))
-      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .select($"term", lit(1L).as("in_v"))
+      dt.join(broadcast(vocab), Seq("term"), "left")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .agg(sum($"tf").as("n_tokens"),
+          sum(when($"in_v".isNull, $"tf").otherwise(0L)).as("n_oov"))
         .select($"doc_id", $"n_tokens", $"n_oov",
           expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
         .orderBy($"doc_id")
@@ -3533,7 +3537,9 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       import s.implicits._
       graft.plans.GraftExtensions.install(s)
-      operators.Bm25.topTerms(Tables.documents(s, dir), $"text", $"doc_id", k = 3)
+      // rides the materialized doc-term table (the shared index build —
+      // see operators.DocTerms); scoring never re-tokenizes the corpus
+      operators.Bm25.topTermsFromTf(operators.DocTerms.table(s, dir), k = 3)
         .orderBy($"doc_id", $"rank")
     }),
 
@@ -3562,9 +3568,9 @@ object SparkEntry {
       // The probe set (doc_id < 8) is fixed-size: real query workloads
       // don't grow with the corpus, and ScaleGen replication keeps base
       // ids — the corpus side is the only thing that scales.
-      val docs = Tables.documents(s, dir)
-      val lex = operators.HybridSearch.bm25Retrieve(
-        docs, $"text", $"doc_id", $"doc_id" < 8, k = 10)
+      val lex = operators.HybridSearch.bm25RetrieveFromTf(
+        operators.DocTerms.table(s, dir).withColumn("is_q", $"doc_id" < 8),
+        k = 10)
       val e = Tables.embeddings(s, dir)
       val vec = Similarity.bruteForceTopK(e.filter($"vec_id" < 8), e, k = 10)
         .select($"query_id", $"cand_id".as("doc_id"), $"rank".as("vec_rank"))
@@ -3708,21 +3714,26 @@ object SparkEntry {
       // then token→logprob join + per-doc mean. Each token's logprob is
       // rounded and decimal-summed so the per-doc total is
       // order-independent (double sums are not) and engine-exact.
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
-      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      // rides the materialized doc-term table: occurrences carry as tf
+      // weights (sum(logp·tf) ≡ adding logp per occurrence — decimal
+      // multiply-then-sum is exact), so neither pass re-tokenizes
+      val dt = operators.DocTerms.table(s, dir)
+      val freq = dt.groupBy($"term").agg(sum($"tf").as("cnt"))
       // corpus total = sum of the vocab counts: answered from the (small)
-      // freq table instead of a third full corpus scan+tokenize
+      // freq table instead of a second full corpus scan+tokenize
       val total = freq.agg(sum($"cnt").as("total"))
       val lp = freq.crossJoin(broadcast(total))
-        .select($"tok",
+        .select($"term",
           round(log($"cnt".cast(DoubleType) / $"total"), 8)
             .cast(DecimalType(18, 8)).as("logp"))
       // vocab side broadcast by intent: at corpus scale AQE's stats would
       // otherwise flip WHICH side broadcasts run-to-run
-      toks.join(broadcast(lp), "tok")
+      dt.join(broadcast(lp), "term")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logp"))
+        .agg(sum($"tf").as("n_tokens"),
+          // tf as DECIMAL(10,0): a bare BIGINT would push the multiply past
+          // precision 38 and Spark silently TRUNCATES the scale there
+          sum($"logp" * $"tf".cast(DecimalType(10, 0))).as("sum_logp"))
         .select($"doc_id", $"n_tokens",
           round(-($"sum_logp".cast(DoubleType)) / $"n_tokens", 6).as("cross_entropy"))
         .orderBy($"doc_id")

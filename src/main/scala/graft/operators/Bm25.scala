@@ -32,6 +32,14 @@ object Bm25 {
       explode(col("toks")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    topTermsFromTf(tf, k, k1, b)
+  }
+
+  /** [[topTerms]] from an already-derived (doc_id, term, tf, dl) table —
+    * the [[DocTerms]] consumer path: corpus stats and df fall out of the
+    * small table, nothing re-tokenizes. */
+  def topTermsFromTf(tf: DataFrame, k: Int = 3,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus stats derived from the doc-term table rather than a second
     // full scan+tokenize of the raw text: N and avgdl over docs WITH

@@ -47,6 +47,15 @@ object HybridSearch {
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
         first(col("is_q")).as("is_q"))
+    bm25RetrieveFromTf(tf, k, k1, b)
+  }
+
+  /** [[bm25Retrieve]] from an already-derived (doc_id, term, tf, dl,
+    * is_q) table — the [[graft.operators.DocTerms]] consumer path (the
+    * probe predicate is on doc_id, so `is_q` is derivable from the
+    * materialized table without the raw text). */
+  def bm25RetrieveFromTf(tf: DataFrame, k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),

@@ -28,8 +28,15 @@ object TfIdf {
   def topTerms(docs: DataFrame, text: Column, id: Column, k: Int = 3): DataFrame = {
     val terms = docs.select(id.as("doc_id"), explode(TextFns.tokens(text)).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    topTermsFromTf(tf, docs.select(count(lit(1)).as("n_docs")), k)
+  }
+
+  /** [[topTerms]] from an already-derived (doc_id, term, tf) table (the
+    * [[DocTerms]] consumer path). `n` stays a separate 1-row frame: the
+    * idf denominator counts ALL docs including token-less ones, which a
+    * term table cannot see. */
+  def topTermsFromTf(tf: DataFrame, n: DataFrame, k: Int = 3): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", round(
         col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0), 6))
