@@ -3558,6 +3558,40 @@ object SparkEntry {
         .orderBy($"id_a")
     }),
 
+    "q_bm25_pruned" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.install(s)
+      // champion-list pruning as a FRONTIER audit (the q_ann_tuned
+      // discipline for the lexical lane): each depth m runs the exact
+      // production operator against the full-index truth and reports
+      // top-10 overlap + posting volume touched. On this corpus scores
+      // accumulate over many common terms (the adversarial geometry for
+      // impact ordering), so the frontier — not a single point — is the
+      // honest answer; the deepest lane covers the corpus and anchors
+      // the audit at exactness.
+      val dt = operators.DocTerms.table(s, dir).withColumn("is_q", $"doc_id" < 8)
+      val full = operators.HybridSearch.bm25RetrieveFromTf(dt, k = 10)
+        .select($"query_id", $"doc_id", $"lex_rank".as("full_rank"))
+      val qdf = dt.filter($"is_q").select($"doc_id".as("query_id"), $"term")
+        .join(dt.groupBy($"term").agg(count(lit(1)).as("df")), "term")
+      val lanes = Seq(64, 256, 1024).map { m =>
+        val agree = operators.HybridSearch
+          .bm25RetrieveImpactFromTf(dt, k = 10, m = m)
+          .join(full, Seq("query_id", "doc_id"), "left")
+          .agg(count(lit(1)).as("n_slots"),
+            sum(when($"full_rank".isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+            sum(when($"lex_rank" === $"full_rank", 1L).otherwise(0L))
+              .as("n_same_rank"))
+        val posts = qdf.agg(sum(least($"df", lit(m.toLong))).as("kept"),
+          sum($"df").as("total"))
+        agree.crossJoin(posts)
+          .select(lit(m.toLong).as("m"), $"n_slots", $"n_overlap",
+            $"n_same_rank",
+            expr("(1000000 * kept) div total").as("postings_scan_ppm"))
+      }.reduce(_ unionAll _)
+      lanes.orderBy($"m")
+    }),
+
     "q_hybrid_search" -> ((s, dir) => {
       import s.implicits._
       // Hybrid retrieval: BM25 lexical lane + embedding-cosine lane over
@@ -6836,6 +6870,63 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(cos AS DOUBLE) AS cosine, margin
         |FROM r WHERE ra = 1 AND rb = 1
         |ORDER BY id_a""".stripMargin,
+
+    // each depth's champion cut replays as rn <= m over the SAME ranked
+    // round-6 decimal weights; the full lane and posting stats shared
+    "q_bm25_pruned" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |terms AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |  FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM (
+        |    SELECT doc_id, min(dl) AS dl FROM tf GROUP BY 1)),
+        |w AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    CAST(round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl)),
+        |      6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+        |ch AS (SELECT term, doc_id, w,
+        |    row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+        |  FROM w),
+        |qterms AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 8),
+        |qpost AS (SELECT q.query_id, q.term, d.df
+        |  FROM qterms q JOIN dfreq d USING (term)),
+        |fscore AS (SELECT q.query_id, w.doc_id, sum(w.w) AS score
+        |  FROM w JOIN qterms q USING (term)
+        |  WHERE w.doc_id <> q.query_id GROUP BY 1, 2),
+        |flex AS (SELECT query_id, doc_id, full_rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS full_rank
+        |    FROM fscore)
+        |  WHERE full_rank <= 10),
+        |""".stripMargin +
+        Seq(64, 256, 1024).map { m =>
+          s"""pscore$m AS (SELECT q.query_id, c.doc_id, sum(c.w) AS score
+             |  FROM ch c JOIN qterms q USING (term)
+             |  WHERE c.rn <= $m AND c.doc_id <> q.query_id GROUP BY 1, 2),
+             |plex$m AS (SELECT query_id, doc_id, lex_rank FROM (
+             |    SELECT query_id, doc_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+             |    FROM pscore$m)
+             |  WHERE lex_rank <= 10),
+             |lane$m AS (SELECT CAST($m AS BIGINT) AS m, count(*) AS n_slots,
+             |    CAST(count(f.full_rank) AS BIGINT) AS n_overlap,
+             |    CAST(count(*) FILTER (WHERE p.lex_rank = f.full_rank) AS BIGINT)
+             |      AS n_same_rank,
+             |    (SELECT CAST((1000000 * sum(least(df, $m))) // sum(df) AS BIGINT)
+             |     FROM qpost) AS postings_scan_ppm
+             |  FROM plex$m p LEFT JOIN flex f USING (query_id, doc_id))""".stripMargin
+        }.mkString(",\n") +
+        """
+        |SELECT * FROM lane64
+        |UNION ALL SELECT * FROM lane256
+        |UNION ALL SELECT * FROM lane1024
+        |ORDER BY m""".stripMargin),
 
     "q_hybrid_search" ->
       """WITH t AS (

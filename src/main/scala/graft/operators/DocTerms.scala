@@ -40,6 +40,17 @@ object DocTerms {
       of(Tables.documents(s, dir))
     }
 
+  /** Incremental refresh (the CoPurchase/q_incremental_agg discipline):
+    * doc-term rows are PER-DOC — a delta of complete NEW documents
+    * (doc ids absent from the base corpus, the standard append-only
+    * contract) contributes exactly its own rows, so the refreshed table
+    * is a plain union and work scales with the delta. Per-term
+    * statistics (df, corpus totals) are DERIVED by consumers from the
+    * table, so they come out right without any merge arithmetic.
+    * DocTermsSpec pins refreshed == recomputed on real data. */
+  def refreshed(existing: DataFrame, deltaDocs: DataFrame): DataFrame =
+    existing.unionByName(of(deltaDocs))
+
   /** The inline derivation — one definition, shared by the materialized
     * build and any caller that can't materialize, so they can't drift. */
   def of(docs: DataFrame): DataFrame = {

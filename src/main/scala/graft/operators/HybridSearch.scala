@@ -81,6 +81,57 @@ object HybridSearch {
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
   }
 
+  /** Impact-ordered pruned BM25 retrieval — the 100 TB lexical-lane
+    * shape named in this file's scaladoc, now implemented: per term keep
+    * only the top-`m` postings by BM25 weight (a CHAMPION LIST — the
+    * static-pruning half of the WAND/MaxScore family: Broder et al.
+    * CIKM'03 uses the same upper-bound idea dynamically), so scoring a
+    * query touches at most |query terms|·m postings instead of the full
+    * df — on a web corpus the difference between a stop word's
+    * billion-posting list and 64 rows. The champion cut is
+    * row_number ≤ m per term, which graft's optimizer rewrites to the
+    * bounded TopKPerGroup heaps — building the pruned index never
+    * funnels a hot term through one task's sort.
+    *
+    * Pruning is QUERY-INDEPENDENT (weights depend only on the term's df
+    * and the doc's tf/dl — the index is built before queries exist);
+    * docs pushed off a champion list simply can't score on that term,
+    * which is the approximation q_bm25_pruned audits against the full
+    * lane. Scoring algebra (round-6 decimal weights, decimal sums,
+    * (score desc, doc_id) ranks) is byte-identical to
+    * [[bm25RetrieveFromTf]]. */
+  def bm25RetrieveImpactFromTf(tf: DataFrame, k: Int, m: Int,
+                               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val weights = tf.join(dfreq, "term").crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", round(
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast(DecimalType(18, 6)))
+      .select(col("term"), col("doc_id"), col("w"))
+    val champW = Window.partitionBy(col("term"))
+      .orderBy(col("w").desc, col("doc_id"))
+    val champions = weights.withColumn("rn", row_number().over(champW))
+      .filter(col("rn") <= m)
+      .select(col("term"), col("doc_id"), col("w"))
+    val qTerms = broadcast(tf.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term")))
+    val scored = champions.join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
   /** RRF-fuse two ranked lanes (query_id, doc_id, <rank col>): a doc
     * absent from a lane contributes 0 from that lane (rank reported as
     * 0). Final per-query order: rrf_ppm desc, doc_id. */

@@ -40,6 +40,15 @@ class DocTermsSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("incremental refresh equals a full rebuild for an append-only doc delta") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 20 =!= 0)
+    val delta = docs.filter($"doc_id" % 20 === 0)
+    val refreshed = DocTerms.refreshed(DocTerms.of(base), delta)
+    assert(key(refreshed) == key(DocTerms.of(docs)))
+  }
+
   test("BM25 retrieval from the derived table equals the raw-text lane") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -618,6 +618,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"global max not broadcast:\n$p")
   }
 
+  test("champion cut is a bounded per-term selection, never a full sort of a hot term") {
+    val p = plan("q_bm25_pruned")
+    // row_number <= m per term must rewrite to the bounded heaps
+    // (TopKLocal/TopKPerGroup) or Spark's native partial WindowGroupLimit
+    assert(p.contains("TopK") ||
+      (p.contains("WindowGroupLimit") && p.contains("Partial")),
+      s"champion cut not bounded:\n$p")
+  }
+
   test("dsir: the log-ratio table joins broadcast; the corpus never sort-merges") {
     val p = plan("q_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"lambda table not broadcast:\n$p")
