@@ -58,9 +58,17 @@ object Decontaminate {
     * touches the training corpus.
     *
     * Emits (doc_id, n_tokens, n_removed, clean_text) for EVERY training
-    * doc — uncontaminated docs pass through with n_removed = 0. */
+    * doc — uncontaminated docs pass through with n_removed = 0.
+    *
+    * `broadcastCover` (default true) asserts contamination is sparse —
+    * the normal case for a benchmark suite. A PATHOLOGICAL benchmark
+    * whose grams are common phrases covers a large corpus fraction and
+    * makes the cover table corpus-sized; set it false there and the
+    * cover join degrades to a plain shuffle join on doc_id instead of
+    * an oversized broadcast. */
   def stripContaminated(train: DataFrame, benchmark: DataFrame,
-                        text: Column, id: Column, n: Int = 13): DataFrame = {
+                        text: Column, id: Column, n: Int = 13,
+                        broadcastCover: Boolean = true): DataFrame = {
     val benchGrams = docGrams(benchmark, text, id, n)
       .select(col("gram")).distinct()
     val toks = train.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
@@ -76,7 +84,8 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(array_sort(array_distinct(flatten(collect_list(
         expr(s"sequence(p, p + ${n - 1})"))))).as("cover"))
-    toks.join(broadcast(cover), Seq("doc_id"), "left")
+    toks.join(if (broadcastCover) broadcast(cover) else cover,
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("cover")), lit(0)).cast("long").as("n_removed"),

@@ -116,10 +116,25 @@ object Dsir {
       .select(col("doc_id"), col("is_t"),
         bucketOf(col("feature"), numBuckets).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    score(fb.select(col("doc_id"), col("bucket")), lambdaOf(fb, numBuckets))
+  }
+
+  /** The frozen λ model for a predicate-selected target slice — what a
+    * DEPLOYED scorer (e.g. the streaming lane) loads: trained once over
+    * a batch corpus, then applied to any stream of documents. Identical
+    * arithmetic to [[weightsWithin]]'s in-query derivation. */
+  def lambdaWithin(docs: DataFrame, isTarget: Column, text: Column,
+                   id: Column, numBuckets: Int = 4096): DataFrame =
+    lambdaOf(explodeFeatures(docs.select(id.as("doc_id"),
+        isTarget.as("is_t"), TextFns.tokens(text).as("toks")))
+      .select(col("doc_id"), col("is_t"),
+        bucketOf(col("feature"), numBuckets).as("bucket")), numBuckets)
+
+  private def lambdaOf(fb: DataFrame, numBuckets: Int): DataFrame = {
     val hist = fb.groupBy(col("bucket"))
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
         count(lit(1)).as("cnt_s"))
-    val s = docs.sparkSession
+    val s = fb.sparkSession
     val domain = s.range(numBuckets).select(col("id").as("bucket"))
     val joined = domain.join(hist, Seq("bucket"), "left")
       .select(col("bucket"),
@@ -127,17 +142,16 @@ object Dsir {
         coalesce(col("cnt_s"), lit(0L)).as("cnt_s"))
     val totals = joined.agg(sum(col("cnt_t")).as("tot_t"),
       sum(col("cnt_s")).as("tot_s"))
-    val lam = joined.crossJoin(broadcast(totals))
+    joined.crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(log((col("cnt_t") + 1).cast(DoubleType) /
             (col("tot_t") + numBuckets)) -
           log((col("cnt_s") + 1).cast(DoubleType) /
             (col("tot_s") + numBuckets)), 8)
           .cast(DecimalType(18, 8)).as("lambda"))
-    score(fb.select(col("doc_id"), col("bucket")), lam)
   }
 
-  private def score(docBuckets: DataFrame, lam: DataFrame): DataFrame =
+  private[graft] def score(docBuckets: DataFrame, lam: DataFrame): DataFrame =
     docBuckets
       // broadcast by intent: at corpus scale AQE's stats must not flip
       // which side broadcasts run-to-run (the q_lm_score note)

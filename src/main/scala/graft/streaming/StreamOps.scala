@@ -168,6 +168,25 @@ object StreamOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
 
+  /** Streaming DSIR scoring — the DEPLOYED half of q_dsir_weights: the
+    * λ model is trained offline over a batch corpus
+    * ([[graft.operators.Dsir.lambdaWithin]]) and FROZEN; each arriving
+    * document explodes to its hashed features map-side, joins the
+    * static broadcast λ table, and aggregates its own log weight. Like
+    * [[decontaminate]], the probe is stateless — streaming state is one
+    * (n_feats, sum) pair per doc in the current aggregation. Parity
+    * with the oracle-checked batch query is pinned on real documents in
+    * StreamingSpec. */
+  def dsirScore(docs: DataFrame, lambda: DataFrame,
+                textCol: String = "text", idCol: String = "doc_id",
+                numBuckets: Int = 4096): DataFrame =
+    graft.operators.Dsir.score(
+      graft.operators.Dsir.docFeatures(docs, col(textCol), col(idCol))
+        .select(col("doc_id"),
+          graft.operators.Dsir.bucketOf(col("feature"), numBuckets)
+            .as("bucket")),
+      lambda)
+
   /** Watermarked stream-stream inner join: each click joins purchases of
     * the same user that happened within `horizon` BEFORE it — the
     * streaming twin of the batch q_range_join (RangeJoin.pointInInterval).

@@ -707,6 +707,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(replay(7, "deconpar2") == want, "batching changed the verdicts")
   }
 
+  test("streaming DSIR scoring equals the q_dsir_weights driver query on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tenth driver-oracle-anchored streaming parity: the λ model is
+    // trained once over the batch corpus and frozen; the SAME corpus
+    // then streams through the stateless scorer. Decimal λ sums are
+    // order-independent, so the streamed weights must equal the batch
+    // query row for row regardless of batching.
+    val docs = Tables.documents(spark, sf)
+    val lam = operators.Dsir.lambdaWithin(docs, $"lang" === "en",
+      $"text", $"doc_id", numBuckets = 4096)
+    val feed = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toVector
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirScore(in.toDF().toDF("doc_id", "text"), lam)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dsirpar").start()
+    feed.grouped(90).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.table("dsirpar").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val want = SparkEntry.queries("q_dsir_weights")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+  }
+
   test("streaming drift scoring equals the q_drift_psi driver query on real orders") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

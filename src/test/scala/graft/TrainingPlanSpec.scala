@@ -72,6 +72,17 @@ class TrainingPlanSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((5L, 4L, "tail")))
   }
 
+  test("span strip with the shuffle-join cover lane equals the broadcast lane") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter($"doc_id" % 11 === 0)
+    val train = docs.filter($"doc_id" % 11 =!= 0)
+    def rows(bc: Boolean) = Decontaminate.stripContaminated(
+        train, bench, $"text", $"doc_id", n = 5, broadcastCover = bc)
+      .collect().map(_.toSeq).toSet
+    assert(rows(true) == rows(false))
+  }
+
   // ---- BitextMine -----------------------------------------------------
 
   test("bitext mining returns mutual-best pairs with sane margins") {
