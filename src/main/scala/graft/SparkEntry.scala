@@ -3584,10 +3584,15 @@ object SparkEntry {
               .as("n_same_rank"))
         val posts = qdf.agg(sum(least($"df", lit(m.toLong))).as("kept"),
           sum($"df").as("total"))
-        agree.crossJoin(posts)
+        // the MaxScore-style soundness column: how many of the 8 probe
+        // queries this depth PROVES exact from the pruned index alone
+        val cert = operators.HybridSearch.impactCertificates(dt, k = 10, m = m)
+          .agg(sum(when($"certified", 1L).otherwise(0L)).as("n_certified"))
+        agree.crossJoin(posts).crossJoin(cert)
           .select(lit(m.toLong).as("m"), $"n_slots", $"n_overlap",
             $"n_same_rank",
-            expr("(1000000 * kept) div total").as("postings_scan_ppm"))
+            expr("(1000000 * kept) div total").as("postings_scan_ppm"),
+            $"n_certified")
       }.reduce(_ unionAll _)
       lanes.orderBy($"m")
     }),
@@ -6906,20 +6911,41 @@ object SparkEntry {
         |  WHERE full_rank <= 10),
         |""".stripMargin +
         Seq(64, 256, 1024).map { m =>
-          s"""pscore$m AS (SELECT q.query_id, c.doc_id, sum(c.w) AS score
-             |  FROM ch c JOIN qterms q USING (term)
+          s"""qub$m AS (SELECT q.query_id, q.term,
+             |    coalesce(u.ub, CAST(0 AS DECIMAL(18,6))) AS ub
+             |  FROM qterms q LEFT JOIN (
+             |    SELECT term, w AS ub FROM ch WHERE rn = $m) u USING (term)),
+             |ubtot$m AS (SELECT query_id, sum(ub) AS ub_total
+             |  FROM qub$m GROUP BY 1),
+             |cscore$m AS (SELECT q.query_id, c.doc_id,
+             |    sum(c.w) AS score, sum(q.ub) AS seen_ub
+             |  FROM ch c JOIN qub$m q USING (term)
              |  WHERE c.rn <= $m AND c.doc_id <> q.query_id GROUP BY 1, 2),
+             |crank$m AS (SELECT s.query_id, s.doc_id, s.score,
+             |    s.score + t.ub_total - s.seen_ub AS potential, t.ub_total,
+             |    row_number() OVER (PARTITION BY s.query_id
+             |      ORDER BY s.score DESC, s.doc_id) AS rn
+             |  FROM cscore$m s JOIN ubtot$m t USING (query_id)),
+             |cert$m AS (SELECT
+             |    CAST(count(*) FILTER (WHERE certified) AS BIGINT) AS n_certified
+             |  FROM (SELECT query_id,
+             |      (max(ub_total) = 0 OR (count(*) >= 10
+             |        AND max(CASE WHEN rn = 10 THEN score END) > max(ub_total)
+             |        AND (max(CASE WHEN rn > 10 THEN potential END) IS NULL
+             |          OR max(CASE WHEN rn = 10 THEN score END) >
+             |             max(CASE WHEN rn > 10 THEN potential END))))
+             |      AS certified
+             |    FROM crank$m GROUP BY 1)),
              |plex$m AS (SELECT query_id, doc_id, lex_rank FROM (
-             |    SELECT query_id, doc_id, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
-             |    FROM pscore$m)
+             |    SELECT query_id, doc_id, rn AS lex_rank FROM crank$m)
              |  WHERE lex_rank <= 10),
              |lane$m AS (SELECT CAST($m AS BIGINT) AS m, count(*) AS n_slots,
              |    CAST(count(f.full_rank) AS BIGINT) AS n_overlap,
              |    CAST(count(*) FILTER (WHERE p.lex_rank = f.full_rank) AS BIGINT)
              |      AS n_same_rank,
              |    (SELECT CAST((1000000 * sum(least(df, $m))) // sum(df) AS BIGINT)
-             |     FROM qpost) AS postings_scan_ppm
+             |     FROM qpost) AS postings_scan_ppm,
+             |    (SELECT n_certified FROM cert$m) AS n_certified
              |  FROM plex$m p LEFT JOIN flex f USING (query_id, doc_id))""".stripMargin
         }.mkString(",\n") +
         """

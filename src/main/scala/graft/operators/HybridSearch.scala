@@ -102,6 +102,84 @@ object HybridSearch {
     * [[bm25RetrieveFromTf]]. */
   def bm25RetrieveImpactFromTf(tf: DataFrame, k: Int, m: Int,
                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val champions = championsRanked(tf, k1, b).filter(col("rn") <= m)
+      .select(col("term"), col("doc_id"), col("w"))
+    val qTerms = broadcast(tf.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term")))
+    val scored = champions.join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** MaxScore-style EXACTNESS CERTIFICATE for the champion-pruned
+    * retrieval: per query, decide from the pruned index ALONE whether
+    * its top-k is provably the full index's top-k set.
+    *
+    * The bound: a term's champion list, when cut (df > m), cannot hide
+    * a weight above its m-th entry ub_t; a full list (df ≤ m) hides
+    * nothing (ub_t = 0). So a candidate doc's true score is at most its
+    * observed score plus Σ ub_t over the query terms where it is NOT a
+    * champion, and a doc unseen by every list scores at most
+    * Σ_t ub_t. With τ = the k-th observed candidate score, the observed
+    * top-k is certified as the true top-k set when τ strictly beats
+    * every outside candidate's potential AND the unseen bound (or when
+    * every list is complete — pruning was vacuous). All comparisons are
+    * on the exact round-6 decimals, so the certificate replays
+    * bit-identically in SQL.
+    *
+    * Emits one row per query: (query_id, n_candidates, certified). */
+  def impactCertificates(tf: DataFrame, k: Int, m: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ranked = championsRanked(tf, k1, b)
+    val champions = ranked.filter(col("rn") <= m)
+      .select(col("term"), col("doc_id"), col("w"))
+    val qTerms = broadcast(tf.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term")))
+    val zero = lit(0).cast(DecimalType(18, 6))
+    // per-(query, term) miss bound; a term whose list is complete hides 0
+    val qub = qTerms
+      .join(ranked.filter(col("rn") === m)
+        .select(col("term"), col("w").as("ub")), Seq("term"), "left")
+      .select(col("query_id"), col("term"),
+        coalesce(col("ub"), zero).as("ub"))
+    val ubTotal = qub.groupBy(col("query_id"))
+      .agg(sum(col("ub")).as("ub_total"))
+    // candidates carry both their observed score and how much bound
+    // their OWN champion memberships already account for
+    val scored = champions.join(qub, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"), sum(col("ub")).as("seen_ub"))
+      .join(broadcast(ubTotal), Seq("query_id"))
+      .withColumn("potential",
+        col("score") + col("ub_total") - col("seen_ub"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val rankedCand = scored.withColumn("rn", row_number().over(w))
+    val perQuery = rankedCand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("rn") === k, col("score"))).as("tau"),
+        max(when(col("rn") > k, col("potential"))).as("max_out_potential"),
+        first(col("ub_total")).as("ub_total"))
+    perQuery.select(col("query_id"), col("n_candidates"),
+      (col("ub_total") === zero ||
+        (col("n_candidates") >= k &&
+          col("tau") > col("ub_total") &&
+          (col("max_out_potential").isNull ||
+            col("tau") > col("max_out_potential")))).as("certified"))
+  }
+
+  /** Shared internals of the impact-pruned lanes: per-(term, doc) BM25
+    * weights with each posting's rank inside its term's impact order —
+    * one definition, so the operator and its certificate can't drift. */
+  private def championsRanked(tf: DataFrame, k1: Double,
+                              b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
@@ -116,20 +194,7 @@ object HybridSearch {
       .select(col("term"), col("doc_id"), col("w"))
     val champW = Window.partitionBy(col("term"))
       .orderBy(col("w").desc, col("doc_id"))
-    val champions = weights.withColumn("rn", row_number().over(champW))
-      .filter(col("rn") <= m)
-      .select(col("term"), col("doc_id"), col("w"))
-    val qTerms = broadcast(tf.filter(col("is_q"))
-      .select(col("doc_id").as("query_id"), col("term")))
-    val scored = champions.join(qTerms, "term")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
-      .filter(col("lex_rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    weights.withColumn("rn", row_number().over(champW))
   }
 
   /** RRF-fuse two ranked lanes (query_id, doc_id, <rank col>): a doc

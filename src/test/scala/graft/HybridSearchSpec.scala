@@ -88,4 +88,48 @@ class HybridSearchSpec extends AnyFunSuite with SparkSpec {
       } assert(a.getAs[Long]("rrf_ppm") > b.getAs[Long]("rrf_ppm"))
     }
   }
+
+  test("impact certificate: a rare dominant term certifies a CUT index non-vacuously") {
+    import spark.implicits._
+    // query 0 carries 'zzz' (rare, high idf) and 'common' (everywhere);
+    // docs 1-3 hold zzz at descending tf, docs 4-20 only 'common'. At
+    // m=5 the common list is CUT (df=18 > 5) yet the zzz top-2 towers
+    // over every bound, so the certificate must fire non-vacuously.
+    val tf = (Seq(
+      (0L, "zzz", 1L, 2L, true), (0L, "common", 1L, 2L, true),
+      (1L, "zzz", 5L, 5L, false), (2L, "zzz", 3L, 5L, false),
+      (3L, "zzz", 1L, 5L, false)) ++
+      (4L to 20L).map(i => (i, "common", 1L, 5L, false)))
+      .toDF("doc_id", "term", "tf", "dl", "is_q")
+    val cert = HybridSearch.impactCertificates(tf, k = 2, m = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(cert(0L), s"dominant-term top-2 not certified: $cert")
+    // vacuity check: the common list IS cut at m=5, so ub_total > 0 —
+    // certification came from the bound argument, not a complete index
+    val full = HybridSearch.bm25RetrieveFromTf(tf, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = HybridSearch.bm25RetrieveImpactFromTf(tf, k = 2, m = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full, "certified top-k set differs from the full index")
+  }
+
+  test("impact certificate is SOUND on real data: certified => pruned set equals full set") {
+    import spark.implicits._
+    val dt = graft.operators.DocTerms.table(spark, sf)
+      .withColumn("is_q", $"doc_id" < 8)
+    val full = HybridSearch.bm25RetrieveFromTf(dt, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    Seq(32, 128, 600).foreach { m =>
+      val pruned = HybridSearch.bm25RetrieveImpactFromTf(dt, k = 10, m = m)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      HybridSearch.impactCertificates(dt, k = 10, m = m).collect()
+        .filter(_.getBoolean(2)).foreach { r =>
+          val q = r.getLong(0)
+          assert(pruned.get(q) == full.get(q),
+            s"m=$m certified query $q but sets differ")
+        }
+    }
+  }
 }
