@@ -3868,6 +3868,33 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    "q_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      // single-changepoint detection on the daily-revenue series: the
+      // CUSUM statistic D_t = |n·S_t − t·S_n| (S = prefix sum in exact
+      // integer cents) peaks where the mean shifts — binary
+      // segmentation's first split, the monitoring primitive behind
+      // "when did this corpus/revenue stream change". All integer: the
+      // corpus collapses to ONE tiny date aggregation (the q_autocorr
+      // shape), the prefix window runs over ~thousands of days on a
+      // single partition by design, and n·S_t stays in Long up to $38T
+      // total revenue. Top-5 candidate days reported.
+      val daily = Tables.orders(s, dir)
+        .groupBy($"o_orderdate".as("d"))
+        .agg((sum($"o_totalprice".cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("cents"))
+      val w = Window.orderBy($"d")
+      val c = daily
+        .withColumn("cum_cents", sum($"cents").over(w))
+        .withColumn("t", row_number().over(w).cast(LongType))
+      val tot = daily.agg(count(lit(1)).as("n"), sum($"cents").as("sn"))
+      c.crossJoin(broadcast(tot))
+        .select($"d", $"t", $"cum_cents",
+          abs($"n" * $"cum_cents" - $"t" * $"sn").as("stat"))
+        .orderBy($"stat".desc, $"d")
+        .limit(5)
+    }),
+
     "q_autocorr" -> ((s, dir) => {
       import s.implicits._
       // Lag-k autocorrelation of the daily-revenue series (k = 1..7) —
@@ -4637,6 +4664,45 @@ object SparkEntry {
           expr("(1000000 * n_tokens) div t_total").cast(LongType)
             .as("share_ppm"))
         .orderBy($"source", $"lang")
+    }),
+
+    "q_t_closeness" -> ((s, dir) => {
+      import s.implicits._
+      // t-closeness audit (t = 0.2) — the third of the release-gate
+      // triad: a class can be k-large and l-diverse yet still leak when
+      // its sensitive-value DISTRIBUTION diverges from the corpus (a
+      // class that is 90% one segment tells you the segment even though
+      // others appear). Per QI class, the total variation distance to
+      // the global segment distribution in EXACT integer ppm:
+      // tvd = Σ_v |cnt_cv·n − cnt_v·sz| / (2·sz·n) — absent values
+      // enter via the broadcast global domain, nothing floats. Same
+      // no-collect rollup shape as q_k_anonymity / q_l_diversity.
+      val cust = Tables.customer(s, dir)
+        .select($"c_nationkey",
+          floor($"c_acctbal" / 1000).cast(LongType).as("bal_band"),
+          $"c_mktsegment")
+      val cv = cust.groupBy($"c_nationkey", $"bal_band", $"c_mktsegment")
+        .agg(count(lit(1)).as("cnt_cv"))
+      val cls = cv.groupBy($"c_nationkey", $"bal_band")
+        .agg(sum($"cnt_cv").as("sz"))
+      val gv = cust.groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt_v"))
+      val tot = gv.agg(sum($"cnt_v").as("n"))
+      val tvd = cls.crossJoin(broadcast(gv))
+        .join(cv, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy($"c_nationkey", $"bal_band")
+        .agg(first($"sz").as("sz"), first($"n").as("n"),
+          sum(abs(coalesce($"cnt_cv", lit(0L)) * $"n" - $"cnt_v" * $"sz"))
+            .as("num"))
+        .select($"c_nationkey", $"bal_band", $"sz",
+          expr("(1000000 * num) div (2 * sz * n)").as("tvd_ppm"))
+      tvd.agg(count(lit(1)).as("n_classes"),
+          sum(when($"tvd_ppm" > 200000, 1L).otherwise(0L)).as("n_violating"),
+          sum(when($"tvd_ppm" > 200000, $"sz").otherwise(0L))
+            .as("n_rows_exposed"),
+          max($"tvd_ppm").as("max_tvd_ppm"))
+        .select(lit(200000L).as("t_ppm"), $"n_classes", $"n_violating",
+          $"n_rows_exposed", $"max_tvd_ppm")
     }),
 
     "q_l_diversity" -> ((s, dir) => {
@@ -7218,6 +7284,26 @@ object SparkEntry {
         |FROM st
         |ORDER BY l_returnflag""".stripMargin,
 
+    // same integer-cents prefix-sum algebra; DuckDB's HUGEINT interim
+    // casts back exactly because n·S fits BIGINT at any tested SF
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT d, cents,
+        |    sum(cents) OVER (ORDER BY d) AS s,
+        |    row_number() OVER (ORDER BY d) AS t
+        |  FROM daily),
+        |tot AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sn
+        |  FROM daily)
+        |SELECT d, CAST(t AS BIGINT) AS t, CAST(s AS BIGINT) AS cum_cents,
+        |  CAST(abs(n * s - t * sn) AS BIGINT) AS stat
+        |FROM c CROSS JOIN tot
+        |ORDER BY stat DESC, d
+        |LIMIT 5""".stripMargin,
+
     "q_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
@@ -7931,6 +8017,42 @@ object SparkEntry {
         |SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST((1000000 * n_tokens) // tt AS BIGINT) AS share_ppm
         |FROM g, t ORDER BY source, lang""".stripMargin,
+
+    // absent class-values join in from the global domain; all-integer
+    // TVD, HUGEINT interims cast back exactly
+    "q_t_closeness" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment
+        |  FROM customer),
+        |cv AS (SELECT c_nationkey, bal_band, c_mktsegment,
+        |    count(*) AS cnt_cv
+        |  FROM cust GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, bal_band,
+        |    CAST(sum(cnt_cv) AS BIGINT) AS sz
+        |  FROM cv GROUP BY 1, 2),
+        |gv AS (SELECT c_mktsegment, count(*) AS cnt_v FROM cust GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_v) AS BIGINT) AS n FROM gv),
+        |tvd AS (
+        |  SELECT cls.c_nationkey, cls.bal_band, min(cls.sz) AS sz,
+        |    CAST((1000000 * sum(abs(coalesce(cv.cnt_cv, 0) * tot.n
+        |        - gv.cnt_v * cls.sz)))
+        |      // (2 * min(cls.sz) * min(tot.n)) AS BIGINT) AS tvd_ppm
+        |  FROM cls CROSS JOIN gv
+        |  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+        |    AND cv.bal_band = cls.bal_band
+        |    AND cv.c_mktsegment = gv.c_mktsegment
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2)
+        |SELECT CAST(200000 AS BIGINT) AS t_ppm,
+        |  count(*) AS n_classes,
+        |  CAST(count(*) FILTER (WHERE tvd_ppm > 200000) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(coalesce(sum(sz) FILTER (WHERE tvd_ppm > 200000), 0)
+        |    AS BIGINT) AS n_rows_exposed,
+        |  CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm
+        |FROM tvd""".stripMargin,
 
     "q_l_diversity" ->
       """WITH cust AS (
