@@ -4022,6 +4022,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // video near-dup pairs — the missing third of the multimodal
+      // dedup family (image/audio exist): per video the SET of sampled
+      // frame aHashes, candidate pairs BLOCKED by sharing an identical
+      // frame hash (the standard video-dedup shape: a near-dup video
+      // shares exact frame fingerprints; never all-pairs), verified at
+      // frame-set Jaccard ≥ 0.5 in exact integers (3·i ≥ n_a+n_b).
+      // Planted brightness-shifted copies (every 7th doc re-enters
+      // +1000000) hash frame-identically — the perceptual hashes are
+      // exactly invariant to a constant shift — and must surface.
+      val base = Tables.documents(s, dir).select($"doc_id")
+      val corpus = base.select($"doc_id", $"doc_id".as("seed"))
+        .unionByName(base.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"doc_id".as("seed")))
+      val vids = operators.VideoMeta.synthVideoWithFramesSeeded(corpus)
+      val sig = operators.VideoMeta.framePhashes(vids, perDoc = 4).toDF()
+        .select($"doc_id", $"ahash").distinct()
+      val sz = sig.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val shared = sig.as("x").join(sig.as("y"),
+          col("x.ahash") === col("y.ahash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sz.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+        .join(sz.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+        .filter($"n_shared" * 3 >= $"n_a" + $"n_b")
+        .select($"id_a", $"id_b", $"n_a", $"n_b", $"n_shared")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     "q_video_frames" -> ((s, dir) => {
       import s.implicits._
       // REAL video FRAME decode — the stub is closed for image-coded
@@ -7507,6 +7539,53 @@ object SparkEntry {
     // perceptual hashes — the same recipe as q_image_phash with a frame
     // axis. PNG samples are lossless, so the container/codec round trip
     // drops out of the algebra entirely.
+    // frames render from the SEED's formula; the brightness shift on
+    // planted copies and the base +c term both drop out of the hash
+    // algebra exactly (equal-size pooling blocks: 64·k·|block| =
+    // k·|frame| cancels in every bit comparison), so the oracle
+    // computes the bits shift-free
+    "q_video_dedup" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS v, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 7 = 0),
+        |prm AS (
+        |  SELECT v, seed % 89 + 1 AS a, seed % 97 + 1 AS b,
+        |         32 + 8 * (seed % 3) AS h,
+        |         6 + seed % 8 AS nf, (6 + seed % 8 + 3) // 4 AS stride
+        |  FROM vid),
+        |fr AS (
+        |  SELECT v, a, b, h, f.range AS f
+        |  FROM prm, range(13) f
+        |  WHERE f.range < nf AND f.range % stride = 0),
+        |px AS (
+        |  SELECT v, f, h, x.range AS x, y.range AS y,
+        |         (a * x.range + b * y.range + 29 * f) % 240 AS val
+        |  FROM fr, range(72) x, range(48) y
+        |  WHERE y.range < h),
+        |a8 AS (
+        |  SELECT v, f, (y // (h // 8)) * 8 + (x // 9) AS k, sum(val) AS bs
+        |  FROM px GROUP BY 1, 2, 3),
+        |atot AS (SELECT v, f, sum(bs) AS ts FROM a8 GROUP BY 1, 2),
+        |abits AS (
+        |  SELECT a8.v, a8.f,
+        |    CAST(sum(CASE WHEN bs * 64 > ts AND k >= 32 THEN (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bs * 64 > ts AND k < 32 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM a8 JOIN atot USING (v, f) GROUP BY 1, 2),
+        |sig AS (SELECT DISTINCT v, hi, lo FROM abits),
+        |sz AS (SELECT v, count(*) AS n FROM sig GROUP BY 1),
+        |shared AS (
+        |  SELECT a.v AS id_a, b.v AS id_b, count(*) AS n_shared
+        |  FROM sig a JOIN sig b
+        |    ON a.hi = b.hi AND a.lo = b.lo AND a.v < b.v
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_shared
+        |FROM shared
+        |JOIN sz sa ON sa.v = id_a
+        |JOIN sz sb ON sb.v = id_b
+        |WHERE n_shared * 3 >= sa.n + sb.n
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_video_frames" ->
       """WITH prm AS (
         |  SELECT doc_id, doc_id % 89 + 1 AS a, doc_id % 97 + 1 AS b,

@@ -446,4 +446,38 @@ object VideoMeta {
         }
       }.toDF()
   }
+
+  /** [[synthVideoWithFrames]] with content decoupled from identity: the
+    * video's FRAMES render from `seed`, its id is its own — so a corpus
+    * can carry PLANTED near-duplicate videos (same seed, new id).
+    * Planted copies (id ≠ seed) are brightness-shifted +3 per pixel:
+    * payload bytes differ, but both perceptual hashes are exactly
+    * invariant to a constant shift (equal-size pooling blocks: the
+    * shift adds k·|block| to every block sum and k·|frame| to the
+    * total, and 64·k·|block| = k·|frame| cancels in the bit
+    * comparisons) — the video twin of the image lane's planted
+    * brightness dups. Pixel max 251+3 stays under 255, so no clamp
+    * breaks the algebra. */
+  def synthVideoWithFramesSeeded(pairs: DataFrame,
+                                 idCol: String = "doc_id",
+                                 seedCol: String = "seed"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idCol).cast("long"), col(seedCol).cast("long"))
+      .as[(Long, Long)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, seed) =>
+          val (_, _, _, w, h, nf) = synthFrameParams(seed)
+          val shift = if (id == seed) 0 else 3
+          val frames = Array.tabulate(nf) { f =>
+            val (_, _, gray) = synthFrameGray(seed, f)
+            val g = if (shift == 0) gray else gray.map(_ + shift)
+            ImageCodec.encodeGrayPng(w, h, g)
+          }
+          VideoRow(id, encodeMp4WithSamples(w, h, 600L, nf * 25L, frames))
+        }
+      }.toDF()
+  }
 }

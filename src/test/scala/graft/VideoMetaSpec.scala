@@ -186,6 +186,28 @@ class VideoMetaSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.toSeq == Seq(4, 4, 4))
   }
 
+  test("video dedup surfaces every planted brightness-shifted copy with its source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val expected = Tables.documents(spark, sf).select($"doc_id")
+      .filter($"doc_id" % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val pairs = SparkEntry.queries("q_video_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing planted pairs: ${(expected -- pairs).take(5)}")
+    // the shift must be byte-visible (a real near-dup, not a byte copy)
+    val corpus = Tables.documents(spark, sf).select($"doc_id").limit(1)
+      .select($"doc_id", $"doc_id".as("seed"))
+    val orig = operators.VideoMeta.synthVideoWithFramesSeeded(corpus)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val shifted = operators.VideoMeta.synthVideoWithFramesSeeded(
+        corpus.select(($"doc_id" + 1000000L).as("doc_id"), $"seed"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(!java.util.Arrays.equals(orig, shifted),
+      "planted copy is a byte-identical duplicate, not a near-dup")
+  }
+
   test("crafted stsz counts and sizes are declined before any allocation") {
     val frames = Array(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6))
     val mp4 = VideoMeta.encodeMp4WithSamples(64, 64, 600L, 50L, frames)
