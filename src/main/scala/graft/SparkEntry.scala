@@ -4678,6 +4678,29 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "q_epoch_export" -> ((s, dir) => {
+      import s.implicits._
+      // the epoch plan EXECUTED: per-doc repeat counts explode into the
+      // planned token stream (epochs are real rows, not arithmetic),
+      // each (doc, epoch) copy lands in its salted-md5 shard, and the
+      // per-(shard, source) manifest is what the loader reads. One
+      // corpus window (the plan's cumsum) + a row-local explode + one
+      // manifest aggregation; every number replayable in integers.
+      val reps = operators.EpochPlan.docRepeats(Tables.documents(s, dir),
+        $"source", $"doc_id", size(TextFns.tokens($"text")),
+        budgetEpochs = 2, maxEpochs = 4)
+      reps.filter($"repeats" > 0)
+        .select($"source", $"n_toks", $"doc_id",
+          explode(expr("sequence(1, repeats)")).as("e"))
+        .select($"source", $"n_toks",
+          (conv(substring(md5(concat(lit("sh:"), $"doc_id".cast(StringType),
+            lit(":"), $"e".cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % 8).as("shard"))
+        .groupBy($"shard", $"source")
+        .agg(count(lit(1)).as("n_rows"), sum($"n_toks").as("n_tokens"))
+        .orderBy($"shard", $"source")
+    }),
+
     "q_source_mix" -> ((s, dir) => {
       import s.implicits._
       // Corpus composition report — the "what is actually in my
@@ -8044,6 +8067,48 @@ object SparkEntry {
         |SELECT custkey, CAST(neg_rank AS BIGINT) AS neg_rank, item
         |FROM rkd WHERE neg_rank <= 5
         |ORDER BY custkey, neg_rank""".stripMargin,
+
+    // the plan CTEs verbatim, then repeats explode via range() and each
+    // (doc, epoch) copy re-derives the same salted-md5 shard
+    "q_epoch_export" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_toks,
+        |    md5('ep:' || doc_id) AS ch
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS k
+        |  FROM s),
+        |p AS (SELECT source, n_docs, n_tokens, (tot * 2) // k AS target
+        |  FROM s CROSS JOIN t),
+        |p2 AS (SELECT source,
+        |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(CAST(4 AS BIGINT), target // n_tokens) END
+        |      AS full_epochs,
+        |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(target, 4 * n_tokens) -
+        |        least(CAST(4 AS BIGINT), target // n_tokens) * n_tokens END
+        |      AS rem
+        |  FROM p),
+        |c AS (SELECT source, doc_id, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY source ORDER BY ch, doc_id) AS cum
+        |  FROM d),
+        |rep AS (SELECT c.source, c.doc_id, c.n_toks,
+        |    p2.full_epochs +
+        |      CASE WHEN c.cum <= p2.rem THEN 1 ELSE 0 END AS repeats
+        |  FROM c JOIN p2 USING (source)),
+        |x AS (SELECT source, n_toks,
+        |    CAST(concat('0x',
+        |      substr(md5('sh:' || doc_id || ':' || e.range), 1, 8))
+        |      AS BIGINT) % 8 AS shard
+        |  FROM rep, range(1, 13) e
+        |  WHERE e.range <= repeats)
+        |SELECT CAST(shard AS BIGINT) AS shard, source, count(*) AS n_rows,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM x GROUP BY 1, 2
+        |ORDER BY shard, source""".stripMargin,
 
     // identical integer budget arithmetic; the fractional prefix is the
     // same (md5 channel, doc_id) cumsum on both sides

@@ -150,6 +150,28 @@ class TrainingPlanSpec extends AnyFunSuite with SparkSpec {
     assert(lxd == lxt / 90L, "prefix docs are 90 tokens each")
   }
 
+  test("docRepeats executes exactly the plan: exploded stream totals match") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFns.tokens($"text")).as("n_toks"))
+    val plan = EpochPlan.plan(docs, $"source", $"doc_id", $"n_toks")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    val reps = EpochPlan.docRepeats(docs, $"source", $"doc_id", $"n_toks")
+      .groupBy($"source")
+      .agg(sum($"repeats" * $"n_toks").as("streamed_tokens"),
+        max($"repeats").as("max_rep"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    plan.foreach { case (src, (fullEpochs, _, plannedTokens)) =>
+      val (streamed, maxRep) = reps(src)
+      assert(streamed == plannedTokens,
+        s"$src: exploded stream $streamed != planned $plannedTokens")
+      assert(maxRep <= fullEpochs + 1, s"$src: repeat above plan: $maxRep")
+    }
+  }
+
   test("epoch plan is deterministic and never exceeds the per-source cap") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
