@@ -3672,6 +3672,39 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_sentence_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // sentence-level cross-corpus dedup — the C4 policy, and the one
+      // granularity the dedup family lacked (doc-exact, doc-minhash,
+      // span, embedding exist): every normalized sentence survives only
+      // at its FIRST occurrence corpus-wide (min (doc_id, position),
+      // encoded as one integer key both engines min identically);
+      // repeats inside a doc die too. One shuffle on the sentence key —
+      // the inherent cost of a global policy; production swaps the
+      // normalized string for its xxhash64 and this plan is unchanged.
+      val sents = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(split($"text", "[.!?]"))
+          .as(Seq("pos", "raw")))
+        .select($"doc_id", $"pos",
+          concat_ws(" ", TextFns.tokens($"raw")).as("norm"))
+        .filter(length($"norm") > 0)
+      val firstSeen = sents.groupBy($"norm")
+        .agg(min($"doc_id" * 1000000L + $"pos").as("first_key"))
+      val kept = sents.join(firstSeen, "norm")
+        .filter($"doc_id" * 1000000L + $"pos" === $"first_key")
+      val tot = sents.groupBy($"doc_id").agg(count(lit(1)).as("n_sentences"))
+      val keptAgg = kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" | ", expr(
+            "transform(sort_array(collect_list(struct(pos, norm))), x -> x.norm)"))
+            .as("clean_text"))
+      tot.join(keptAgg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_sentences",
+          ($"n_sentences" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+          coalesce($"clean_text", lit("")).as("clean_text"))
+        .orderBy($"doc_id")
+    }),
+
     "q_decontaminate_strip" -> ((s, dir) => {
       import s.implicits._
       // the removal half of q_decontaminate: redact exactly the token
@@ -7176,6 +7209,35 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // same sentence normalization (split on [.!?], token re-join), same
+    // integer-encoded first-occurrence key, survivors re-join in order
+    "q_sentence_dedup" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split_regex(text, '[.!?]') AS ps
+        |  FROM documents),
+        |sents0 AS (
+        |  SELECT doc_id, u.i - 1 AS pos,
+        |    array_to_string(
+        |      regexp_extract_all(lower(ps[i]), '[a-z0-9]+'), ' ') AS norm
+        |  FROM parts, unnest(range(1, len(ps) + 1)) AS u(i)),
+        |sents AS (SELECT * FROM sents0 WHERE norm <> ''),
+        |fs AS (SELECT norm,
+        |    CAST(min(doc_id * 1000000 + pos) AS BIGINT) AS first_key
+        |  FROM sents GROUP BY 1),
+        |kept AS (SELECT s.doc_id, s.pos, s.norm
+        |  FROM sents s JOIN fs USING (norm)
+        |  WHERE s.doc_id * 1000000 + s.pos = fs.first_key),
+        |tot AS (SELECT doc_id, count(*) AS n_sentences
+        |  FROM sents GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(norm, ' | ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT tot.doc_id, n_sentences,
+        |  CAST(n_sentences - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN ka USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // removal replayed positionally: a token survives iff no colliding
