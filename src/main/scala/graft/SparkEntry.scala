@@ -3823,6 +3823,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "q_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      // DSIR completed: importance RESAMPLING of the raw corpus by the
+      // learned weights — Efraimidis–Spirakis without replacement over
+      // w = exp(log_weight), ranked ENTIRELY in log space
+      // (ln(−ln u) − log_weight is a monotone transform of −ln(u)/w),
+      // so the only libm calls are the ln pair the verified
+      // q_weighted_sample discipline already tolerates (round-9 +
+      // doc-id tiebreak) and the rounded-6 weight enters exactly.
+      // Same scan-local priority + bounded top-k shape — no global sort.
+      val wts = operators.Dsir.weightsWithin(Tables.documents(s, dir),
+        $"lang" === "en", $"text", $"doc_id", numBuckets = 4096)
+      val pri = round(
+        log(-log(operators.WeightedSample.hashUniform($"doc_id")))
+          - $"log_weight", 9)
+      val topk = wts.withColumn("priority", pri)
+        .orderBy($"priority".asc, $"doc_id".asc).limit(100)
+      topk.withColumn("sample_rank", row_number().over(
+          Window.orderBy($"priority".asc, $"doc_id".asc)).cast(LongType))
+        .select($"doc_id", $"log_weight", $"priority", $"sample_rank")
+        .orderBy($"sample_rank")
+    }),
+
     "q_embedding_centroid" -> ((s, dir) => {
       import s.implicits._
       // per-label mean pooling (class centroids — the SemDeDup/domain-
@@ -4604,6 +4627,54 @@ object SparkEntry {
       val edges = operators.CoPurchase.sampledEdges(s, dir)
       operators.LabelProp.summary(edges, rounds = 4)
         .orderBy($"community")
+    }),
+
+    "q_purge_cascade" -> ((s, dir) => {
+      import s.implicits._
+      // compliance delete (right-to-be-forgotten) as a CASCADE plan:
+      // purge a key set of customers, cascade through orders to
+      // lineitems, and emit the per-table audit a regulator reads —
+      // rows before/purged/after plus the CLOSURE check (surviving rows
+      // referencing a purged parent — must be 0; a bug in the cascade
+      // shows up here, which is why the report computes it instead of
+      // assuming it). Purge keys broadcast; each table is one scan with
+      // semi/anti joins; the report is 3 rows.
+      val purgeCust = Tables.customer(s, dir)
+        .filter($"c_custkey" % 997 === 0).select($"c_custkey")
+      val orders = Tables.orders(s, dir)
+      val purgedOrders = orders
+        .join(broadcast(purgeCust), $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey", $"o_custkey")
+      val li = Tables.lineitem(s, dir).select($"l_orderkey")
+      val purgedLines = li.join(purgedOrders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      val custStats = Tables.customer(s, dir)
+        .agg(count(lit(1)).as("rows_before"),
+          sum(when($"c_custkey" % 997 === 0, 1L).otherwise(0L)).as("rows_purged"))
+        .select(lit("customer").as("table_name"), $"rows_before", $"rows_purged",
+          lit(0L).as("orphans_after"))
+      val ordOrphans = orders
+        .join(broadcast(purgeCust), $"o_custkey" === $"c_custkey", "left_anti")
+        .join(broadcast(purgeCust), $"o_custkey" === $"c_custkey", "left_semi")
+      val ordStats = orders.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(purgedOrders.agg(count(lit(1)).as("rows_purged")))
+        .crossJoin(ordOrphans.agg(count(lit(1)).as("orphans_after")))
+        .select(lit("orders").as("table_name"), $"rows_before", $"rows_purged",
+          $"orphans_after")
+      val lineOrphans = li
+        .join(purgedOrders.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .join(purgedOrders.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_semi")
+      val lineStats = li.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(purgedLines.agg(count(lit(1)).as("rows_purged")))
+        .crossJoin(lineOrphans.agg(count(lit(1)).as("orphans_after")))
+        .select(lit("lineitem").as("table_name"), $"rows_before", $"rows_purged",
+          $"orphans_after")
+      custStats.unionByName(ordStats).unionByName(lineStats)
+        .select($"table_name", $"rows_before", $"rows_purged",
+          ($"rows_before" - $"rows_purged").as("rows_after"), $"orphans_after")
+        .orderBy($"table_name")
     }),
 
     "q_fk_integrity" -> ((s, dir) => {
@@ -7343,6 +7414,52 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
+    // the q_dsir_weights CTEs verbatim, then the log-space ES priority
+    // over the same md5 uniform as q_weighted_sample
+    "q_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(tk) AS feature FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS feature
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |fb AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(feature), 1, 8)) AS BIGINT) % 4096
+        |      AS bucket
+        |  FROM feats),
+        |hist AS (SELECT bucket,
+        |    count(*) FILTER (WHERE lang = 'en') AS cnt_t,
+        |    count(*) AS cnt_s
+        |  FROM fb GROUP BY 1),
+        |dom AS (SELECT unnest(range(4096)) AS bucket),
+        |h2 AS (SELECT dom.bucket,
+        |    coalesce(cnt_t, 0) AS cnt_t, coalesce(cnt_s, 0) AS cnt_s
+        |  FROM dom LEFT JOIN hist ON hist.bucket = dom.bucket),
+        |tot AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_s) AS tot_s FROM h2),
+        |lam AS (SELECT bucket,
+        |    CAST(round(ln((cnt_t + 1) / CAST(tot_t + 4096 AS DOUBLE)) -
+        |               ln((cnt_s + 1) / CAST(tot_s + 4096 AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS lambda
+        |  FROM h2 CROSS JOIN tot),
+        |wts AS (SELECT fb.doc_id,
+        |    round(CAST(sum(lambda) AS DOUBLE), 6) AS log_weight
+        |  FROM fb JOIN lam USING (bucket)
+        |  GROUP BY 1),
+        |pri AS (SELECT doc_id, log_weight,
+        |    round(ln(-ln(
+        |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) + 1.0) / 4294967297.0))
+        |      - log_weight, 9) AS priority
+        |  FROM wts)
+        |SELECT doc_id, log_weight, priority,
+        |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+        |    AS sample_rank
+        |FROM pri
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
+
     "q_embedding_centroid" ->
       """WITH e AS (
         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
@@ -8071,6 +8188,38 @@ object SparkEntry {
          |FROM l4 GROUP BY 1
          |ORDER BY community""".stripMargin
     },
+
+    // the cascade and the closure counts replayed with IN-subqueries
+    "q_purge_cascade" ->
+      """WITH pc AS (SELECT c_custkey FROM customer WHERE c_custkey % 997 = 0),
+        |po AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM pc)),
+        |pl AS (SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT count(*) FROM customer) AS rows_before,
+        |    (SELECT count(*) FROM pc) AS rows_purged,
+        |    (SELECT count(*) FROM customer) - (SELECT count(*) FROM pc)
+        |      AS rows_after,
+        |    CAST(0 AS BIGINT) AS orphans_after
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM pl),
+        |    (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM pl),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM po)
+        |       AND l_orderkey NOT IN (SELECT l_orderkey FROM pl))
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM po),
+        |    (SELECT count(*) FROM orders) - (SELECT count(*) FROM po),
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey IN (SELECT c_custkey FROM pc)
+        |       AND o_orderkey NOT IN (SELECT o_orderkey FROM po)))
+        |ORDER BY table_name""".stripMargin,
 
     "q_fk_integrity" ->
       """SELECT 'customer.nationkey->nation' AS edge,
