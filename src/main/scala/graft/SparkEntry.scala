@@ -585,6 +585,24 @@ object SparkEntry {
     m
   }
 
+  /** q_bitext_blocked's shared quantizer — trained on the UNION of both
+    * mining sides (k = 8 blocks), cached per dir like [[ivfModel]];
+    * training is deterministic, so the oracle re-emits the trained
+    * centroids as literals and replays the cell assignment ladder. */
+  private val bitextModels =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
+  private def bitextModel(s: SparkSession, dir: String): operators.IvfAnn.Model = {
+    val m = bitextModels.computeIfAbsent(dir, d => {
+      import s.implicits._
+      operators.IvfAnn.train(
+        Tables.embeddings(s, d)
+          .filter($"label".isin(0, 1) && $"vec_id" < 5000),
+        "vec_id", "embedding", k = 8)
+    })
+    lastDir = dir
+    m
+  }
+
   /** q_ann_tuned's models — the TUNED operating points the AnnTune sweep
     * selected (SCALE.md "ANN recall-vs-cost frontier"): a FINER 64-cell
     * coarse quantizer (recall is driven by the nProbe/nCells fraction,
@@ -653,6 +671,68 @@ object SparkEntry {
        |FROM rc WHERE rk = 1
        |GROUP BY cluster
        |ORDER BY cluster""".stripMargin
+  }
+
+  /** Replays q_bitext_blocked in SQL: the trained block centroids as
+    * DOUBLE[] literals, the same raw-dot argmax assignment ladder as
+    * [[kmeansOracle]] (ties toward the lower cell id — the kernel's
+    * rule), then q_bitext_mine's margin/mutual-best algebra restricted
+    * to same-cell pairs. */
+  private def bitextBlockedOracle(m: operators.IvfAnn.Model): String = {
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |side AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE label IN (0, 1) AND vec_id < 5000),
+       |dots AS (
+       |  SELECT s.vec_id, s.label, s.embedding, ctr.cell,
+       |    list_sum(list_transform(range(1, len(s.embedding) + 1),
+       |      j -> CAST(s.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM side s, ctr),
+       |asg AS (
+       |  SELECT vec_id, label, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dot DESC, cell) AS rk FROM dots) x
+       |  WHERE rk = 1),
+       |a AS (SELECT vec_id AS id_a, embedding AS ea, cell FROM asg
+       |  WHERE label = 0),
+       |b AS (SELECT vec_id AS id_b, embedding AS eb, cell FROM asg
+       |  WHERE label = 1),
+       |sc AS (SELECT id_a, id_b,
+       |  CAST(round(
+       |    list_sum(list_transform(range(1, len(ea) + 1),
+       |      i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+       |         i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+       |         i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))
+       |  , 8) AS DECIMAL(18,8)) AS cos
+       |  FROM a JOIN b USING (cell)),
+       |ma AS (SELECT id_a,
+       |    round(CAST(sum(cos) AS DOUBLE) / count(*), 8) AS mean_a
+       |  FROM (SELECT id_a, cos, row_number() OVER (PARTITION BY id_a
+       |      ORDER BY cos DESC, id_b) AS rn FROM sc) x
+       |  WHERE rn <= 4 GROUP BY 1),
+       |mb AS (SELECT id_b,
+       |    round(CAST(sum(cos) AS DOUBLE) / count(*), 8) AS mean_b
+       |  FROM (SELECT id_b, cos, row_number() OVER (PARTITION BY id_b
+       |      ORDER BY cos DESC, id_a) AS rn FROM sc) x
+       |  WHERE rn <= 4 GROUP BY 1),
+       |mg AS (SELECT id_a, id_b, cos,
+       |    round(2.0 * CAST(cos AS DOUBLE) / (mean_a + mean_b), 6) AS margin
+       |  FROM sc JOIN ma USING (id_a) JOIN mb USING (id_b)),
+       |r AS (SELECT id_a, id_b, cos, margin,
+       |    row_number() OVER (PARTITION BY id_a
+       |      ORDER BY margin DESC, id_b) AS ra,
+       |    row_number() OVER (PARTITION BY id_b
+       |      ORDER BY margin DESC, id_a) AS rb
+       |  FROM mg)
+       |SELECT id_a, id_b, CAST(cos AS DOUBLE) AS cosine, margin
+       |FROM r WHERE ra = 1 AND rb = 1
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Replays q_semantic_dedup in SQL with the trained centroid literals:
@@ -3595,6 +3675,26 @@ object SparkEntry {
             $"n_certified")
       }.reduce(_ unionAll _)
       lanes.orderBy($"m")
+    }),
+
+    "q_bitext_blocked" -> ((s, dir) => {
+      import s.implicits._
+      // the blocked production path of q_bitext_mine, ORACLE-CHECKED:
+      // both sides shard by the shared trained quantizer (centroids
+      // replay as SQL literals, the kmeansOracle recipe), candidates
+      // form only within a cell — one shuffle join on the cell id, the
+      // exact plan a corpus-scale miner runs; margins/mutual-best
+      // evaluate block-locally. BitextScale measured what the blocking
+      // trades (SCALE.md); this lane pins that the traded computation
+      // itself is engine-exact.
+      val e = Tables.embeddings(s, dir)
+      val model = bitextModel(s, dir)
+      operators.BitextMine.minePairsBlocked(
+          e.filter($"label" === 0 && $"vec_id" < 5000),
+          e.filter($"label" === 1 && $"vec_id" < 5000),
+          $"vec_id", $"embedding",
+          operators.IvfAnn.assignCell($"embedding", model), k = 4)
+        .orderBy($"id_a", $"id_b")
     }),
 
     "q_hybrid_search" -> ((s, dir) => {
@@ -8593,7 +8693,9 @@ object SparkEntry {
       case (ivf64, pq8) =>
         (for (c <- ivf64; p <- pq8) yield
           "q_ann_tuned" -> annTunedOracle(c, p)).toSeq
-    }
+    } ++
+    Option(lastDir).flatMap(d => Option(bitextModels.get(d)))
+      .map(m => "q_bitext_blocked" -> bitextBlockedOracle(m)).toSeq
 
   /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions
     * .TextFns.tokens]] domain), distinct-word counts, and the initial
