@@ -168,6 +168,31 @@ object StreamOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
 
+  /** Streaming sentence-level dedup — q_sentence_dedup's policy on an
+    * unbounded feed: each arriving doc explodes to its normalized
+    * sentences map-side (row-local), and a sentence survives only at
+    * its FIRST arrival — `dropDuplicatesWithinWatermark` keyed on the
+    * normalized sentence, so state is one entry per distinct sentence
+    * within the horizon and is FREED when the watermark passes it
+    * (cross-horizon repeats both survive; folding them is the batch
+    * compaction's job, exactly the dedupExact contract one granularity
+    * down). Under id-ordered replay first-arrival IS the batch
+    * min-(doc, position) rule — pinned on real documents in
+    * StreamingSpec. Emits one row per KEPT sentence
+    * (doc_id, pos, norm). */
+  def sentenceDedup(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", tsCol: String = "ts",
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        posexplode(split(col(textCol), "[.!?]")).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("ts"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", graft.functions.TextFns.tokens(col("raw"))).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("norm")
+      .select(col("doc_id"), col("pos"), col("norm"))
+
   /** Streaming DSIR scoring — the DEPLOYED half of q_dsir_weights: the
     * λ model is trained offline over a batch corpus
     * ([[graft.operators.Dsir.lambdaWithin]]) and FROZEN; each arriving

@@ -627,6 +627,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"champion cut not bounded:\n$p")
   }
 
+  test("blocked bitext pairs join on the cell id — never a cartesian") {
+    val p = plan("q_bitext_blocked")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+    assert(p.contains("blk"), s"cell-id join key missing:\n$p")
+  }
+
   test("dsir: the log-ratio table joins broadcast; the corpus never sort-merges") {
     val p = plan("q_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"lambda table not broadcast:\n$p")

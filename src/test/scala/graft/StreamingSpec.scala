@@ -707,6 +707,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(replay(7, "deconpar2") == want, "batching changed the verdicts")
   }
 
+  test("streaming sentence dedup equals the q_sentence_dedup keep set on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // eleventh driver-oracle-anchored streaming parity: the corpus
+    // replays in doc-id order with a CONSTANT event time (the watermark
+    // never passes, so the horizon-bounded stream dedup degenerates to
+    // the global policy), and first-arrival-wins must reproduce the
+    // batch min-(doc_id, position) keep set sentence for sentence.
+    val feed = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toVector
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.sentenceDedup(
+        in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sentpar").start()
+    feed.grouped(150).foreach { b =>
+      in.addData(b.map(d => (d._1, d._2, t0))); q.processAllAvailable()
+    }
+    val streamed = spark.table("sentpar").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    q.stop()
+    // batch keep set: first (doc_id, pos) per normalized sentence —
+    // re-derived with the same machinery the oracle-checked query uses
+    val sents = Tables.documents(spark, sf)
+      .select($"doc_id", posexplode(split($"text", "[.!?]"))
+        .as(Seq("pos", "raw")))
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        concat_ws(" ", graft.functions.TextFns.tokens($"raw")).as("norm"))
+      .filter(length($"norm") > 0)
+    val firstSeen = sents.groupBy($"norm")
+      .agg(min($"doc_id" * 1000000L + $"pos").as("first_key"))
+    val want = sents.join(firstSeen, "norm")
+      .filter($"doc_id" * 1000000L + $"pos" === $"first_key")
+      .select($"doc_id", $"pos", $"norm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+  }
+
   test("streaming DSIR scoring equals the q_dsir_weights driver query on real documents") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
