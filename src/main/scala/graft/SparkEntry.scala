@@ -3782,6 +3782,9 @@ object SparkEntry {
       // repeats inside a doc die too. One shuffle on the sentence key —
       // the inherent cost of a global policy; production swaps the
       // normalized string for its xxhash64 and this plan is unchanged.
+      // The integer encode assumes < 1e6 sentences per doc (documents
+      // carry ~tens; a pathological 1e6-sentence doc would need a wider
+      // factor on both engines).
       val sents = Tables.documents(s, dir)
         .select($"doc_id", posexplode(split($"text", "[.!?]"))
           .as(Seq("pos", "raw")))
