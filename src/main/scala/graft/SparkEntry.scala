@@ -3321,6 +3321,40 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "q_collocations" -> ((s, dir) => {
+      import s.implicits._
+      // PMI collocation mining — the classic "which word pairs belong
+      // together" statistic behind multi-word vocab candidates for
+      // tokenizer training: pmi(a,b) = ln(p(ab) / (p(a)·p(b))), count
+      // floor 5, top-50 by (rounded pmi, bigram). Unigram counts ride
+      // the materialized doc-term table; the bigram pass is one
+      // row-local explode + map-side-partial count; the single ln runs
+      // on one identically-parenthesized double ratio of exact integer
+      // counts, rounded at 6 (the established libm discipline).
+      val toks = Tables.documents(s, dir)
+        .select(TextFns.tokens($"text").as("toks"))
+      val bi = toks.select(explode(expr(
+          "CASE WHEN size(toks) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i - 1], ' ', toks[i])) END")).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+      val nBi = bi.agg(sum($"c_ab").as("n_bi"))
+      val uni = operators.DocTerms.table(s, dir)
+        .groupBy($"term").agg(sum($"tf").as("c"))
+      val nUni = uni.agg(sum($"c").as("n_uni"))
+      bi.filter($"c_ab" >= 5)
+        .withColumn("a", split($"bg", " ").getItem(0))
+        .withColumn("b", split($"bg", " ").getItem(1))
+        .join(broadcast(uni.select($"term".as("a"), $"c".as("c_a"))), "a")
+        .join(broadcast(uni.select($"term".as("b"), $"c".as("c_b"))), "b")
+        .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+        .select($"bg".as("bigram"), $"c_ab",
+          round(log(($"c_ab".cast(DoubleType) * $"n_uni" * $"n_uni") /
+            ($"n_bi".cast(DoubleType) * $"c_a" * $"c_b")), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"bigram")
+        .limit(50)
+    }),
+
     "q_ccnet_buckets" -> ((s, dir) => {
       import s.implicits._
       // CCNet's per-language head/middle/tail split: rank every doc by
@@ -7667,6 +7701,28 @@ object SparkEntry {
         |ORDER BY lag""".stripMargin,
 
     "q_mixture_sample" -> mixtureOracle,
+
+    // one ln over one identically-parenthesized ratio of exact counts
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |uni AS (SELECT u.t AS term, count(*) AS c
+        |  FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        |bi AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, count(*) AS c_ab
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i) GROUP BY 1),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bi)
+        |SELECT bg AS bigram, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni) /
+        |    (CAST(n_bi AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        |FROM bi
+        |JOIN uni ua ON ua.term = string_split(bg, ' ')[1]
+        |JOIN uni ub ON ub.term = string_split(bg, ' ')[2]
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 50""".stripMargin,
 
     // same logprob table as q_lm_score; ntile over an identical total
     // order (ce, doc_id) is engine-invariant
