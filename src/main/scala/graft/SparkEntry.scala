@@ -5144,6 +5144,44 @@ object SparkEntry {
         .orderBy($"a", $"rank")
     }),
 
+    "q_mi_split" -> ((s, dir) => {
+      import s.implicits._
+      // split-independence audit: mutual information between the
+      // train/val/test assignment and the source column — a keyed split
+      // must carry (near) zero bits about provenance, or the holdout
+      // isn't measuring generalization (q_split_leakage checks near-dup
+      // leakage; this checks METADATA leakage). Per-cell contributions
+      // (c_xy/n)·ln(c_xy·n / (c_x·c_y)) round at 8 and decimal-sum to
+      // the order-independent statistic (the q_chisq discipline); one
+      // tiny contingency aggregation, margins broadcast back.
+      val obs = Tables.documents(s, dir)
+        .select($"doc_id", $"source")
+        .withColumn("bucket", operators.Sampling.hashBucket($"doc_id"))
+        .withColumn("split",
+          when($"bucket" < 10, lit("test"))
+            .when($"bucket" < 20, lit("val")).otherwise(lit("train")))
+        .groupBy($"split", $"source").agg(count(lit(1)).as("c_xy"))
+      val rm = obs.groupBy($"split").agg(sum($"c_xy").as("c_x"))
+      val cm = obs.groupBy($"source").agg(sum($"c_xy").as("c_y"))
+      val n = obs.agg(sum($"c_xy").as("n"))
+      val cells = obs.join(broadcast(rm), "split").join(broadcast(cm), "source")
+        .crossJoin(broadcast(n))
+        .select($"split", $"source", $"c_xy",
+          round(($"c_xy".cast(DoubleType) / $"n") *
+            log(($"c_xy".cast(DoubleType) * $"n") /
+              ($"c_x".cast(DoubleType) * $"c_y")), 8)
+            .cast(DecimalType(18, 8)).as("mi_contrib"))
+      val all = cells.agg(sum($"c_xy").as("c_xy"),
+          sum($"mi_contrib").as("mi"))
+        .select(lit("ALL").as("split"), lit("ALL").as("source"), $"c_xy",
+          round($"mi".cast(DoubleType), 6).as("mi_nats"))
+      cells
+        .select($"split", $"source", $"c_xy",
+          $"mi_contrib".cast(DoubleType).as("mi_nats"))
+        .unionByName(all)
+        .orderBy($"split", $"source")
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       import s.implicits._
       // Distribution-drift monitor: population stability index of the
@@ -6992,6 +7030,38 @@ object SparkEntry {
         |      AS BIGINT) END AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // contributions use the q_chisq double-op sequence; the ALL row's
+    // statistic sums rounded contributions in DECIMAL then casts
+    "q_mi_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |o AS (SELECT CASE WHEN bucket < 10 THEN 'test'
+        |      WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split,
+        |    source, count(*) AS c_xy
+        |  FROM b GROUP BY 1, 2),
+        |rm AS (SELECT split, CAST(sum(c_xy) AS BIGINT) AS c_x
+        |  FROM o GROUP BY 1),
+        |cm AS (SELECT source, CAST(sum(c_xy) AS BIGINT) AS c_y
+        |  FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM o),
+        |cells AS (SELECT split, source, c_xy,
+        |    CAST(round((CAST(c_xy AS DOUBLE) / n) *
+        |      ln((CAST(c_xy AS DOUBLE) * n) /
+        |        (CAST(c_x AS DOUBLE) * c_y)), 8) AS DECIMAL(18,8))
+        |      AS mi_contrib
+        |  FROM o JOIN rm USING (split) JOIN cm USING (source) CROSS JOIN nn)
+        |SELECT * FROM (
+        |  SELECT split, source, c_xy, CAST(mi_contrib AS DOUBLE) AS mi_nats
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT 'ALL', 'ALL',
+        |    (SELECT CAST(sum(c_xy) AS BIGINT) FROM cells),
+        |    round(CAST((SELECT sum(mi_contrib) FROM cells) AS DOUBLE), 6))
+        |ORDER BY split, source""".stripMargin,
 
     "q_train_test_split" ->
       """WITH b AS (
