@@ -3983,6 +3983,40 @@ object SparkEntry {
         .orderBy($"sample_rank")
     }),
 
+    "q_lm_bigram" -> ((s, dir) => {
+      import s.implicits._
+      // the conditional upgrade of q_lm_score: per-doc mean bigram
+      // cross-entropy −(1/m)Σ ln p(w_i | w_{i−1}) with add-one
+      // smoothing over the unigram vocabulary — a strictly sharper
+      // perplexity proxy (word order now matters). Same discipline:
+      // per-bigram logprobs round-8 → DECIMAL sums (order-independent),
+      // the bigram logp table broadcasts, two corpus passes total.
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select($"doc_id", TextFns.tokens($"text").as("toks"))
+      val bi = toks.select($"doc_id", explode(expr(
+          "CASE WHEN size(toks) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i - 1], ' ', toks[i])) END")).as("bg"))
+      val biFreq = bi.groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+      val uniFreq = operators.DocTerms.table(s, dir)
+        .groupBy($"term").agg(sum($"tf").as("c_a"))
+      val vocab = uniFreq.agg(count(lit(1)).as("v"))
+      val lp = biFreq
+        .withColumn("a", split($"bg", " ").getItem(0))
+        .join(broadcast(uniFreq.select($"term".as("a"), $"c_a")), "a")
+        .crossJoin(broadcast(vocab))
+        .select($"bg",
+          round(log(($"c_ab" + 1).cast(DoubleType) / ($"c_a" + $"v")), 8)
+            .cast(DecimalType(18, 8)).as("logp"))
+      bi.join(broadcast(lp), "bg")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logp"))
+        .select($"doc_id", $"n_bigrams",
+          round(-($"sum_logp".cast(DoubleType)) / $"n_bigrams", 6)
+            .as("cross_entropy"))
+        .orderBy($"doc_id")
+    }),
+
     "q_embedding_centroid" -> ((s, dir) => {
       import s.implicits._
       // per-label mean pooling (class centroids — the SemDeDup/domain-
@@ -7569,6 +7603,28 @@ object SparkEntry {
         |FROM sc WHERE cosine >= 0.3
         |GROUP BY 1
         |ORDER BY vec_id""".stripMargin,
+
+    // same add-one conditional arithmetic, same round-8 decimal sums
+    "q_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |bf AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY 1),
+        |uf AS (SELECT u.t AS a, count(*) AS c_a
+        |  FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM uf),
+        |lp AS (SELECT bg,
+        |    CAST(round(ln((c_ab + 1) / CAST(c_a + v AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS logp
+        |  FROM bf JOIN uf ON uf.a = string_split(bg, ' ')[1]
+        |  CROSS JOIN vv)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  round(-(CAST(sum(logp) AS DOUBLE)) / count(*), 6) AS cross_entropy
+        |FROM bi JOIN lp USING (bg)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (
