@@ -113,6 +113,17 @@ class HybridSearchSpec extends AnyFunSuite with SparkSpec {
     assert(pruned == full, "certified top-k set differs from the full index")
   }
 
+  test("impact certificate: complete champion lists certify every query vacuously") {
+    import spark.implicits._
+    val dt = graft.operators.DocTerms.table(spark, sf)
+      .withColumn("is_q", $"doc_id" < 8)
+    // m >= corpus size: every list is complete, ub_total = 0 everywhere
+    val cert = HybridSearch.impactCertificates(dt, k = 10, m = 100000)
+      .collect()
+    assert(cert.nonEmpty && cert.forall(_.getBoolean(2)),
+      s"vacuous pruning not certified: ${cert.filterNot(_.getBoolean(2)).take(3).toSeq}")
+  }
+
   test("impact certificate is SOUND on real data: certified => pruned set equals full set") {
     import spark.implicits._
     val dt = graft.operators.DocTerms.table(spark, sf)

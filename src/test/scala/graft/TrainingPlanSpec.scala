@@ -29,6 +29,19 @@ class TrainingPlanSpec extends AnyFunSuite with SparkSpec {
     assert(w(1L) > w(3L), s"target doc below spam: $w")
   }
 
+  test("weightsWithin (one-pass) equals the general two-corpus form on real data") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = rows(Dsir.weightsWithin(docs, $"lang" === "en",
+      $"text", $"doc_id", numBuckets = 512))
+    val general = rows(Dsir.weights(docs, docs.filter($"lang" === "en"),
+      $"text", $"doc_id", numBuckets = 512))
+    assert(fast == general,
+      s"fast path diverged: onlyFast=${(fast -- general).take(3)}")
+  }
+
   test("DSIR feature extraction: unigrams + bigrams with multiplicity, no null bigrams") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
