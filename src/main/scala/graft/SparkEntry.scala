@@ -3321,6 +3321,36 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "q_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      // corpus-health check: OLS fit of ln(freq) on ln(rank) over the
+      // top-1000 vocabulary — natural text sits near the Zipf slope −1;
+      // spammy/templated corpora deviate hard. Rides the doc-term
+      // table; points round-8 into DECIMAL so the moment sums are
+      // order-independent, then the q_regression double-op sequence
+      // (slope expression repeated verbatim inside intercept).
+      val freq = operators.DocTerms.table(s, dir)
+        .groupBy($"term").agg(sum($"tf").as("c"))
+      val pts = freq
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"c".desc, $"term")))
+        .filter($"rk" <= 1000)
+        .select(
+          round(log($"rk".cast(DoubleType)), 8)
+            .cast(DecimalType(18, 8)).as("x"),
+          round(log($"c".cast(DoubleType)), 8)
+            .cast(DecimalType(18, 8)).as("y"))
+      val st = pts.agg(count(lit(1)).as("n"),
+        sum($"x").cast(DoubleType).as("sx"),
+        sum($"y").cast(DoubleType).as("sy"),
+        sum($"x" * $"x").cast(DoubleType).as("sxx"),
+        sum($"x" * $"y").cast(DoubleType).as("sxy"))
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      st.select($"n", round(slope, 6).as("slope"),
+        round(($"sy" - slope * $"sx") / $"n", 6).as("intercept"))
+    }),
+
     "q_collocations" -> ((s, dir) => {
       import s.implicits._
       // PMI collocation mining — the classic "which word pairs belong
@@ -7827,6 +7857,31 @@ object SparkEntry {
         |ORDER BY lag""".stripMargin,
 
     "q_mixture_sample" -> mixtureOracle,
+
+    // same round-8 decimal points, same verbatim-slope double sequence
+    "q_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |uni AS (SELECT u.t AS term, count(*) AS c
+        |  FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, term) AS rk
+        |  FROM uni),
+        |p AS (SELECT
+        |    CAST(round(ln(CAST(rk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        |  FROM r WHERE rk <= 1000),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM p)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept
+        |FROM st""".stripMargin,
 
     // one ln over one identically-parenthesized ratio of exact counts
     "q_collocations" ->
