@@ -131,7 +131,19 @@ object DerivedCache {
     * BEFORE a concurrent rewrite finished cannot delete the fresher
     * fingerprint's just-built parquet — it only ever removes versions
     * current neither to itself nor to the present input state (its own
-    * stale entry is then evicted by the next fresh caller). */
+    * stale entry is then evicted by the next fresh caller).
+    *
+    * KNOWN RESIDUAL RACE (r14, ADVICE — accepted): if the input is
+    * rewritten AGAIN between this method's fingerprint() recomputation
+    * and the delete below, an entry a concurrent fresh caller just built
+    * (keyed to the newest fingerprint) is neither `keep` nor `current`
+    * and can be deleted while that caller still references it — the
+    * caller then fails loudly on vanished files, the same outcome as any
+    * read raced by a double rewrite of its input. Closing it fully means
+    * holding every sibling's per-key lock across the refingerprint (a
+    * lock-ordering hazard for two-line value) or an age grace period
+    * (clock coupling); the DOUBLE-rewrite window is accepted as is —
+    * the single-rewrite race is covered by DerivedCacheSpec. */
   private def evictSuperseded(baseKey: String, keep: String,
                               inputs: Seq[String]): Unit = {
     import scala.jdk.CollectionConverters._

@@ -111,11 +111,16 @@ object Dsir {
     * everything after it is bounded by B. */
   def weightsWithin(docs: DataFrame, isTarget: Column, text: Column,
                     id: Column, numBuckets: Int = 4096): DataFrame = {
-    val fb = explodeFeatures(docs.select(id.as("doc_id"),
-        isTarget.as("is_t"), TextFns.tokens(text).as("toks")))
-      .select(col("doc_id"), col("is_t"),
-        bucketOf(col("feature"), numBuckets).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked in OpCaches (r14, ADVICE): the returned plan still
+    // references fb, so it can't unpersist here — but without tracking,
+    // each weightsWithin call left one corpus-sized cache pinned for the
+    // JVM lifetime; releaseAll()/the bench teardown now reclaims it
+    val fb = OpCaches.track(
+      explodeFeatures(docs.select(id.as("doc_id"),
+          isTarget.as("is_t"), TextFns.tokens(text).as("toks")))
+        .select(col("doc_id"), col("is_t"),
+          bucketOf(col("feature"), numBuckets).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     score(fb.select(col("doc_id"), col("bucket")), lambdaOf(fb, numBuckets))
   }
 

@@ -175,6 +175,120 @@ object HybridSearch {
             col("tau") > col("max_out_potential")))).as("certified"))
   }
 
+  /** MaxScore DYNAMIC pruning (Turtle & Flood IPM'95) — the query-time
+    * half of the WAND/MaxScore family that [[bm25RetrieveImpactFromTf]]'s
+    * static champion lists and [[impactCertificates]]'s bound algebra
+    * were built toward. Batch-declarative formulation (no sequential
+    * heap, so the whole derivation replays in SQL):
+    *
+    *  1. SEED: score each query over the depth-`mSeed` champion lists
+    *     only; τ = the k-th seed score. Seed scores are partial sums of
+    *     the true scores, so order statistics dominate: τ is a PROVEN
+    *     lower bound on the true k-th score (null τ ⇒ no pruning).
+    *  2. SPLIT: per query, order its terms by list upper bound ub_t =
+    *     max posting weight ascending and prefix-sum; a term whose
+    *     inclusive prefix sum ps_t < τ is NON-ESSENTIAL — a doc seen
+    *     ONLY in non-essential lists scores ≤ ps < τ ≤ true k-th score
+    *     and can never enter the top-k.
+    *  3. CANDIDATES: docs appearing in ≥ 1 essential list (candidates ⊇
+    *     the true top-k by the invariant above).
+    *  4. RESCORE: candidates exactly, over ALL the query's terms — the
+    *     |candidates|·|q| bounded probe join, never the full index.
+    *
+    * The result is the EXACT full-index top-k by construction; the audit
+    * emitted here computes that equality against the unpruned lane
+    * (n_topk_match — certified by counting, not assumed) plus the work
+    * actually touched: postings_ppm = (seed + essential candidate
+    * generation + rescore rows) / full-evaluation rows, per query.
+    *
+    * All comparisons (ps vs τ, scores) are on the exact round-6
+    * DECIMAL(18,6) weights, so essential/candidate sets and final ranks
+    * are bit-identical across engines. Scale shape: ub and the per-query
+    * term split are tiny broadcasts; candidate generation joins only the
+    * essential postings; the rescore probe is |candidates|·|q| rows
+    * joined hash-equi against the index — each lane a bounded equi-join,
+    * never all-pairs, exactly the shape that serves from the
+    * materialized impact-ordered index at 100 TB. */
+  def maxScoreAudit(tf: DataFrame, k: Int, mSeed: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ranked = championsRanked(tf, k1, b)
+    val weights = ranked.select(col("term"), col("doc_id"), col("w"))
+    val ub = ranked.filter(col("rn") === 1)
+      .select(col("term"), col("w").as("ub"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = broadcast(tf.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term")))
+    // 1. seed pass over the static champion lists
+    val seed = ranked.filter(col("rn") <= mSeed).join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("sscore"))
+    val seedW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sscore").desc, col("doc_id"))
+    val tau = seed.withColumn("srn", row_number().over(seedW))
+      .filter(col("srn") === k)
+      .select(col("query_id"), col("sscore").as("tau"))
+    // 2. essential/non-essential split on inclusive ub prefix sums
+    val psW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lbl = qTerms.join(ub, "term")
+      .withColumn("ps", sum(col("ub")).over(psW))
+      .join(tau, Seq("query_id"), "left")
+      .withColumn("essential", col("tau").isNull || col("ps") >= col("tau"))
+    val essTerms = lbl.filter(col("essential"))
+      .select(col("query_id"), col("term"))
+    // 3. candidates from essential postings only
+    val cands = weights.join(essTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    // 4. bounded exact rescore: candidates × query terms, probed against
+    // the index on (term, doc) — join order written so the probe stays
+    // |candidates|·|q|, never the full postings
+    val rescore = cands.join(qTerms, Seq("query_id"))
+      .join(weights, Seq("term", "doc_id"))
+    val wscore = rescore.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val topk = wscore.withColumn("wrank", row_number().over(rankW))
+      .filter(col("wrank") <= k)
+    // audit: computed exactness vs the unpruned lane + touched postings
+    val full = bm25RetrieveFromTf(tf, k, k1, b)
+    val nExact = topk.join(full,
+        topk("query_id") === full("query_id") &&
+          topk("doc_id") === full("doc_id") &&
+          topk("wrank") === full("lex_rank"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_topk_match"))
+    val qdf = qTerms.join(dfreq, "term")
+    val volumes = qdf.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(least(col("df"), lit(mSeed.toLong))).as("seed_rows"),
+        sum(col("df")).as("full_rows"))
+    val essRows = lbl.filter(col("essential")).join(dfreq, "term")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_essential"), sum(col("df")).as("gen_rows"))
+    val rescoreRows = rescore.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("rescore_rows"))
+    val nCands = cands.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    volumes
+      .join(essRows, Seq("query_id"), "left")
+      .join(nCands, Seq("query_id"), "left")
+      .join(rescoreRows, Seq("query_id"), "left")
+      .join(tau, Seq("query_id"), "left")
+      .join(nExact, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_terms"),
+        coalesce(col("n_essential"), lit(0L)).as("n_essential"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("tau").cast("double"), lit(0.0)).as("tau"),
+        expr("(1000000 * (seed_rows + coalesce(gen_rows, 0)" +
+          " + coalesce(rescore_rows, 0))) div full_rows")
+          .as("postings_ppm"),
+        coalesce(col("n_topk_match"), lit(0L)).as("n_topk_match"))
+      .orderBy(col("query_id"))
+  }
+
   /** Shared internals of the impact-pruned lanes: per-(term, doc) BM25
     * weights with each posting's rank inside its term's impact order —
     * one definition, so the operator and its certificate can't drift. */

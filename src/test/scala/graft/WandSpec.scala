@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MaxScore dynamic pruning (HybridSearch.maxScoreAudit): the batch
+  * formulation must return the EXACT full-index top-k (the τ lower
+  * bound + essential-split invariant), while genuinely pruning on a
+  * skewed corpus. The driver's q_wand hash-checks the full derivation
+  * against DuckDB; these tests pin the invariant on corpora built to
+  * stress it. */
+class WandSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // skewed synthetic corpus: a handful of hot terms in every doc (long
+  // posting lists, low idf) + rare discriminative terms — the geometry
+  // where MaxScore's essential split actually cuts work
+  private def corpus(nDocs: Int) = {
+    val docs = (0 until nDocs).map { i =>
+      val hot = "alpha beta gamma"
+      val rare = s"tok${i % 37} tok${(i * 7) % 37} uniq${i % 113}"
+      (i.toLong, "en", s"$hot $rare $hot")
+    }
+    docs.toDF("doc_id", "lang", "text")
+  }
+
+  private def tfOf(df: org.apache.spark.sql.DataFrame) =
+    operators.DocTerms.of(df).withColumn("is_q", $"doc_id" < 4)
+
+  test("pruned top-k equals the unpruned lane, slot for slot") {
+    val tf = tfOf(corpus(300))
+    val audit = operators.HybridSearch.maxScoreAudit(tf, k = 10, mSeed = 16)
+      .collect()
+    assert(audit.length === 4)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_topk_match") === 10L,
+        s"query ${r.getAs[Long]("query_id")} diverged from the full lane")
+    }
+  }
+
+  test("the essential split prunes: fewer candidates than corpus, fewer postings than full") {
+    val tf = tfOf(corpus(300))
+    val audit = operators.HybridSearch.maxScoreAudit(tf, k = 10, mSeed = 16)
+      .collect()
+    // τ must exist (>= 10 seed candidates) and at least one query must
+    // classify some term non-essential on this skewed geometry
+    assert(audit.forall(_.getAs[Double]("tau") > 0.0))
+    assert(audit.exists(r =>
+      r.getAs[Long]("n_essential") < r.getAs[Long]("n_terms")),
+      "no term was ever non-essential — the split is vacuous here")
+    assert(audit.exists(_.getAs[Long]("postings_ppm") < 1000000L),
+      "no query touched fewer postings than full evaluation")
+  }
+
+  test("degenerate corpus (fewer docs than k): no τ, no pruning, still exact") {
+    val tf = tfOf(corpus(8))
+    val audit = operators.HybridSearch.maxScoreAudit(tf, k = 10, mSeed = 16)
+      .collect()
+    audit.foreach { r =>
+      assert(r.getAs[Double]("tau") === 0.0)
+      assert(r.getAs[Long]("n_essential") === r.getAs[Long]("n_terms"))
+      // every non-query doc scores on some shared term -> full recall
+      assert(r.getAs[Long]("n_topk_match") ===
+        math.min(10L, r.getAs[Long]("n_candidates")))
+    }
+  }
+}
