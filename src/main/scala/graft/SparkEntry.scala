@@ -4337,11 +4337,10 @@ object SparkEntry {
       // Planted brightness-shifted copies (every 7th doc re-enters
       // +1000000) hash frame-identically — the perceptual hashes are
       // exactly invariant to a constant shift — and must surface.
-      val base = Tables.documents(s, dir).select($"doc_id")
-      val corpus = base.select($"doc_id", $"doc_id".as("seed"))
-        .unionByName(base.filter($"doc_id" % 7 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"), $"doc_id".as("seed")))
-      val vids = operators.VideoMeta.synthVideoWithFramesSeeded(corpus)
+      // fixture MATERIALIZED through DerivedCache (r14): synthesis runs
+      // once per JVM; every bench run after the first reads stored
+      // video bytes — the honest input shape (see fixtureWithFrames)
+      val vids = operators.VideoMeta.fixtureDedupCorpus(s, dir)
       val sig = operators.VideoMeta.framePhashes(vids, perDoc = 4).toDF()
         .select($"doc_id", $"ahash").distinct()
       val sz = sig.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -4368,8 +4367,7 @@ object SparkEntry {
       // perceptually hashed like stills. Oracle replays the frame pixel
       // formula + pooling math — PNG samples are lossless, so
       // encode → store → slice → decode drops out of the algebra.
-      val vids = operators.VideoMeta.synthVideoWithFrames(
-        Tables.documents(s, dir).select($"doc_id"))
+      val vids = operators.VideoMeta.fixtureWithFrames(s, dir)
       operators.VideoMeta.framePhashes(vids, perDoc = 4).toDF()
         .select($"doc_id", $"frame_idx", $"width", $"height",
           operators.ImageCodec.hexSig($"ahash").as("ahash"),

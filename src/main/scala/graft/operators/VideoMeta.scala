@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.{ByteBuffer, ByteOrder}
 
@@ -458,6 +458,37 @@ object VideoMeta {
     * comparisons) — the video twin of the image lane's planted
     * brightness dups. Pixel max 251+3 stays under 255, so no clamp
     * breaks the algebra. */
+  /** [[synthVideoWithFrames]] over the documents table of `dir`,
+    * MATERIALIZED through [[DerivedCache]] (r14, judge #6): the frame
+    * corpus is ~3M PNG encodes at sf10, and before materialization
+    * every bench run of q_video_frames/q_video_dedup re-paid that
+    * synthesis — SCALE.md measured the sf10 lane at 71 s of which the
+    * operator itself was a fraction. Like doc-term, the fixture is a
+    * deterministic pure function of the doc-id set, keyed by the
+    * documents input fingerprint, built once per JVM and read back as
+    * a plain binary-column parquet scan — which is also the honest
+    * 100 TB shape: real video bytes arrive as stored data, not as
+    * per-query synthesis. */
+  def fixtureWithFrames(s: SparkSession, dir: String): DataFrame =
+    DerivedCache.tableFor(s, s"$dir#videofix",
+      Seq(s"$dir/documents.parquet")) {
+      synthVideoWithFrames(graft.Tables.documents(s, dir).select(col("doc_id")))
+    }
+
+  /** The dedup-corpus variant of [[fixtureWithFrames]]: base docs plus
+    * the planted brightness-shifted re-entries (every 7th doc re-enters
+    * as id+1000000 with its original seed). */
+  def fixtureDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    DerivedCache.tableFor(s, s"$dir#videofix-dedup",
+      Seq(s"$dir/documents.parquet")) {
+      val base = graft.Tables.documents(s, dir).select(col("doc_id"))
+      val corpus = base.select(col("doc_id"), col("doc_id").as("seed"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("doc_id").as("seed")))
+      synthVideoWithFramesSeeded(corpus)
+    }
+
   def synthVideoWithFramesSeeded(pairs: DataFrame,
                                  idCol: String = "doc_id",
                                  seedCol: String = "seed"): DataFrame = {
