@@ -322,8 +322,12 @@ object SparkEntry {
     * join), plus the rerank stage: ADC-rank <= 200 shortlist, exact
     * cosine top-5. */
   private def annTunedOracle(coarse: operators.IvfAnn.Model,
+                             spilled: operators.IvfAnn.Model,
                              pq: operators.PqAnn.Model): String = {
     val cells = coarse.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    val cells2 = spilled.centroids.zipWithIndex.map { case (c, i) =>
       s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
     }.mkString(",\n    ")
     val plain = pq.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
@@ -402,6 +406,38 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, cand_id) AS rank
        |    FROM iscored) t WHERE rank <= 5),
+       |ctr2(cell, v) AS (VALUES
+       |    $cells2),
+       |cdots2 AS (
+       |  SELECT e.vec_id, ctr2.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr2.v)[j])) AS dot
+       |  FROM embeddings e, ctr2),
+       |crk2 AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell)
+       |      AS rk
+       |  FROM cdots2),
+       |cellof2 AS (SELECT vec_id, cell FROM crk2 WHERE rk <= 3),
+       |probes2 AS (SELECT vec_id, cell FROM crk2
+       |  WHERE rk <= 10 AND vec_id < 10),
+       |candsv AS (
+       |  SELECT p.vec_id AS query_id, c2.vec_id AS cand_id
+       |  FROM probes2 p JOIN cellof2 c2 ON c2.cell = p.cell
+       |  WHERE c2.vec_id <> p.vec_id),
+       |cands AS (SELECT DISTINCT query_id, cand_id FROM candsv),
+       |sscored AS (
+       |  SELECT ca.query_id, ca.cand_id,
+       |    ${cos("a.embedding", "b.embedding")} AS cosine
+       |  FROM cands ca
+       |  JOIN embeddings a ON a.vec_id = ca.query_id
+       |  JOIN embeddings b ON b.vec_id = ca.cand_id),
+       |ivf_s AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM sscored) t WHERE rank <= 5),
        |b4 AS (SELECT vec_id, embedding,
        |  $bucket AS bucket FROM embeddings),
        |lscored AS (
@@ -469,6 +505,8 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT 'ivf_t', count(*) FROM cand
        |  UNION ALL
+       |  SELECT 'ivf_s', count(*) FROM candsv
+       |  UNION ALL
        |  SELECT 'lsh_t', count(*) FROM lscored
        |  UNION ALL
        |  SELECT 'pq_rerank', count(*) FROM cand),
@@ -477,6 +515,9 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT 'ivf_t', count(*)
        |    FROM ivf_t JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'ivf_s', count(*)
+       |    FROM ivf_s JOIN brute USING (query_id, cand_id)
        |  UNION ALL
        |  SELECT 'lsh_t', count(*)
        |    FROM lsh_t JOIN brute USING (query_id, cand_id)
@@ -626,6 +667,18 @@ object SparkEntry {
     val m = pq8Models.computeIfAbsent(dir, d =>
       operators.PqAnn.train(Tables.embeddings(s, d), "vec_id", "embedding",
         m = 8, ksub = 16))
+    lastDir = dir
+    m
+  }
+  // the ivf_s (spilled) lane's quantizer — 128 cells; with spill=3
+  // assignment and nProbe=10 the visited-pair budget lands just under
+  // 25% (r14 frontier point, see SCALE.md "frontier at the 25% budget")
+  private val ivf128Models =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.IvfAnn.Model]()
+  private def ivf128Model(s: SparkSession, dir: String): operators.IvfAnn.Model = {
+    val m = ivf128Models.computeIfAbsent(dir, d =>
+      operators.IvfAnn.train(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 128))
     lastDir = dir
     m
   }
@@ -3091,8 +3144,19 @@ object SparkEntry {
         .localCheckpoint(true)
       val coarse = ivf64Model(s, dir)
       val pq8 = pq8Model(s, dir)
+      val m128 = ivf128Model(s, dir)
       val lanes: Seq[(String, DataFrame)] = Seq(
         "ivf_t" -> operators.IvfAnn.topK(q, e, k = 5, coarse, nProbe = 32),
+        // the 25%-budget frontier lane (r14): 128 cells × spill-3
+        // multi-assignment, 10 probes — the best measured recall inside
+        // a <=250k-ppm visited-pair budget on these ISOTROPIC
+        // embeddings (sf0.1 sweep: 780k ppm @ 239k vs 700k for the best
+        // single-assign config; at the 50% budget spill-3 reaches 960k
+        // vs ivf_t's 900k). The corpus has no cluster structure (mean
+        // pairwise cos ~0.001), so every family saturates near the
+        // fraction law — the full evidence ladder is in SCALE.md r14.
+        "ivf_s" -> operators.IvfAnn.topKSpill(q, e, k = 5, m128,
+          nProbe = 10, spill = 3),
         "lsh_t" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 4,
           probeRadius = 2),
         "pq_rerank" -> operators.PqAnn.adcRerankTopK(q, e, k = 5,
@@ -3116,12 +3180,23 @@ object SparkEntry {
         .select($"vec_id".as("qid"), $"b".as("qb"))
       val lshCand = b4.join(broadcast(qb),
         bit_count($"qb".bitwiseXOR($"b")) <= 2 && $"vec_id" =!= $"qid")
+      // ivf_s scan-cost: pair-VISITS through the spilled index (a pair
+      // can meet in up to 2 shared cells and both visits are work)
+      val cellOfS = e.select($"vec_id",
+        explode(operators.IvfAnn.assignCells($"embedding", m128, 3))
+          .as("cell"))
+      val candS = q.select($"vec_id".as("qid"),
+          explode(operators.IvfAnn.probeCells($"embedding", m128, 10))
+            .as("cell"))
+        .join(cellOfS, Seq("cell")).filter($"vec_id" =!= $"qid")
       val costs = Seq(
         ncorp.crossJoin(broadcast(tot))
           .select(lit("brute").as("lane"),
             ($"n_queries" * ($"n_corpus" - 1)).as("n_scored")),
         cand.agg(count(lit(1)).as("n_scored"))
           .select(lit("ivf_t").as("lane"), $"n_scored"),
+        candS.agg(count(lit(1)).as("n_scored"))
+          .select(lit("ivf_s").as("lane"), $"n_scored"),
         lshCand.agg(count(lit(1)).as("n_scored"))
           .select(lit("lsh_t").as("lane"), $"n_scored"),
         cand.agg(count(lit(1)).as("n_scored"))
@@ -9140,10 +9215,11 @@ object SparkEntry {
         bpe.map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
     } ++
     Option(lastDir).map(d =>
-      (Option(ivf64Models.get(d)), Option(pq8Models.get(d)))).toSeq.flatMap {
-      case (ivf64, pq8) =>
-        (for (c <- ivf64; p <- pq8) yield
-          "q_ann_tuned" -> annTunedOracle(c, p)).toSeq
+      (Option(ivf64Models.get(d)), Option(ivf128Models.get(d)),
+        Option(pq8Models.get(d)))).toSeq.flatMap {
+      case (ivf64, ivf128, pq8) =>
+        (for (c <- ivf64; s2 <- ivf128; p <- pq8) yield
+          "q_ann_tuned" -> annTunedOracle(c, s2, p)).toSeq
     } ++
     Option(lastDir).flatMap(d => Option(bitextModels.get(d)))
       .map(m => "q_bitext_blocked" -> bitextBlockedOracle(m)).toSeq

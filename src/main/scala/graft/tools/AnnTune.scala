@@ -74,7 +74,8 @@ object AnnTune {
       }
     // finer coarse quantizers: recall is driven by the nProbe/nCells
     // FRACTION, so more cells buy the same recall at a smaller scan
-    for (k <- Seq(32, 64)) {
+    // (r14: 128/256 added hunting the >=950k ppm @ <=25% scan point)
+    for (k <- Seq(32, 64, 128, 256)) {
       val m2 = IvfAnn.train(e, "vec_id", "embedding", k = k)
       def cand2(np: Int): Long = {
         val cellOf = e.select($"vec_id",
@@ -93,6 +94,22 @@ object AnnTune {
           PqAnn.adcRerankTopK(q, e, k = 5, shortlist = r, m2, pq8,
             nProbe = np)
         }
+    }
+    // r14: spill (multi-assignment) sweep — the 25%-budget frontier
+    for (k <- Seq(32, 64, 128, 256)) {
+      val mS = IvfAnn.train(e, "vec_id", "embedding", k = k)
+      def candSpill(np: Int, spill: Int): Long = {
+        val cellOf = e.select($"vec_id",
+          explode(IvfAnn.assignCells($"embedding", mS, spill)).as("cell"))
+        q.select($"vec_id".as("qid"),
+            explode(IvfAnn.probeCells($"embedding", mS, np)).as("cell"))
+          .join(cellOf, "cell").filter($"vec_id" =!= $"qid").count()
+      }
+      for (spill <- Seq(2, 3); np <- Seq(k / 16, k / 12, k / 8, k / 6, k / 4))
+        if (np >= 1)
+          recall(s"ivfS_k${k}_s${spill}_p$np", candSpill(np, spill)) {
+            IvfAnn.topKSpill(q, e, k = 5, mS, nProbe = np, spill = spill)
+          }
     }
     for (planes <- Seq(4, 6, 8); r <- Seq(1, 2))
       recall(s"lsh_${planes}p_r$r", lshCand(planes, r)) {

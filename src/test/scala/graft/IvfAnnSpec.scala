@@ -71,4 +71,30 @@ class IvfAnnSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getInt(0))
     assert(probes.map(_.head).sameElements(first))
   }
+
+  test("spill=1 topKSpill degenerates to plain topK; spill raises recall at fixed probes") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 30)
+    val model = IvfAnn.train(e, "vec_id", "embedding", k = 16)
+    val plain = IvfAnn.topK(q, e, k = 3, model, nProbe = 4)
+      .select($"query_id", $"cand_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s1 = IvfAnn.topKSpill(q, e, k = 3, model, nProbe = 4, spill = 1)
+      .select($"query_id", $"cand_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 === plain, "spill=1 must be value-identical to single assignment")
+    // recall vs brute truth must not DROP when the index spills wider —
+    // every single-assign candidate is still a candidate
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(spill: Int): Int =
+      IvfAnn.topKSpill(q, e, k = 3, model, nProbe = 4, spill = spill)
+        .select($"query_id", $"cand_id").collect()
+        .count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    val h1 = hits(1)
+    val h2 = hits(2)
+    assert(h2 >= h1, s"spill=2 recall ($h2) must not lose to spill=1 ($h1)")
+  }
 }
