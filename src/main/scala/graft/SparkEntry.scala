@@ -5034,8 +5034,28 @@ object SparkEntry {
         .crossJoin(dtOrphans.agg(count(lit(1)).as("orphans_after")))
         .select(lit("doc_terms").as("table_name"), $"rows_before",
           $"rows_purged", $"orphans_after")
+      // same closure for the CO-PURCHASE derived table: the purge
+      // cascade removes orders, so the materialized (basket, item)
+      // table must lose exactly the purged baskets' rows. The basket
+      // cap is per-basket, so rebuilt == before minus purged rows —
+      // rows_after stays computable; orphans count purged baskets
+      // SURVIVING IN THE REBUILT ARTIFACT (must be 0).
+      val cpItems = operators.CoPurchase.items(s, dir)
+      val cpRebuilt = operators.DerivedCache.tableFor(
+        s, s"$dir#items64-purge997", Seq(s"$dir/lineitem.parquet")) {
+        operators.CoPurchase.itemsOf(
+          Tables.lineitem(s, dir)
+            .join(purgedOrderKeys, $"l_orderkey" === $"pok", "left_anti"))
+      }
+      val cpStats = cpItems.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(cpItems.join(purgedOrderKeys, $"g" === $"pok", "left_semi")
+          .agg(count(lit(1)).as("rows_purged")))
+        .crossJoin(cpRebuilt.join(purgedOrderKeys, $"g" === $"pok", "left_semi")
+          .agg(count(lit(1)).as("orphans_after")))
+        .select(lit("co_purchase_items").as("table_name"), $"rows_before",
+          $"rows_purged", $"orphans_after")
       custStats.unionByName(ordStats).unionByName(lineStats)
-        .unionByName(dtStats)
+        .unionByName(dtStats).unionByName(cpStats)
         .select($"table_name", $"rows_before", $"rows_purged",
           ($"rows_before" - $"rows_purged").as("rows_after"), $"orphans_after")
         .orderBy($"table_name")
@@ -8811,8 +8831,24 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, t FROM (
         |    SELECT doc_id,
         |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-        |    FROM documents))
+        |    FROM documents)),
+        |itm0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |itm AS (SELECT g, i FROM itm0
+        |  WHERE g IN (SELECT g FROM (
+        |    SELECT g, count(*) AS c FROM itm0 GROUP BY g) x WHERE c <= 64))
         |SELECT * FROM (
+        |  SELECT 'co_purchase_items' AS table_name,
+        |    (SELECT count(*) FROM itm) AS rows_before,
+        |    (SELECT count(*) FROM itm
+        |     WHERE g IN (SELECT o_orderkey FROM po)) AS rows_purged,
+        |    (SELECT count(*) FROM itm)
+        |      - (SELECT count(*) FROM itm
+        |         WHERE g IN (SELECT o_orderkey FROM po)) AS rows_after,
+        |    (SELECT count(*) FROM itm
+        |     WHERE g NOT IN (SELECT o_orderkey FROM po)
+        |       AND g IN (SELECT o_orderkey FROM po)) AS orphans_after
+        |  UNION ALL
         |  SELECT 'customer' AS table_name,
         |    (SELECT count(*) FROM customer) AS rows_before,
         |    (SELECT count(*) FROM pc) AS rows_purged,

@@ -89,10 +89,24 @@ class PurgeCascadeSpec extends AnyFunSuite with SparkSpec {
     assert(rebuilt.join(purgeDocs, Seq("doc_id"), "left_semi").count() === 0L)
   }
 
-  test("driver query: 4 audit rows, closure columns all zero on real data") {
+  test("derived-layer closure: stale co-purchase items retain purged baskets, rebuilt drop them") {
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (200L, 2L), (200L, 3L), (300L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val purged = Seq(200L).toDF("pok")
+    val stale = operators.CoPurchase.itemsOf(li)
+    assert(stale.join(purged, $"g" === $"pok", "left_semi").count() === 2L)
+    val rebuilt = operators.CoPurchase.itemsOf(
+      li.join(purged, $"l_orderkey" === $"pok", "left_anti"))
+    assert(rebuilt.join(purged, $"g" === $"pok", "left_semi").count() === 0L)
+    // the cap is per-basket: rebuilt == stale minus the purged baskets
+    assert(rebuilt.count() === stale.count() - 2L)
+  }
+
+  test("driver query: 5 audit rows, closure columns all zero on real data") {
     val out = SparkEntry.queries("q_purge_cascade")(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq ===
-      Seq("customer", "doc_terms", "lineitem", "orders"))
+      Seq("co_purchase_items", "customer", "doc_terms", "lineitem", "orders"))
     out.foreach { r =>
       assert(r.getLong(4) === 0L, s"orphans_after for ${r.getString(0)}")
       assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
