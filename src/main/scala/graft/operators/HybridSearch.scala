@@ -211,7 +211,11 @@ object HybridSearch {
     * materialized impact-ordered index at 100 TB. */
   def maxScoreAudit(tf: DataFrame, k: Int, mSeed: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val ranked = championsRanked(tf, k1, b)
+    // the impact-ranked postings feed FIVE subtrees (ub, seed,
+    // candidate gen, rescore, and the unpruned audit lane) — persist
+    // once, tracked for the caller's releaseAll/bench teardown
+    val ranked = OpCaches.track(championsRanked(tf, k1, b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val weights = ranked.select(col("term"), col("doc_id"), col("w"))
     val ub = ranked.filter(col("rn") === 1)
       .select(col("term"), col("w").as("ub"))
@@ -253,8 +257,19 @@ object HybridSearch {
       .orderBy(col("score").desc, col("doc_id"))
     val topk = wscore.withColumn("wrank", row_number().over(rankW))
       .filter(col("wrank") <= k)
-    // audit: computed exactness vs the unpruned lane + touched postings
-    val full = bm25RetrieveFromTf(tf, k, k1, b)
+    // audit: computed exactness vs the unpruned lane + touched
+    // postings. The unpruned lane scores from the SAME ranked-postings
+    // persist (identical weight algebra to bm25RetrieveFromTf — one
+    // derivation, so the audit and the lane can't drift and the corpus
+    // weight pass runs once, not twice)
+    val fullW = Window.partitionBy(col("query_id"))
+      .orderBy(col("fscore").desc, col("doc_id"))
+    val full = weights.join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("fscore"))
+      .withColumn("lex_rank", row_number().over(fullW))
+      .filter(col("lex_rank") <= k)
     val nExact = topk.join(full,
         topk("query_id") === full("query_id") &&
           topk("doc_id") === full("doc_id") &&
