@@ -264,16 +264,25 @@ object HybridSearch {
     // weight pass runs once, not twice)
     val fullW = Window.partitionBy(col("query_id"))
       .orderBy(col("fscore").desc, col("doc_id"))
+    // RENAME-project the full lane's join keys: both sides now descend
+    // from the same persisted `ranked`, and a df("col") === df2("col")
+    // condition on shared lineage resolves to the SAME attribute —
+    // Spark warns "trivially true equals predicate" and the exactness
+    // count would silently become vacuous (every slot "matches"). The
+    // aliases mint fresh attributes, so the join genuinely compares
+    // rows; WandSpec pins non-vacuity with a shifted-rank doctored
+    // lane that must match 0.
     val full = weights.join(qTerms, "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("fscore"))
       .withColumn("lex_rank", row_number().over(fullW))
       .filter(col("lex_rank") <= k)
+      .select(col("query_id").as("f_qid"), col("doc_id").as("f_did"),
+        col("lex_rank").as("f_rank"))
     val nExact = topk.join(full,
-        topk("query_id") === full("query_id") &&
-          topk("doc_id") === full("doc_id") &&
-          topk("wrank") === full("lex_rank"), "left_semi")
+        col("query_id") === col("f_qid") && col("doc_id") === col("f_did") &&
+          col("wrank") === col("f_rank"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_topk_match"))
     val qdf = qTerms.join(dfreq, "term")
     val volumes = qdf.groupBy(col("query_id"))

@@ -52,6 +52,31 @@ class WandSpec extends AnyFunSuite with SparkSpec {
       "no query touched fewer postings than full evaluation")
   }
 
+  test("the exactness join is not vacuous: a shifted-rank lane matches 0 slots") {
+    // Reproduces the shared-lineage hazard the audit's rename-projection
+    // guards against: both join sides descend from ONE cached frame, so
+    // a df("c") === df2("c") condition resolves to the same attribute
+    // and becomes trivially true (Spark warns; every slot "matches").
+    // With the rename-projection the join must genuinely compare rows —
+    // a doctored lane whose ranks are shifted by one matches NOTHING.
+    val base = (1L to 20L).toDF("doc_id")
+      .withColumn("query_id", $"doc_id" % 4)
+      .withColumn("rank", $"doc_id" % 5 + 1)
+    val t = base.select($"query_id", $"doc_id", $"rank".as("wrank"))
+    val doctored = base.select($"query_id".as("f_qid"), $"doc_id".as("f_did"),
+      ($"rank" + 1).as("f_rank"))
+    val matched = t.join(doctored,
+      $"query_id" === $"f_qid" && $"doc_id" === $"f_did" &&
+        $"wrank" === $"f_rank", "left_semi")
+    assert(matched.count() === 0L,
+      "shifted ranks must not match — the join compares rows, not lineage")
+    val same = base.select($"query_id".as("f_qid"), $"doc_id".as("f_did"),
+      $"rank".as("f_rank"))
+    assert(t.join(same,
+      $"query_id" === $"f_qid" && $"doc_id" === $"f_did" &&
+        $"wrank" === $"f_rank", "left_semi").count() === 20L)
+  }
+
   test("degenerate corpus (fewer docs than k): no τ, no pruning, still exact") {
     val tf = tfOf(corpus(8))
     val audit = operators.HybridSearch.maxScoreAudit(tf, k = 10, mSeed = 16)
