@@ -664,4 +664,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"shares not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"share join shuffled:\n$p")
   }
+
+  test("wand: query terms broadcast everywhere; candidate joins are equi, never cartesian") {
+    val p = plan("q_wand")
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the wand plan:\n$p")
+    // the bounded rescore probes the index on (term, doc_id) — an
+    // equi-join keyed by term must exist below the score aggregation
+    assert(p.contains("term"), s"term join key missing:\n$p")
+  }
+
+  test("spilled IVF lane: candidates come from cell equi-joins — never all-pairs") {
+    val p = plan("q_ann_tuned")
+    assert(!p.contains("CartesianProduct") ||
+      // the 1-row total/corpus-count aggregates legitimately cross join;
+      // a cartesian touching the embeddings SCAN would print its columns
+      !p.linesIterator.exists(l =>
+        l.contains("CartesianProduct") && l.contains("embedding")),
+      s"all-pairs in the ANN frontier plan:\n$p")
+    assert(p.contains("cell"), s"cell join key missing:\n$p")
+  }
 }
