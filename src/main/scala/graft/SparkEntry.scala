@@ -3857,6 +3857,22 @@ object SparkEntry {
       operators.HybridSearch.maxScoreAudit(dt, k = 10, mSeed = 64)
     }),
 
+    "q_bmw" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.install(s)
+      // Block-Max WAND (Ding & Suel SIGIR'11) — q_wand's MaxScore
+      // candidates refined by per-(term, docid-block) max weights
+      // before the exact rescore: a candidate whose block-bound falls
+      // strictly below τ can never reach the top-k and is dropped, so
+      // the bounded rescore shrinks further. Exact top-10 by
+      // construction, equality counted per query against the unpruned
+      // lane, block-pruning ratio reported (see
+      // HybridSearch.blockMaxAudit's bound proof).
+      val dt = operators.DocTerms.table(s, dir).withColumn("is_q", $"doc_id" < 8)
+      operators.HybridSearch.blockMaxAudit(dt, k = 10, mSeed = 64,
+        blockSize = 64)
+    }),
+
     "q_bitext_blocked" -> ((s, dir) => {
       import s.implicits._
       // the blocked production path of q_bitext_mine, ORACLE-CHECKED:
@@ -7732,6 +7748,100 @@ object SparkEntry {
         |LEFT JOIN essrows e USING (query_id)
         |LEFT JOIN ncand nc USING (query_id)
         |LEFT JOIN rrows r USING (query_id)
+        |LEFT JOIN tau tu USING (query_id)
+        |LEFT JOIN nex x USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // Block-Max WAND replayed: the q_wand prefix (same seed/τ/essential
+    // split/candidates) + per-(term, docid-block) max weights, candidate
+    // block-bounds as decimal sums, strictly-below-τ dropped, exact
+    // rescore of survivors, equality counted against the full lane.
+    "q_bmw" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |terms AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |  FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM (
+        |    SELECT doc_id, min(dl) AS dl FROM tf GROUP BY 1)),
+        |w AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    CAST(round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl)),
+        |      6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+        |ch AS (SELECT term, doc_id, w,
+        |    row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+        |  FROM w),
+        |qterms AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 8),
+        |ubt AS (SELECT term, w AS ub FROM ch WHERE rn = 1),
+        |seed AS (SELECT q.query_id, c.doc_id, sum(c.w) AS sscore
+        |  FROM ch c JOIN qterms q USING (term)
+        |  WHERE c.rn <= 64 AND c.doc_id <> q.query_id GROUP BY 1, 2),
+        |tau AS (SELECT query_id, sscore AS tau FROM (
+        |    SELECT query_id, sscore, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sscore DESC, doc_id) AS srn
+        |    FROM seed) WHERE srn = 10),
+        |lbl AS (SELECT q.query_id, q.term,
+        |    sum(u.ub) OVER (PARTITION BY q.query_id
+        |      ORDER BY u.ub ASC, q.term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+        |    tu.tau
+        |  FROM qterms q JOIN ubt u USING (term)
+        |  LEFT JOIN tau tu USING (query_id)),
+        |ess AS (SELECT query_id, term FROM lbl
+        |  WHERE tau IS NULL OR ps >= tau),
+        |cand AS (SELECT DISTINCT e.query_id, w.doc_id
+        |  FROM w JOIN ess e USING (term) WHERE w.doc_id <> e.query_id),
+        |bub AS (SELECT term, doc_id // 64 AS blk, max(w) AS bub
+        |  FROM w GROUP BY 1, 2),
+        |bnd AS (SELECT c.query_id, c.doc_id, sum(b.bub) AS bound
+        |  FROM cand c JOIN qterms q ON q.query_id = c.query_id
+        |  JOIN bub b ON b.term = q.term AND b.blk = c.doc_id // 64
+        |  GROUP BY 1, 2),
+        |keep AS (SELECT b.query_id, b.doc_id FROM bnd b
+        |  LEFT JOIN tau tu USING (query_id)
+        |  WHERE tu.tau IS NULL OR b.bound >= tu.tau),
+        |rescore AS (SELECT k2.query_id, k2.doc_id, w.w
+        |  FROM keep k2 JOIN qterms q ON q.query_id = k2.query_id
+        |  JOIN w ON w.term = q.term AND w.doc_id = k2.doc_id),
+        |wscore AS (SELECT query_id, doc_id, sum(w) AS score
+        |  FROM rescore GROUP BY 1, 2),
+        |topk AS (SELECT query_id, doc_id, wrank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS wrank
+        |    FROM wscore) WHERE wrank <= 10),
+        |fscore AS (SELECT q.query_id, w.doc_id, sum(w.w) AS score
+        |  FROM w JOIN qterms q USING (term)
+        |  WHERE w.doc_id <> q.query_id GROUP BY 1, 2),
+        |flex AS (SELECT query_id, doc_id, full_rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS full_rank
+        |    FROM fscore)
+        |  WHERE full_rank <= 10),
+        |nex AS (SELECT t.query_id, count(*) AS n_topk_match
+        |  FROM topk t JOIN flex f ON f.query_id = t.query_id
+        |    AND f.doc_id = t.doc_id AND f.full_rank = t.wrank
+        |  GROUP BY 1),
+        |ncand AS (SELECT query_id, count(*) AS n_candidates
+        |  FROM cand GROUP BY 1),
+        |nkeep AS (SELECT query_id, count(*) AS n_after_blockmax
+        |  FROM keep GROUP BY 1)
+        |SELECT nc.query_id,
+        |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(nk.n_after_blockmax, 0) AS BIGINT)
+        |    AS n_after_blockmax,
+        |  CASE WHEN nc.n_candidates = 0 THEN NULL
+        |    ELSE CAST((1000000 * (nc.n_candidates
+        |      - coalesce(nk.n_after_blockmax, 0))) // nc.n_candidates
+        |      AS BIGINT) END AS blockmax_pruned_ppm,
+        |  CAST(coalesce(tu.tau, 0) AS DOUBLE) AS tau,
+        |  CAST(coalesce(x.n_topk_match, 0) AS BIGINT) AS n_topk_match
+        |FROM ncand nc
+        |LEFT JOIN nkeep nk USING (query_id)
         |LEFT JOIN tau tu USING (query_id)
         |LEFT JOIN nex x USING (query_id)
         |ORDER BY query_id""".stripMargin,

@@ -208,9 +208,22 @@ object HybridSearch {
     * essential postings; the rescore probe is |candidates|·|q| rows
     * joined hash-equi against the index — each lane a bounded equi-join,
     * never all-pairs, exactly the shape that serves from the
-    * materialized impact-ordered index at 100 TB. */
-  def maxScoreAudit(tf: DataFrame, k: Int, mSeed: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    * materialized impact-ordered index at 100 TB.
+    *
+    * This scaladoc describes the whole family: the shared prefix below
+    * (steps 1–3) feeds [[maxScoreAudit]] (step 4 directly) and
+    * [[blockMaxAudit]] (a block-max refinement between 3 and 4).
+    *
+    * The shared MaxScore prefix (seed → τ → essential split →
+    * candidate set) — ONE definition, so the two lanes' candidate
+    * algebra cannot drift from each other or from their oracles. */
+  private final case class MsParts(ranked: DataFrame, weights: DataFrame,
+                                   dfreq: DataFrame, qTerms: DataFrame,
+                                   tau: DataFrame, lbl: DataFrame,
+                                   cands: DataFrame)
+
+  private def maxScoreParts(tf: DataFrame, k: Int, mSeed: Int,
+                            k1: Double, b: Double): MsParts = {
     // the impact-ranked postings feed FIVE subtrees (ub, seed,
     // candidate gen, rescore, and the unpruned audit lane) — persist
     // once, tracked for the caller's releaseAll/bench teardown
@@ -246,6 +259,14 @@ object HybridSearch {
     val cands = weights.join(essTerms, "term")
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()
+    MsParts(ranked, weights, dfreq, qTerms, tau, lbl, cands)
+  }
+
+  def maxScoreAudit(tf: DataFrame, k: Int, mSeed: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = maxScoreParts(tf, k, mSeed, k1, b)
+    val weights = p.weights; val dfreq = p.dfreq; val qTerms = p.qTerms
+    val tau = p.tau; val lbl = p.lbl; val cands = p.cands
     // 4. bounded exact rescore: candidates × query terms, probed against
     // the index on (term, doc) — join order written so the probe stays
     // |candidates|·|q|, never the full postings
@@ -309,6 +330,90 @@ object HybridSearch {
         expr("(1000000 * (seed_rows + coalesce(gen_rows, 0)" +
           " + coalesce(rescore_rows, 0))) div full_rows")
           .as("postings_ppm"),
+        coalesce(col("n_topk_match"), lit(0L)).as("n_topk_match"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Block-Max WAND refinement (Ding & Suel SIGIR'11) — the modern
+    * successor to MaxScore's list-level bounds, batch-declarative:
+    * postings are grouped into DOCID-ordered blocks of `blockSize`
+    * (block = doc_id div blockSize — the BMW index layout), each block
+    * carrying its max weight bub(t, blk). A MaxScore candidate's score
+    * is bounded by Σ over the query's terms of bub(t, block(d)) taken
+    * over the (term, block) entries that EXIST — strictly tighter than
+    * MaxScore's Σ ub_t, because a term whose list skips the candidate's
+    * block contributes nothing. Candidates whose block-bound falls
+    * strictly below τ are dropped BEFORE the exact rescore (safe: true
+    * score ≤ block-bound < τ ≤ true k-th score), so the |cands|·|q|
+    * rescore probe shrinks to the block-survivors — on a skewed corpus
+    * that is the difference between rescoring everything the essential
+    * lists touch and rescoring the few docs whose NEIGHBORHOODS score.
+    *
+    * Same audit discipline as [[maxScoreAudit]]: exact top-k by
+    * construction, equality COUNTED against the unpruned lane, the
+    * block-pruning ratio reported per query. All bounds are sums of
+    * round-6 decimals — the whole derivation replays in SQL. */
+  def blockMaxAudit(tf: DataFrame, k: Int, mSeed: Int, blockSize: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = maxScoreParts(tf, k, mSeed, k1, b)
+    val weights = p.weights; val qTerms = p.qTerms
+    val tau = p.tau; val cands = p.cands
+    // per-(term, block) max weight — the block-max index
+    val bub = weights
+      .groupBy(col("term"), expr(s"doc_id div $blockSize").as("blk"))
+      .agg(max(col("w")).as("bub"))
+    // candidate block-bound: Σ bub over the query's terms that HAVE a
+    // posting in the candidate's block (inner join — absent blocks
+    // contribute 0, the tightening over list-level ub)
+    val bound = cands.join(qTerms, Seq("query_id"))
+      .withColumn("blk", expr(s"doc_id div $blockSize"))
+      .join(bub, Seq("term", "blk"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("bub")).as("bound"))
+    // keep: bound ≥ τ (strictly-below can never reach the top-k); a
+    // query with no τ keeps everything
+    val keep = bound.join(tau, Seq("query_id"), "left")
+      .filter(col("tau").isNull || col("bound") >= col("tau"))
+      .select(col("query_id"), col("doc_id"))
+    val rescore = keep.join(qTerms, Seq("query_id"))
+      .join(weights, Seq("term", "doc_id"))
+    val wscore = rescore.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val topk = wscore.withColumn("wrank", row_number().over(rankW))
+      .filter(col("wrank") <= k)
+    // unpruned lane + rename-projected keys (the maxScoreAudit
+    // shared-lineage lesson; WandSpec pins the pattern non-vacuous)
+    val fullW = Window.partitionBy(col("query_id"))
+      .orderBy(col("fscore").desc, col("doc_id"))
+    val full = weights.join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("fscore"))
+      .withColumn("lex_rank", row_number().over(fullW))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id").as("f_qid"), col("doc_id").as("f_did"),
+        col("lex_rank").as("f_rank"))
+    val nExact = topk.join(full,
+        col("query_id") === col("f_qid") && col("doc_id") === col("f_did") &&
+          col("wrank") === col("f_rank"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_topk_match"))
+    val nCands = cands.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nKeep = keep.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_after_blockmax"))
+    nCands
+      .join(nKeep, Seq("query_id"), "left")
+      .join(tau, Seq("query_id"), "left")
+      .join(nExact, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_candidates"),
+        coalesce(col("n_after_blockmax"), lit(0L)).as("n_after_blockmax"),
+        // how much of the MaxScore candidate set block-max pruned away
+        expr("CASE WHEN n_candidates = 0 THEN NULL" +
+          " ELSE (1000000 * (n_candidates - coalesce(n_after_blockmax, 0)))" +
+          " div n_candidates END").as("blockmax_pruned_ppm"),
+        coalesce(col("tau").cast("double"), lit(0.0)).as("tau"),
         coalesce(col("n_topk_match"), lit(0L)).as("n_topk_match"))
       .orderBy(col("query_id"))
   }

@@ -52,6 +52,43 @@ class WandSpec extends AnyFunSuite with SparkSpec {
       "no query touched fewer postings than full evaluation")
   }
 
+  test("block-max refinement: still exact, and strictly tighter than MaxScore candidates") {
+    // the geometry BMW exists for: τ must land BETWEEN the tail blocks'
+    // bound and ub(mid), so "mid" stays essential (MaxScore keeps its
+    // whole list as candidates) while its LONG TAIL of tf-1 postings in
+    // long docs (100..160, separate docid blocks from the strong docs)
+    // carries block-bounds strictly below τ — BMW's refinement, not
+    // MaxScore's split, is what drops them. The medium band (14..40,
+    // rare-only, mid-strength scores) pins the 10th seed score low
+    // enough that mid's prefix clears it.
+    val docs = (
+      (0L to 3L).map(i => (i, "en", "mid rare")) ++
+      (4L to 8L).map(i => (i, "en", "mid mid mid rare rare rare")) ++
+      (14L to 40L).map(i => (i, "en",
+        "rare " + (0 until 19).map(j => s"junk${(i + j) % 40}").mkString(" "))) ++
+      (100L to 160L).map(i => (i, "en",
+        "mid " + (0 until 50).map(j => s"junk${(i + j) % 40}").mkString(" "))) ++
+      (200L to 299L).map(i => (i, "en",
+        (0 until 8).map(j => s"junk${(i + j) % 40}").mkString(" ")))
+    ).toDF("doc_id", "lang", "text")
+    val tf = tfOf(docs)
+    val audit = operators.HybridSearch
+      .blockMaxAudit(tf, k = 10, mSeed = 16, blockSize = 16).collect()
+    assert(audit.length === 4)
+    audit.foreach { r =>
+      // dropping strictly-below-τ block-bounds is SAFE: the top-k must
+      // still match the unpruned lane slot for slot
+      assert(r.getAs[Long]("n_topk_match") === 10L,
+        s"query ${r.getAs[Long]("query_id")} lost exactness to block pruning")
+      assert(r.getAs[Long]("n_after_blockmax") <= r.getAs[Long]("n_candidates"))
+    }
+    // on this skewed geometry at small blocks, the per-block bounds must
+    // actually prune somewhere — otherwise the refinement is vacuous
+    assert(audit.exists(r =>
+      r.getAs[Long]("n_after_blockmax") < r.getAs[Long]("n_candidates")),
+      "block-max never pruned a candidate — refinement is vacuous here")
+  }
+
   test("the exactness join is not vacuous: a shifted-rank lane matches 0 slots") {
     // Reproduces the shared-lineage hazard the audit's rename-projection
     // guards against: both join sides descend from ONE cached frame, so
