@@ -683,6 +683,24 @@ object SparkEntry {
     m
   }
 
+  /** q_quality_lr's trained classifier, cached per dir like [[ivfModel]]
+    * (bounded-sample driver-side GD is bit-deterministic: fixed sample
+    * order, fixed iteration count — see QualityLr.train's scaladoc). */
+  private val qualityLrModels =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.QualityLr.Model]()
+  private def qualityLrModel(s: SparkSession, dir: String): operators.QualityLr.Model = {
+    val m = qualityLrModels.computeIfAbsent(dir, d => {
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val keep = graft.functions.TextFns.qualityKeep(
+        length(col("text")).cast(LongType), size(toks).cast(LongType),
+        graft.functions.TextFns.meanWordLen(toks))
+      operators.QualityLr.train(Tables.documents(s, d), col("text"),
+        col("doc_id"), when(keep, 1.0).otherwise(0.0))
+    })
+    lastDir = dir
+    m
+  }
+
   /** q_bpe_merges/q_bpe_encode's tokenizer vocab, cached per dir like
     * [[ivfModel]] (training is deterministic: argmax tiebreak is
     * (freq DESC, left, right) over binary string order; the oracle
@@ -697,6 +715,60 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("text")), k = 10))
     lastDir = dir
     m
+  }
+
+  /** Replays q_quality_lr's SCORING from the trained folded weights as
+    * SQL literals (training stays driver-side and bounded — only the
+    * deployed linear scorer needs cross-engine replay): identical
+    * hashed-count + length-moment features, round-8 decimal term sums,
+    * round-6 logit, pred on the rounded value. */
+  private def qualityLrOracle(m: operators.QualityLr.Model): String = {
+    val wt = m.weights.zipWithIndex
+      .map { case (w, b) => s"($b, ${w})" }.mkString(",\n    ")
+    val nb = m.numBuckets
+    s"""WITH wt(bucket, w) AS (VALUES
+       |    $wt),
+       |t AS (SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |counts AS (SELECT doc_id,
+       |    (CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $nb)
+       |      AS bucket,
+       |    CAST(count(*) AS DOUBLE) AS x
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+       |mom AS (SELECT doc_id,
+       |    length(text) / 100.0 AS m0,
+       |    len(toks) / 10.0 AS m2,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE) END AS mwl
+       |  FROM t),
+       |moments AS (
+       |  SELECT doc_id, CAST($nb + 0 AS BIGINT) AS bucket,
+       |    round(m0, 8) AS x FROM mom
+       |  UNION ALL SELECT doc_id, $nb + 1, round(m0 * m0, 8) FROM mom
+       |  UNION ALL SELECT doc_id, $nb + 2, round(m2, 8) FROM mom
+       |  UNION ALL SELECT doc_id, $nb + 3, round(m2 * m2, 8) FROM mom
+       |  UNION ALL SELECT doc_id, $nb + 4, round(mwl, 8) FROM mom
+       |  UNION ALL SELECT doc_id, $nb + 5, round(mwl * mwl, 8) FROM mom),
+       |fb AS (SELECT * FROM counts UNION ALL SELECT * FROM moments),
+       |lg AS (SELECT f.doc_id,
+       |    sum(CAST(round(wt.w * f.x, 8) AS DECIMAL(18,8))) AS s
+       |  FROM fb f JOIN wt ON wt.bucket = f.bucket GROUP BY 1),
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN length(text) BETWEEN 100 AND 450 AND len(toks) >= 20
+       |      AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) END) BETWEEN 2 AND 10
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM t)
+       |SELECT l.doc_id, CAST(l.y AS BIGINT) AS y,
+       |  round(coalesce(CAST(lg.s AS DOUBLE), 0) + ${m.bias}, 6) AS logit,
+       |  CAST(CASE WHEN
+       |      round(coalesce(CAST(lg.s AS DOUBLE), 0) + ${m.bias}, 6) > 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM lab l LEFT JOIN lg USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
   }
 
   /** Replays TopicCluster.summary in SQL with the trained topic centroids
@@ -3568,6 +3640,29 @@ object SparkEntry {
         .withColumn("keep_rate",
           round($"n_kept".cast(DoubleType) / $"n_docs".cast(DoubleType), 4))
         .orderBy($"lang")
+    }),
+
+    "q_quality_lr" -> ((s, dir) => {
+      import s.implicits._
+      // the DISCRIMINATIVE data-selection brick (GPT-3 §2.2 /
+      // fasttext-style quality filter; q_dsir_weights is the generative
+      // twin): TextFns.qualityKeep's band rule DISTILLED into a
+      // logistic scorer over hashed bag-of-words + length-moment
+      // features — the cheap linear model a 100 TB curation pass runs
+      // where the rule's raw-text scans are too hot. Trained once per
+      // dir on the bounded id-ordered sample (the IvfAnn discipline),
+      // scored distributed (broadcast weight table, one corpus pass);
+      // the oracle replays scoring from the trained weights as SQL
+      // literals (the kmeansOracle recipe). The rule's label rides
+      // along as y, so the driver hash-checks the full per-doc
+      // CONFUSION SURFACE (y, logit, pred), not just scores.
+      val m = qualityLrModel(s, dir)
+      val toksQ = graft.functions.TextFns.tokens($"text")
+      val keep = graft.functions.TextFns.qualityKeep(
+        length($"text").cast(LongType), size(toksQ).cast(LongType),
+        graft.functions.TextFns.meanWordLen(toksQ))
+      operators.QualityLr.score(Tables.documents(s, dir), $"text",
+        $"doc_id", when(keep, 1L).otherwise(0L), m)
     }),
 
     "q_pipeline_audit" -> ((s, dir) => {
@@ -9368,7 +9463,9 @@ object SparkEntry {
           "q_ann_tuned" -> annTunedOracle(c, s2, p)).toSeq
     } ++
     Option(lastDir).flatMap(d => Option(bitextModels.get(d)))
-      .map(m => "q_bitext_blocked" -> bitextBlockedOracle(m)).toSeq
+      .map(m => "q_bitext_blocked" -> bitextBlockedOracle(m)).toSeq ++
+    Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
+      .map(m => "q_quality_lr" -> qualityLrOracle(m)).toSeq
 
   /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions
     * .TextFns.tokens]] domain), distinct-word counts, and the initial
