@@ -5574,6 +5574,105 @@ object SparkEntry {
             .as("psi_component"))
         .orderBy($"bin")
     }),
+
+    "q_ks_drift" -> ((s, dir) => {
+      import s.implicits._
+      // Two-sample Kolmogorov–Smirnov drift test — the nonparametric
+      // companion of q_drift_psi (PSI needs a bin-width/smoothing
+      // choice and reports a sum; KS asks "what is the largest CDF gap,
+      // anywhere, and is it significant?"). Same two eras of the
+      // order-value distribution. Exactness: values live on a DOMAIN-
+      // BOUNDED $100 grid (cents div 10000 — the test's resolution,
+      // bounded by the price domain, never by corpus size), each CDF
+      // gap is cross-multiplied in integers (|ca·tb − cb·ta| in
+      // DECIMAL(38,0) products, so SF1000's ~1.5e9-order eras cannot
+      // overflow where Long would at ~SF700), and only the final
+      // ratio rounds (8 dp — the ln/ratio convention). Scale shape:
+      // one map-side bin agg collapses the corpus to the ≤~6k-bin
+      // grid, then a single-partition ordered pass over THAT (the
+      // q_changepoint "collapse to domain, not corpus" audit shape);
+      // the asymptotic 95% critical value c(α)·sqrt(N/(ta·tb)) and
+      // the reject flag are computed, not assumed.
+      val binned = Tables.orders(s, dir)
+        .select(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000")
+            .as("bin"),
+          ($"o_orderdate" < lit("1998-01-01").cast("timestamp")).as("is_a"))
+        .groupBy($"bin")
+        .agg(sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"))
+      val tot = binned.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"))
+      val w = Window.orderBy($"bin")
+      val d19 = (c: Column) => c.cast(DecimalType(19, 0))
+      val gaps = binned
+        .withColumn("ca", sum($"n_a").over(w))
+        .withColumn("cb", sum($"n_b").over(w))
+        .crossJoin(broadcast(tot))
+        .select($"bin", $"ta", $"tb",
+          abs(d19($"ca") * d19($"tb") - d19($"cb") * d19($"ta")).as("gap_x"))
+      gaps.orderBy($"gap_x".desc, $"bin")
+        .limit(1)
+        .select($"ta".as("n_a"), $"tb".as("n_b"), $"bin".as("ks_bin"),
+          round($"gap_x".cast(DoubleType)
+            / ($"ta".cast(DoubleType) * $"tb".cast(DoubleType)), 8)
+            .as("d_stat"),
+          round(lit(1.358) * sqrt(($"ta" + $"tb").cast(DoubleType)
+            / ($"ta".cast(DoubleType) * $"tb".cast(DoubleType))), 8)
+            .as("crit_95"))
+        .withColumn("drifted",
+          ($"d_stat" > $"crit_95").cast(LongType))
+    }),
+
+    "q_mann_whitney" -> ((s, dir) => {
+      import s.implicits._
+      // Mann–Whitney rank-sum test: do URGENT and LOW priority orders
+      // draw from the same order-value distribution? The median-shift
+      // companion of q_ks_drift's shape test (and, with q_chisq /
+      // q_conversion_ci, the third member of the hypothesis-test
+      // family: categorical, proportion, ordinal). Ranks are computed
+      // RELATIONALLY — per-value tie groups with midrank 2·r̄ =
+      // 2·(rows before) + t + 1, an exact integer — so no per-row
+      // rank window ever touches the corpus: one map-side bin agg,
+      // then the ordered pass over the domain-bounded grid. 2U_A
+      // stays an exact integer end-to-end (DECIMAL(38,0) sums; the
+      // tie-corrected σ needs Σ(t³−t), decimal-summed for order-
+      // independence); only the final z rounds (6 dp).
+      val binned = Tables.orders(s, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000")
+            .as("bin"),
+          ($"o_orderpriority" === "1-URGENT").as("is_a"))
+        .groupBy($"bin")
+        .agg(sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
+          sum(when(!$"is_a", 1L).otherwise(0L)).as("cb"))
+        .withColumn("t", $"ca" + $"cb")
+      val w = Window.orderBy($"bin")
+      val d19 = (c: Column) => c.cast(DecimalType(19, 0))
+      val d12 = (c: Column) => c.cast(DecimalType(12, 0))
+      val ranked = binned
+        .withColumn("cum", sum($"t").over(w))
+        .withColumn("ar2", lit(2L) * ($"cum" - $"t") + $"t" + lit(1L))
+      val ag = ranked.agg(
+        sum($"ca").as("n_a"), sum($"cb").as("n_b"),
+        sum(d19($"ca") * d19($"ar2")).as("r2a"),
+        sum(d12($"t") * d12($"t") * d12($"t") - $"t").as("ties"))
+      ag.select($"n_a", $"n_b",
+          // 2·U_A — twice the U statistic, kept doubled so it stays an
+          // exact INTEGER under midranks (U itself can be a .5 multiple)
+          ($"r2a" - d19($"n_a") * d19($"n_a" + 1))
+            .cast(LongType).as("u2_a"),
+          round(($"r2a".cast(DoubleType)
+              - $"n_a".cast(DoubleType) * ($"n_a" + $"n_b" + 1).cast(DoubleType))
+            / (lit(2.0) * sqrt(
+              ($"n_a".cast(DoubleType) * $"n_b".cast(DoubleType) / lit(12.0))
+                * (($"n_a" + $"n_b" + 1).cast(DoubleType)
+                  - $"ties".cast(DoubleType)
+                    / (($"n_a" + $"n_b").cast(DoubleType)
+                      * ($"n_a" + $"n_b" - 1).cast(DoubleType))))), 6)
+            .as("z"))
+        .withColumn("reject_95", (abs($"z") > lit(1.96)).cast(LongType))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9428,6 +9527,77 @@ object SparkEntry {
         |      / (CAST(n_b + 1 AS DOUBLE) / (tb + 32))), 8) AS psi_component
         |FROM agg CROSS JOIN tot
         |ORDER BY bin""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH binned AS (
+        |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 10000 AS BIGINT) AS bin,
+        |    o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS is_a
+        |  FROM orders),
+        |agg AS (
+        |  SELECT bin, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |  CAST(sum(n_b) AS BIGINT) AS tb FROM agg),
+        |cum AS (
+        |  SELECT bin, sum(n_a) OVER (ORDER BY bin) AS ca,
+        |    sum(n_b) OVER (ORDER BY bin) AS cb
+        |  FROM agg),
+        |gaps AS (
+        |  SELECT bin, ta, tb,
+        |    abs(CAST(ca AS DECIMAL(19,0)) * CAST(tb AS DECIMAL(19,0))
+        |      - CAST(cb AS DECIMAL(19,0)) * CAST(ta AS DECIMAL(19,0))) AS gap_x
+        |  FROM cum CROSS JOIN tot),
+        |sel AS (
+        |  SELECT ta AS n_a, tb AS n_b, bin AS ks_bin,
+        |    round(CAST(gap_x AS DOUBLE)
+        |      / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 8) AS d_stat,
+        |    round(1.358 * sqrt(CAST(ta + tb AS DOUBLE)
+        |      / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))), 8) AS crit_95
+        |  FROM gaps ORDER BY gap_x DESC, bin LIMIT 1)
+        |SELECT n_a, n_b, ks_bin, d_stat, crit_95,
+        |  CAST(CASE WHEN d_stat > crit_95 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM sel""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH binned AS (
+        |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 10000 AS BIGINT) AS bin,
+        |    o_orderpriority = '1-URGENT' AS is_a
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |agg AS (
+        |  SELECT bin, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM binned GROUP BY 1),
+        |ranked AS (
+        |  SELECT ca, cb, ca + cb AS t,
+        |    2 * (sum(ca + cb) OVER (ORDER BY bin) - (ca + cb))
+        |      + (ca + cb) + 1 AS ar2
+        |  FROM agg),
+        |ag AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca AS DECIMAL(19,0)) * CAST(ar2 AS DECIMAL(19,0))) AS r2a,
+        |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+        |      * CAST(t AS DECIMAL(12,0)) - t) AS ties
+        |  FROM ranked),
+        |z AS (
+        |  SELECT n_a, n_b,
+        |    CAST(r2a - CAST(n_a AS DECIMAL(19,0))
+        |      * CAST(n_a + 1 AS DECIMAL(19,0)) AS BIGINT) AS u2_a,
+        |    round((CAST(r2a AS DOUBLE)
+        |        - CAST(n_a AS DOUBLE) * CAST(n_a + n_b + 1 AS DOUBLE))
+        |      / (2.0 * sqrt(
+        |        (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+        |          * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |            - CAST(ties AS DOUBLE)
+        |              / (CAST(n_a + n_b AS DOUBLE)
+        |                * CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z
+        |  FROM ag)
+        |SELECT n_a, n_b, u2_a, z,
+        |  CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM z""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

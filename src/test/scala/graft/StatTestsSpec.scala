@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hypothesis-test queries (KS drift, Mann–Whitney): hand-computed
+  * mini-cases on a synthetic orders table (the DuckDB oracle pins exact
+  * values at sf0.01; these pin the STATISTICS on inputs whose answer is
+  * known in closed form), plus the domain-bounded-grid plan shape. */
+class StatTestsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Write a minimal orders parquet (the three columns the stats
+    * queries read) into a temp dir and return the dir. */
+  private def ordersDir(rows: Seq[(Double, String, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("stat_tests_").toString
+    rows.map { case (price, date, prio) =>
+      (price, Timestamp.valueOf(date + " 00:00:00"), prio)
+    }.toDF("o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("ks: identical eras => D = 0, no drift") {
+    // same two bins in both eras
+    val dir = ordersDir(Seq(
+      (150.0, "1997-01-01", "1-URGENT"), (250.0, "1997-01-01", "1-URGENT"),
+      (150.0, "1998-06-01", "1-URGENT"), (250.0, "1998-06-01", "1-URGENT")))
+    val r = SparkEntry.queries("q_ks_drift")(spark, dir).collect().head
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    assert(r.getAs[Long]("drifted") == 0L)
+  }
+
+  test("ks: disjoint supports => D = 1 and the drift flag fires") {
+    val a = (1 to 30).map(i => (100.0 + i, "1997-01-01", "1-URGENT"))
+    val b = (1 to 30).map(i => (50000.0 + i, "1998-06-01", "1-URGENT"))
+    val r = SparkEntry.queries("q_ks_drift")(spark, ordersDir(a ++ b))
+      .collect().head
+    assert(r.getAs[Double]("d_stat") == 1.0)
+    // crit_95 = 1.358 * sqrt(60/900) ≈ 0.3507 < 1
+    assert(r.getAs[Long]("drifted") == 1L)
+  }
+
+  test("ks: hand case — D = 0.5 attained first at the lowest bin") {
+    // era A bins {1, 2}; era B bins {2, 3}; CDF gaps 0.5, 0.5, 0 —
+    // max gap ties at bins 1 and 2, argmax takes the lowest bin
+    val dir = ordersDir(Seq(
+      (150.0, "1997-01-01", "1-URGENT"), (250.0, "1997-01-01", "1-URGENT"),
+      (250.0, "1998-06-01", "1-URGENT"), (350.0, "1998-06-01", "1-URGENT")))
+    val r = SparkEntry.queries("q_ks_drift")(spark, dir).collect().head
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    assert(r.getAs[Long]("ks_bin") == 1L)
+    // crit_95 = 1.358 * sqrt(4/4) = 1.358: tiny samples cannot reject
+    assert(r.getAs[Double]("crit_95") == 1.358)
+    assert(r.getAs[Long]("drifted") == 0L)
+  }
+
+  test("mann-whitney: hand case with a tie — 2U = 5, z = 0.408248") {
+    // A (urgent) = {$500, $700}, B (low) = {$100, $700}
+    // ranks over {1:B, 5:A, 7:A+B}: R_A = 2 + 3.5 = 5.5, U_A = 2.5,
+    // sigma^2 = (4/12)*(5 - 6/12) = 1.5, z = 1/(2*sqrt(1.5))
+    val dir = ordersDir(Seq(
+      (500.0, "1997-01-01", "1-URGENT"), (700.0, "1997-01-01", "1-URGENT"),
+      (100.0, "1997-01-01", "5-LOW"), (700.0, "1997-01-01", "5-LOW")))
+    val r = SparkEntry.queries("q_mann_whitney")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2_a") == 5L)
+    assert(r.getAs[Double]("z") == 0.408248)
+    assert(r.getAs[Long]("reject_95") == 0L)
+  }
+
+  test("mann-whitney: A stochastically dominant => U maximal, reject at n=30") {
+    val a = (1 to 30).map(i => (50000.0 + 100 * i, "1997-01-01", "1-URGENT"))
+    val b = (1 to 30).map(i => (100.0 + 100 * i, "1997-01-01", "5-LOW"))
+    val r = SparkEntry.queries("q_mann_whitney")(spark, ordersDir(a ++ b))
+      .collect().head
+    // every A beats every B: U_A = n_a*n_b = 900, doubled = 1800
+    assert(r.getAs[Long]("u2_a") == 1800L)
+    assert(r.getAs[Double]("z") > 1.96)
+    assert(r.getAs[Long]("reject_95") == 1L)
+  }
+
+  test("plan: both tests collapse to the bin grid before any window") {
+    for (q <- Seq("q_ks_drift", "q_mann_whitney")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the single unpartitioned window runs over the aggregated grid,
+      // never the corpus: an aggregate must sit BELOW the window
+      val wi = plan.indexOf("Window")
+      assert(wi >= 0, s"$q: expected a window over the bin grid")
+      assert(plan.indexOf("HashAggregate", wi) > wi,
+        s"$q: window is not over the bin-aggregated grid:\n$plan")
+      // ranks are relational midranks, not per-row rank windows
+      assert(!plan.contains("row_number") && !plan.contains("rank("),
+        s"$q: per-row rank window crept in")
+    }
+  }
+}
