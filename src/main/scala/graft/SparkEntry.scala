@@ -5673,6 +5673,97 @@ object SparkEntry {
             .as("z"))
         .withColumn("reject_95", (abs($"z") > lit(1.96)).cast(LongType))
     }),
+
+    "q_dp_hist" -> ((s, dir) => {
+      import s.implicits._
+      // Differentially-private histogram release (ε = 0.5, sensitivity
+      // 1): customers per nation with per-cell Laplace noise — the
+      // fourth member of the privacy family (k-anonymity / l-diversity
+      // / t-closeness AUDIT a release; this one MAKES a private
+      // release). Noise is inverse-CDF Laplace from an md5-uniform
+      // (u = (h + 0.5)/2^32 — strictly inside (0,1), so ln never sees
+      // 0) seeded by the cell key: deterministic-by-seed is the repo's
+      // testability convention for randomized operators (q_weighted_
+      // sample's draws, q_negative_sample's proposals); a production
+      // release swaps the public salt for a secret one, nothing else
+      // changes. b = 1/ε = 2 folded as literals on both sides so the
+      // double op sequence replays exactly (the Holt literal rule);
+      // ln feeds a round-6 (safer than the lm_score round-8 bound).
+      // Scale shape: one map-side count agg collapses the corpus to
+      // the 25-nation domain; noise is per-GROUP work. True counts are
+      // kept because this is the utility AUDIT view (|noise| is the
+      // price of ε); the release itself drops n_true.
+      val hist = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(count(lit(1)).as("n_true"))
+      val h = conv(substring(md5(concat(lit("dp1:"), $"n_name")), 1, 8),
+        16, 10).cast(LongType)
+      val u = (h.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+      val noise = when(u < lit(0.5), lit(2.0) * log(lit(2.0) * u))
+        .otherwise(lit(-2.0) * log(lit(2.0) - lit(2.0) * u))
+      hist.select($"n_name", $"n_true",
+          round($"n_true".cast(DoubleType) + noise, 6).as("n_noisy"),
+          lit(0.5).as("epsilon"))
+        .orderBy($"n_name")
+    }),
+
+    "q_bloom_fpr" -> ((s, dir) => {
+      import s.implicits._
+      // Bloom-filter calibration audit: measured fill factor and
+      // false-positive rate vs the analytic law — the membership
+      // counterpart of q_minhash_recall (LSH S-curve) and q_ann_recall
+      // (ANN frontier): every approximate structure in the engine
+      // carries an audit that MEASURES its error against theory.
+      // Filter sized by the data (m = 8n bits, k = 4 ⇒ by design
+      // fill ≈ 1−e^{-1/2} ≈ 39.3% and fpr ≈ 2.4% at ANY corpus size —
+      // the sizing law is what's audited). Relational form: the bit
+      // array is a distinct position RELATION (the q_bloom_skip
+      // word-packed form is the deployment shape; this audits the
+      // MATH), positions are md5-prefix hashes mod m — identical
+      // integers on both engines. Members = BUILDING customers,
+      // probes = everyone else, so every full match is a false
+      // positive by construction. Scale shape: k·n explode → distinct
+      // (m-bounded), probes equi-join positions, count==k per probe —
+      // no all-pairs anywhere; ppm ratios exact integer div.
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")
+      val nm = cust.filter($"c_mktsegment" === "BUILDING")
+        .agg(count(lit(1)).as("n_members"))
+      def pos(key: Column, i: Column, m: Column): Column =
+        conv(substring(md5(concat(lit("b"), i.cast(StringType), lit(":"),
+          key.cast(StringType))), 1, 8), 16, 10).cast(LongType) % m
+      val withI = cust
+        .withColumn("i", explode(sequence(lit(0), lit(3))))
+        .crossJoin(broadcast(nm))
+        .withColumn("pos", pos($"c_custkey", $"i", $"n_members" * 8))
+      val setBits = withI.filter($"c_mktsegment" === "BUILDING")
+        .select($"pos").distinct()
+      val nBits = setBits.agg(count(lit(1)).as("n_set_bits"))
+      val fp = withI.filter($"c_mktsegment" =!= "BUILDING")
+        .join(setBits, "pos")
+        .groupBy($"c_custkey").agg(count(lit(1)).as("hits"))
+        .filter($"hits" === 4)
+        .agg(count(lit(1)).as("false_pos"))
+      val nProbes = cust.filter($"c_mktsegment" =!= "BUILDING")
+        .agg(count(lit(1)).as("n_probes"))
+      nm.crossJoin(nProbes).crossJoin(nBits).crossJoin(fp)
+        .select($"n_members", $"n_probes",
+          ($"n_members" * 8).as("m_bits"), lit(4L).as("k_hashes"),
+          $"n_set_bits",
+          expr("(1000000 * n_set_bits) div (n_members * 8)")
+            .cast(LongType).as("fill_ppm"),
+          round(lit(1000000.0) * (lit(1.0)
+            - exp(-(lit(4.0) * $"n_members")
+              / ($"n_members" * 8).cast(DoubleType))), 2)
+            .as("theo_fill_ppm"),
+          $"false_pos",
+          expr("(1000000 * false_pos) div n_probes")
+            .cast(LongType).as("fpr_ppm"),
+          round(lit(1000000.0) * pow(lit(1.0)
+            - exp(-(lit(4.0) * $"n_members")
+              / ($"n_members" * 8).cast(DoubleType)), lit(4.0)), 2)
+            .as("theo_fpr_ppm"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9598,6 +9689,57 @@ object SparkEntry {
         |SELECT n_a, n_b, u2_a, z,
         |  CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM z""".stripMargin,
+
+    "q_dp_hist" ->
+      """WITH hist AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |withu AS (
+        |  SELECT n_name, n_true,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('dp1:', n_name)), 1, 8))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM hist)
+        |SELECT n_name, n_true,
+        |  round(CAST(n_true AS DOUBLE) + CASE WHEN u < 0.5
+        |    THEN 2.0 * ln(2.0 * u)
+        |    ELSE -2.0 * ln(2.0 - 2.0 * u) END, 6) AS n_noisy,
+        |  0.5 AS epsilon
+        |FROM withu ORDER BY n_name""".stripMargin,
+
+    "q_bloom_fpr" ->
+      """WITH nm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_members FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |withi AS (
+        |  SELECT c_custkey, c_mktsegment, i,
+        |    CAST(concat('0x', substr(md5(concat('b', CAST(i AS VARCHAR), ':',
+        |      CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT)
+        |      % (n_members * 8) AS pos
+        |  FROM customer CROSS JOIN nm
+        |  CROSS JOIN (SELECT unnest(ARRAY[0, 1, 2, 3]) AS i)),
+        |set_bits AS (
+        |  SELECT DISTINCT pos FROM withi WHERE c_mktsegment = 'BUILDING'),
+        |nbits AS (SELECT CAST(count(*) AS BIGINT) AS n_set_bits FROM set_bits),
+        |fp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS false_pos FROM (
+        |    SELECT w.c_custkey FROM withi w JOIN set_bits USING (pos)
+        |    WHERE w.c_mktsegment <> 'BUILDING'
+        |    GROUP BY 1 HAVING count(*) = 4)),
+        |np AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_probes FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING')
+        |SELECT n_members, n_probes,
+        |  CAST(n_members * 8 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+        |  n_set_bits,
+        |  CAST((1000000 * n_set_bits) // (n_members * 8) AS BIGINT) AS fill_ppm,
+        |  round(1000000.0 * (1.0 - exp(-(4.0 * n_members)
+        |    / CAST(n_members * 8 AS DOUBLE))), 2) AS theo_fill_ppm,
+        |  false_pos,
+        |  CAST((1000000 * false_pos) // n_probes AS BIGINT) AS fpr_ppm,
+        |  round(1000000.0 * pow(1.0 - exp(-(4.0 * n_members)
+        |    / CAST(n_members * 8 AS DOUBLE)), 4.0), 2) AS theo_fpr_ppm
+        |FROM nm CROSS JOIN np CROSS JOIN nbits CROSS JOIN fp""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte
