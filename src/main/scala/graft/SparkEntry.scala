@@ -5764,6 +5764,90 @@ object SparkEntry {
               / ($"n_members" * 8).cast(DoubleType)), lit(4.0)), 2)
             .as("theo_fpr_ppm"))
     }),
+
+    "q_hits" -> ((s, dir) => {
+      import s.implicits._
+      // HITS hubs & authorities over the directed customer→part
+      // purchase relation (1-in-50 order sample, the q_graph_components
+      // sampling convention) — the BIPARTITE ranking the PageRank lane
+      // lacks: customers that buy widely and well are hubs, parts
+      // bought by good hubs are authorities, each side defined by the
+      // other (the query/document, citer/cited shape). Two full
+      // a←Aᵀh / h←Aa rounds on the round-8 decimal grid (operators.
+      // Hits — every half-step is an edge-linear equi-join + decimal
+      // sum + ONE rounded double division, so the unrolled CTE oracle
+      // replays it bit-for-bit, the PageRank/label-prop convention).
+      // Top-15 per side through the bounded per-group-top-k rewrite.
+      val edges = Tables.orders(s, dir)
+        .filter($"o_orderkey" % 50 === 0)
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"), $"l_partkey".as("dst"))
+        .distinct()
+      val sc = operators.Hits.scores(edges, iters = 2)
+      val w = Window.partitionBy($"side")
+        .orderBy($"score".desc, $"node")
+      sc.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 15).drop("rn")
+        .orderBy($"side", $"score".desc, $"node")
+    }),
+
+    "q_cuped" -> ((s, dir) => {
+      import s.implicits._
+      // CUPED variance reduction (Deng et al. 2013) — the A/B-testing
+      // upgrade of q_conversion_ci: adjust each user's experiment-
+      // period metric Y by their PRE-period covariate X
+      // (Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)), shrinking arm-mean
+      // variance by ρ² without biasing the contrast. Arms are the
+      // deterministic user_id parity split; the pre/experiment split
+      // is a fixed date. Exactness: per-user sums are decimal (order-
+      // independent), global moments are decimal sums of decimal
+      // products (the q_corr/q_regression recipe), θ rounds to the
+      // 8-dp grid BEFORE the adjustment so both engines consume the
+      // identical θ, means round at 6; variance reduction = ρ² in
+      // exact-ish ppm (round 2). Scale shape: one corpus pass to
+      // per-user (x, y), then a 2-row arm rollup + 1-row broadcast
+      // moments — adding arms or covariates never rescans events.
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val d6 = (c: Column) => c.cast(DecimalType(18, 6))
+      val per = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"ts" < split, d6($"value"))
+            .otherwise(d6(lit(0)))).as("xw"),
+          sum(when($"ts" >= split, d6($"value"))
+            .otherwise(d6(lit(0)))).as("yw"))
+        .select($"user_id", d6($"xw").as("x"), d6($"yw").as("y"))
+      val g = per.agg(count(lit(1)).as("n"),
+        sum($"x").cast(DoubleType).as("sx"),
+        sum($"y").cast(DoubleType).as("sy"),
+        sum(($"x" * $"x").cast(DecimalType(38, 12))).cast(DoubleType).as("sxx"),
+        sum(($"x" * $"y").cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"),
+        sum(($"y" * $"y").cast(DecimalType(38, 12))).cast(DoubleType).as("syy"))
+      val arms = per.withColumn("arm", ($"user_id" % 2).cast(LongType))
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"x").cast(DoubleType).as("sxa"),
+          sum($"y").cast(DoubleType).as("sya"))
+      // zero guards on BOTH engines (the q_minhash_recall convention):
+      // a zero-variance covariate means "no adjustment", a zero-variance
+      // metric means "nothing to reduce" — neither may divide by zero
+      // (ANSI mode turns it into a crash, not an Inf)
+      val cxy = $"n" * $"sxy" - $"sx" * $"sy"
+      val cxx = $"n" * $"sxx" - $"sx" * $"sx"
+      val cyy = $"n" * $"syy" - $"sy" * $"sy"
+      val theta = when(cxx === lit(0.0), lit(0.0))
+        .otherwise(round(cxy / cxx, 8))
+      arms.crossJoin(broadcast(g))
+        .select($"arm", $"n_users",
+          round($"sya" / $"n_users", 6).as("mean_y"),
+          round(($"sya" - theta * ($"sxa" - $"n_users" * ($"sx" / $"n")))
+            / $"n_users", 6).as("mean_y_adj"),
+          theta.as("theta"),
+          when(cxx * cyy === lit(0.0), lit(0.0))
+            .otherwise(round(lit(1000000.0) * (cxy * cxy) / (cxx * cyy), 2))
+            .as("var_reduction_ppm"))
+        .orderBy($"arm")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9740,6 +9824,82 @@ object SparkEntry {
         |  round(1000000.0 * pow(1.0 - exp(-(4.0 * n_members)
         |    / CAST(n_members * 8 AS DOUBLE)), 4.0), 2) AS theo_fpr_ppm
         |FROM nm CROSS JOIN np CROSS JOIN nbits CROSS JOIN fp""".stripMargin,
+
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 50 = 0),
+        |h0 AS (SELECT src, CAST(1 AS DECIMAL(18,8)) AS s
+        |  FROM (SELECT DISTINCT src FROM e)),
+        |a1r AS (SELECT dst, sum(s) AS s FROM e JOIN h0 USING (src) GROUP BY 1),
+        |a1 AS (SELECT dst, CAST(round(CAST(s AS DOUBLE)
+        |  / CAST((SELECT sum(s) FROM a1r) AS DOUBLE), 8) AS DECIMAL(18,8)) AS s
+        |  FROM a1r),
+        |h1r AS (SELECT src, sum(s) AS s FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |h1 AS (SELECT src, CAST(round(CAST(s AS DOUBLE)
+        |  / CAST((SELECT sum(s) FROM h1r) AS DOUBLE), 8) AS DECIMAL(18,8)) AS s
+        |  FROM h1r),
+        |a2r AS (SELECT dst, sum(s) AS s FROM e JOIN h1 USING (src) GROUP BY 1),
+        |a2 AS (SELECT dst, CAST(round(CAST(s AS DOUBLE)
+        |  / CAST((SELECT sum(s) FROM a2r) AS DOUBLE), 8) AS DECIMAL(18,8)) AS s
+        |  FROM a2r),
+        |h2r AS (SELECT src, sum(s) AS s FROM e JOIN a2 USING (dst) GROUP BY 1),
+        |h2 AS (SELECT src, CAST(round(CAST(s AS DOUBLE)
+        |  / CAST((SELECT sum(s) FROM h2r) AS DOUBLE), 8) AS DECIMAL(18,8)) AS s
+        |  FROM h2r),
+        |ideg AS (SELECT dst, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+        |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+        |united AS (
+        |  SELECT 'authority' AS side, a2.dst AS node,
+        |    CAST(a2.s AS DOUBLE) AS score, ideg.degree
+        |  FROM a2 JOIN ideg USING (dst)
+        |  UNION ALL
+        |  SELECT 'hub' AS side, h2.src AS node,
+        |    CAST(h2.s AS DOUBLE) AS score, odeg.degree
+        |  FROM h2 JOIN odeg USING (src)),
+        |ranked AS (SELECT side, node, score, degree, row_number() OVER (
+        |  PARTITION BY side ORDER BY score DESC, node) AS rn FROM united)
+        |SELECT side, node, score, degree FROM ranked WHERE rn <= 15
+        |ORDER BY side, score DESC, node""".stripMargin,
+
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM per),
+        |arms AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS DOUBLE) AS sxa, CAST(sum(y) AS DOUBLE) AS sya
+        |  FROM per GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(sya / n_users, 6) AS mean_y,
+        |  round((sya - (CASE WHEN (n * sxx - sx * sx) = 0.0 THEN 0.0
+        |      ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) END)
+        |    * (sxa - n_users * (sx / n))) / n_users, 6) AS mean_y_adj,
+        |  CASE WHEN (n * sxx - sx * sx) = 0.0 THEN 0.0
+        |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) END AS theta,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 THEN 0.0
+        |    ELSE round(1000000.0 * ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 2) END
+        |    AS var_reduction_ppm
+        |FROM arms CROSS JOIN g ORDER BY arm""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

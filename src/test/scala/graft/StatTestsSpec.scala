@@ -82,6 +82,52 @@ class StatTestsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("reject_95") == 1L)
   }
 
+  /** Minimal events parquet (ts, user_id, value) for the CUPED test. */
+  private def eventsDir(rows: Seq[(Long, String, Double)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cuped_").toString
+    rows.map { case (uid, date, v) =>
+      (uid, Timestamp.valueOf(date + " 00:00:00"), v)
+    }.toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("cuped: a pre-period confound is removed exactly (theta=1, rho^2=1)") {
+    // y == x per user, but odd (arm 1) and even (arm 0) users have
+    // different x means: the RAW arm contrast is confounded by 1.0,
+    // the CUPED-adjusted contrast must be exactly zero
+    val rows = (1L to 40L).flatMap(id => Seq(
+      (id, "2024-01-10", id.toDouble), // pre-period covariate X
+      (id, "2024-01-20", id.toDouble)  // experiment metric Y = X
+    ))
+    val r = SparkEntry.queries("q_cuped")(spark, eventsDir(rows))
+      .collect().map(x => x.getAs[Long]("arm") -> x).toMap
+    assert(r(0L).getAs[Double]("theta") == 1.0)
+    assert(r(0L).getAs[Double]("mean_y") == 21.0) // evens: 2..40
+    assert(r(1L).getAs[Double]("mean_y") == 20.0) // odds: 1..39
+    assert(r(0L).getAs[Double]("mean_y_adj") == 20.5)
+    assert(r(1L).getAs[Double]("mean_y_adj") == 20.5)
+    assert(r(0L).getAs[Double]("var_reduction_ppm") == 1000000.0)
+  }
+
+  test("cuped: uncorrelated covariate leaves the metric untouched") {
+    // X constant for every user => var(X)-normalized theta is 0/0-free
+    // only when X varies; use X alternating independent of Y instead
+    val rows = (1L to 40L).flatMap(id => Seq(
+      (id, "2024-01-10", if (id <= 20) 1.0 else 2.0), // X: first half vs rest
+      (id, "2024-01-20", 7.0)                          // Y constant
+    ))
+    val r = SparkEntry.queries("q_cuped")(spark, eventsDir(rows))
+      .collect().map(x => x.getAs[Long]("arm") -> x).toMap
+    // cov(X, const) = 0: no adjustment, and the zero-variance metric
+    // takes the guarded branch instead of an ANSI divide-by-zero
+    assert(r(0L).getAs[Double]("theta") == 0.0)
+    assert(r(0L).getAs[Double]("mean_y") == 7.0)
+    assert(r(0L).getAs[Double]("mean_y_adj") == 7.0)
+    assert(r(0L).getAs[Double]("var_reduction_ppm") == 0.0)
+  }
+
   test("plan: both tests collapse to the bin grid before any window") {
     for (q <- Seq("q_ks_drift", "q_mann_whitney")) {
       val plan = SparkEntry.queries(q)(spark, sf)
