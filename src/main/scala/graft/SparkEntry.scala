@@ -5848,6 +5848,86 @@ object SparkEntry {
             .as("var_reduction_ppm"))
         .orderBy($"arm")
     }),
+
+    "q_ann_sq8" -> ((s, dir) => {
+      import s.implicits._
+      // Scalar-quantized flat ANN (faiss IndexScalarQuantizer — the
+      // compressed-scan rung between q_ann_bruteforce and q_ann_ivf/
+      // q_ann_pq): per-DIMENSION [min,max] byte codes, asymmetric
+      // approximate scoring in the code domain (8× less scan bandwidth
+      // — at 100 TB the flat scan is memory-bound, so that IS the
+      // speedup), shortlist-20, then the exact cosine rerank re-fetches
+      // floats for the shortlist only. Ranges are exact min/max
+      // aggregates — the one ANN lane whose oracle derives everything
+      // in SQL with no trained-model literals. operators.SqAnn.
+      operators.SqAnn.topK(
+          Tables.embeddings(s, dir).filter($"vec_id" % 100 === 0),
+          Tables.embeddings(s, dir), shortlist = 20, k = 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    "q_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      // Holt–Winters additive seasonal smoothing on the daily-revenue
+      // series — the seasonal completion of the forecasting ladder
+      // (q_ewma level → q_holt_trend level+trend → this, level+trend+
+      // weekly season; q_autocorr is the lag probe that justifies the
+      // 7-term). Same stateful-fold shape as q_holt_trend: the corpus
+      // collapses to the ~2.4k-day aggregate, ONE group folds the
+      // ordered day array with state (l, b, s0..s6). Day index is
+      // (rn−1) mod 7 — engine-neutral, unlike calendar dow. Init
+      // l=x₁, b=0, s≡0 (the first row initializes, updates start at
+      // rn 2 — the holt convention); literals α=.3/β=.1/γ=.2 written
+      // on both sides so the recursive-CTE oracle replays the float
+      // sequence exactly. Output: last state + the next-week forecast
+      // fan l + h·b + s[(n−1+h) mod 7], h = 1..7.
+      val daily = Tables.orders(s, dir)
+        .groupBy($"o_orderdate".as("d"))
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("cents"))
+      val wd = Window.orderBy($"d")
+      val seq0 = daily
+        .withColumn("rn", row_number().over(wd).cast(LongType))
+        .select($"rn", (($"rn" - 1) % 7).cast(IntegerType).as("idx"),
+          ($"cents".cast(DoubleType) / lit(100.0)).as("x"))
+      def sAcc(acc: Column, idx: Column): Column =
+        (1 to 6).foldLeft(when(idx === 0, acc("s0"))) {
+          (w, i) => w.when(idx === i, acc(s"s$i"))
+        }.otherwise(lit(0.0))
+      def step(acc: Column, e: Column): Column = {
+        val newL = (e("x") - sAcc(acc, e("idx"))) * lit(0.3) +
+          (acc("l") + acc("b")) * lit(0.7)
+        val newB = (newL - acc("l")) * lit(0.1) + acc("b") * lit(0.9)
+        val newS = (0 to 6).map(i =>
+          when(e("idx") === i,
+            (e("x") - newL) * lit(0.2) + acc(s"s$i") * lit(0.8))
+            .otherwise(acc(s"s$i")).as(s"s$i"))
+        when(acc("l").isNull,
+          struct((e("x").as("l") +: lit(0.0).as("b") +:
+            (0 to 6).map(i => lit(0.0).as(s"s$i"))): _*))
+          .otherwise(struct((newL.as("l") +: newB.as("b") +: newS): _*))
+      }
+      val nil = lit(null).cast(DoubleType)
+      val folded = seq0
+        .agg(sort_array(collect_list(struct($"rn", $"idx", $"x"))).as("h"),
+          count(lit(1)).as("n_days"))
+        .select($"n_days",
+          aggregate($"h",
+            struct((nil.as("l") +: nil.as("b") +:
+              (0 to 6).map(i => nil.as(s"s$i"))): _*), step).as("st"))
+      def sAt(h: Int): Column = {
+        val idx = ($"n_days" - 1 + h) % 7
+        (1 to 6).foldLeft(when(idx === 0, $"st.s0")) {
+          (w, i) => w.when(idx === i, col(s"st.s$i"))
+        }.otherwise(lit(0.0))
+      }
+      folded.select(
+        ($"n_days" +:
+          round($"st.l", 6).as("level_last") +:
+          round($"st.b", 6).as("trend_last") +:
+          (1 to 7).map(h =>
+            round($"st.l" + lit(h.toDouble) * $"st.b" + sAt(h), 6)
+              .as(s"f$h"))): _*)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9900,6 +9980,102 @@ object SparkEntry {
         |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 2) END
         |    AS var_reduction_ppm
         |FROM arms CROSS JOIN g ORDER BY arm""".stripMargin,
+
+    "q_ann_sq8" ->
+      """WITH stats AS (
+        |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+        |arrs AS (SELECT list(mn ORDER BY pos) AS mn_arr,
+        |  list(mx ORDER BY pos) AS mx_arr FROM stats),
+        |codes AS (
+        |  SELECT vec_id AS cand_id,
+        |    list_transform(range(1, 65), j ->
+        |      CASE WHEN mx_arr[j] = mn_arr[j] THEN CAST(0 AS BIGINT)
+        |        ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |          CAST(floor((CAST(embedding[j] AS DOUBLE) - mn_arr[j]) * 255.0
+        |            / (mx_arr[j] - mn_arr[j])) AS BIGINT))) END) AS codes
+        |  FROM embeddings CROSS JOIN arrs),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.cand_id,
+        |    round(list_sum(list_transform(range(1, 65), j ->
+        |      CAST(q.q_emb[j] AS DOUBLE) * (mn_arr[j]
+        |        + (CAST(c.codes[j] AS DOUBLE) + 0.5)
+        |          * (mx_arr[j] - mn_arr[j]) / 255.0))), 6) AS approx
+        |  FROM codes c CROSS JOIN arrs CROSS JOIN q
+        |  WHERE q.query_id <> c.cand_id),
+        |short AS (
+        |  SELECT query_id, cand_id, approx, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY approx DESC, cand_id) AS srank
+        |  FROM scored),
+        |rr AS (
+        |  SELECT s.query_id, s.cand_id, s.approx,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM short s
+        |  JOIN embeddings e ON e.vec_id = s.cand_id
+        |  JOIN q ON q.query_id = s.query_id
+        |  WHERE s.srank <= 20),
+        |ranked AS (
+        |  SELECT query_id, cand_id, approx, cosine, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT)
+        |    AS rank
+        |  FROM rr)
+        |SELECT query_id, cand_id, approx, cosine, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_holt_winters" -> {
+      val sCols = (0 to 6).map(i => s"s$i")
+      def selCase(idxRef: String, fld: Int => String): String =
+        (0 to 6).map(i => s"WHEN $idxRef = $i THEN ${fld(i)}")
+          .mkString("CASE ", " ", " ELSE 0.0 END")
+      val newL =
+        s"((o.x - ${selCase("o.idx", i => s"r.s$i")}) * 0.3 + (r.l + r.b) * 0.7)"
+      val inner = s"SELECT o.rn, o.x, o.idx, r.l, r.b, " +
+        sCols.map(c => s"r.$c AS $c").mkString(", ") +
+        s", $newL AS new_l FROM r JOIN ordered o ON o.rn = r.rn + 1"
+      val sUpd = (0 to 6).map(i =>
+          s"CASE WHEN q.idx = $i THEN (q.x - q.new_l) * 0.2 + q.s$i * 0.8 " +
+            s"ELSE q.s$i END")
+        .mkString(",\n    ")
+      val fcast = (1 to 7).map(h =>
+          s"round(r.l + $h.0 * r.b + " +
+            selCase(s"(nn.n - 1 + $h) % 7", i => s"r.s$i") + s", 6) AS f$h")
+        .mkString(",\n  ")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT o_orderdate AS d,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |ordered AS (
+         |  SELECT row_number() OVER (ORDER BY d) AS rn,
+         |    CAST((row_number() OVER (ORDER BY d) - 1) % 7 AS INT) AS idx,
+         |    CAST(cents AS DOUBLE) / 100.0 AS x
+         |  FROM daily),
+         |nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM ordered),
+         |r AS (
+         |  SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b,
+         |    ${sCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")}
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT q.rn, q.new_l,
+         |    (q.new_l - q.l) * 0.1 + q.b * 0.9,
+         |    $sUpd
+         |  FROM ($inner) q)
+         |SELECT nn.n AS n_days, round(r.l, 6) AS level_last,
+         |  round(r.b, 6) AS trend_last,
+         |  $fcast
+         |FROM r JOIN nn ON r.rn = nn.n""".stripMargin
+    },
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-quantized (SQ8) ANN — the flat-compressed rung of the ANN
+  * ladder between brute force and IVF/PQ (faiss IndexScalarQuantizer):
+  * each dimension is affinely coded into one byte against the corpus'
+  * per-dimension [min, max], candidates are scanned in the CODE domain
+  * (8× less scan bandwidth than floats — at 100 TB the scan is memory-
+  * bound, so that is the speedup), and only the shortlist re-joins the
+  * float table for the exact rerank.
+  *
+  * Unlike VectorFns.quantizeInt8 (symmetric per-VECTOR absmax — a
+  * compression primitive), SQ8 trains per-DIMENSION ranges on the
+  * corpus and searches asymmetrically: the query stays full-precision
+  * and scores against each candidate's dequantized midpoint
+  * x̂_j = mn_j + (code_j + 0.5)·(mx_j − mn_j)/256-ish grid. Ranges are
+  * exact min/max aggregates, so the whole lane — codes, approximate
+  * scores, shortlist, rerank — is derivable in SQL with no trained
+  * model to ship (the one ANN lane whose oracle needs no literals).
+  *
+  * Determinism: codes are floor() of an identical double expression on
+  * both engines (clamped to [0,255] for intent, though in-range inputs
+  * cannot escape it); approximate scores round at 6 with candidate-id
+  * tiebreaks; the rerank is the house cosine6. */
+object SqAnn {
+
+  /** 1-row frame (mn_arr, mx_arr): per-dimension corpus min/max in
+    * dimension order. Exact value picks — order-independent. */
+  def dimStats(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+          e => e("mn")).as("mn_arr"),
+        transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+          e => e("mx")).as("mx_arr"))
+
+  private val codesExpr =
+    """transform(sequence(1, 64), j ->
+      |  CASE WHEN element_at(mx_arr, j) = element_at(mn_arr, j)
+      |    THEN CAST(0 AS BIGINT)
+      |    ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |      CAST(floor((CAST(element_at(c_emb, j) AS DOUBLE)
+      |          - element_at(mn_arr, j)) * 255.0
+      |        / (element_at(mx_arr, j) - element_at(mn_arr, j)))
+      |        AS BIGINT))) END)""".stripMargin
+
+  private val approxExpr =
+    """round(aggregate(
+      |  zip_with(q_emb, transform(sequence(1, 64), j ->
+      |    element_at(mn_arr, j)
+      |      + (CAST(element_at(codes, j) AS DOUBLE) + 0.5)
+      |        * (element_at(mx_arr, j) - element_at(mn_arr, j)) / 255.0),
+      |    (a, b) -> CAST(a AS DOUBLE) * b),
+      |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)""".stripMargin
+
+  /** Top-k by exact cosine over an SQ8-scanned shortlist. Queries keep
+    * full precision (asymmetric distance); candidates are scanned as
+    * codes only, floats re-fetched for the shortlist. */
+  def topK(queries: DataFrame, corpus: DataFrame,
+           shortlist: Int, k: Int): DataFrame = {
+    val stats = dimStats(corpus)
+    val codes = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), col("mn_arr"), col("mx_arr"))
+      .select(col("cand_id"), expr(codesExpr).as("codes"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = codes.crossJoin(broadcast(stats))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), expr(approxExpr).as("approx"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id"))
+    val short = scored
+      .withColumn("srank", row_number().over(ws)).filter(col("srank") <= shortlist)
+      .drop("srank")
+    val rr = short
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb")), "cand_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("cand_id"), col("approx"),
+        VectorFns.cosine6(col("q_emb"), col("c_emb")).as("cosine"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rr.withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+}
