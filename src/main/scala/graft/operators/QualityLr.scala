@@ -50,27 +50,39 @@ object QualityLr {
     * md5-hashed unigram counts; numBuckets..+5 the moment features
     * (each rounded at 8 so both engines carry identical doubles). */
   def features(docs: DataFrame, text: Column, id: Column,
-               numBuckets: Int): DataFrame = {
+               numBuckets: Int): DataFrame =
+    featuresWithLabel(docs, text, id, lit(0L), numBuckets).drop("y")
+
+  /** [[features]] with an evaluation label `y` carried on EVERY sparse
+    * row (every doc emits its 6 moment rows, so no doc is lost to the
+    * carry) — the shape the STREAMING scorer needs, where a separate
+    * (doc_id, y) side would be a stream-stream join. One definition
+    * for both paths so they cannot drift; the label column is pruned
+    * away by the optimizer when [[features]] drops it. */
+  def featuresWithLabel(docs: DataFrame, text: Column, id: Column,
+                        label: Column, numBuckets: Int): DataFrame = {
     val toks = docs.select(id.as("doc_id"), text.as("text"),
+      label.cast(LongType).as("y"),
       graft.functions.TextFns.tokens(text).as("toks"))
     val counts = toks
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("y"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("y"),
         Dsir.bucketOf(col("term"), numBuckets).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
       .agg(count(lit(1)).cast(DoubleType).as("x"))
-    val m = toks.select(col("doc_id"),
+    val m = toks.select(col("doc_id"), col("y"),
       (length(col("text")).cast(DoubleType) / 100.0).as("m0"),
       graft.functions.TextFns.meanWordLen(col("toks")).as("mwl"),
       (size(col("toks")).cast(DoubleType) / 10.0).as("m2"))
-    val moments = m.select(col("doc_id"),
+    val moments = m.select(col("doc_id"), col("y"),
       array(round(col("m0"), 8), round(col("m0") * col("m0"), 8),
         round(col("m2"), 8), round(col("m2") * col("m2"), 8),
         round(col("mwl"), 8), round(col("mwl") * col("mwl"), 8)).as("ms"))
-      .select(col("doc_id"), posexplode(col("ms")).as(Seq("j", "x")))
-      .select(col("doc_id"), (col("j") + numBuckets).cast(LongType).as("bucket"),
-        col("x"))
+      .select(col("doc_id"), col("y"), posexplode(col("ms")).as(Seq("j", "x")))
+      .select(col("doc_id"), col("y"),
+        (col("j") + numBuckets).cast(LongType).as("bucket"), col("x"))
     counts.unionByName(moments)
+      .select(col("doc_id"), col("bucket"), col("x"), col("y"))
   }
 
   /** Bounded-sample driver-side training; `label` must be 0/1. The
@@ -150,6 +162,68 @@ object QualityLr {
   /** Score a corpus with a trained model: (doc_id, y, logit, pred) —
     * y is the evaluation label carried through for the confusion
     * audit, pred = logit > 0 on the round-6 value (engine-exact). */
+  /** Row-LOCAL scoring: the whole logit computed inside one stateless
+    * projection — no explode, no join, no aggregation. The weight
+    * vector rides along as a map literal (B+6 entries — model-sized,
+    * not corpus-sized), the hashed-BoW counts come from a run-length
+    * fold over the doc's own sorted bucket array, and every term is
+    * the SAME round-8 decimal the join-based [[score]] sums, so the
+    * two paths are value-identical (spec-pinned): per bucket b with
+    * count x, term = round(w_b · x, 8) as DECIMAL(18,8), summed
+    * exactly. This is the DEPLOYED shape — a streaming scorer with
+    * ZERO state (append-mode safe), and at 100 TB the batch shape
+    * that never shuffles the corpus at all. */
+  def scoreRowLocal(docs: DataFrame, text: Column, id: Column,
+                    label: Column, m: Model): DataFrame = {
+    val wMap = typedLit(m.weights.zipWithIndex
+      .map { case (w, b) => b.toLong -> w }.toMap)
+    val dec18 = DecimalType(18, 8)
+    val dec28 = DecimalType(28, 8)
+    val toks = graft.functions.TextFns.tokens(text)
+    val bks = array_sort(transform(toks,
+      t => Dsir.bucketOf(t, m.numBuckets)))
+    // run-length fold over the sorted buckets: flush round(w_b·run, 8)
+    // on every bucket change, plus a final flush
+    def term(b: Column, run: Column): Column =
+      when(b.isNull || run === 0L, lit(0).cast(dec18))
+        .otherwise(round(element_at(wMap, b) * run.cast(DoubleType), 8)
+          .cast(dec18))
+    val init = struct(lit(null).cast(LongType).as("prev"),
+      lit(0L).as("run"), lit(0).cast(dec28).as("s"))
+    val folded = aggregate(bks, init,
+      (acc, b) =>
+        when(acc("prev").isNotNull && acc("prev") === b,
+          struct(b.as("prev"), (acc("run") + 1L).as("run"),
+            acc("s").as("s")))
+          .otherwise(struct(b.as("prev"), lit(1L).as("run"),
+            (acc("s") + term(acc("prev"), acc("run"))).cast(dec28).as("s"))),
+      acc => (acc("s") + term(acc("prev"), acc("run"))).cast(dec28))
+    // moment terms mirror features(): x_j = round(m_j, 8), term =
+    // round(w_{B+j} · x_j, 8); null moments contribute nothing (the
+    // join path's null-skipping sum)
+    val m0 = round(length(text).cast(DoubleType) / 100.0, 8)
+    val m2 = round(size(toks).cast(DoubleType) / 10.0, 8)
+    val mwlRaw = graft.functions.TextFns.meanWordLen(toks)
+    val mwl = round(mwlRaw, 8)
+    val m0sq = round(
+      (length(text).cast(DoubleType) / 100.0)
+        * (length(text).cast(DoubleType) / 100.0), 8)
+    val m2sq = round(
+      (size(toks).cast(DoubleType) / 10.0)
+        * (size(toks).cast(DoubleType) / 10.0), 8)
+    val mwlSq = round(mwlRaw * mwlRaw, 8)
+    def mterm(j: Int, x: Column): Column =
+      when(x.isNull, lit(0).cast(dec18))
+        .otherwise(round(element_at(wMap,
+          lit((m.numBuckets + j).toLong)) * x, 8).cast(dec18))
+    val sAll = folded +
+      mterm(0, m0) + mterm(1, m0sq) + mterm(2, m2) +
+      mterm(3, m2sq) + mterm(4, mwl) + mterm(5, mwlSq)
+    docs.select(id.as("doc_id"), label.cast(LongType).as("y"),
+        round(sAll.cast(DoubleType) + m.bias, 6).as("logit"))
+      .withColumn("pred", when(col("logit") > 0.0, 1L).otherwise(0L))
+  }
+
   def score(docs: DataFrame, text: Column, id: Column, label: Column,
             m: Model): DataFrame = {
     val s = docs.sparkSession

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -211,6 +211,24 @@ object StreamOps {
           graft.operators.Dsir.bucketOf(col("feature"), numBuckets)
             .as("bucket")),
       lambda)
+
+  /** Streaming quality-classifier scoring — the DEPLOYED half of
+    * q_quality_lr (the [[dsirScore]] pattern for the discriminative
+    * filter, but with ZERO streaming state): the logistic model is
+    * trained offline ([[graft.operators.QualityLr.train]]) and FROZEN;
+    * each arriving document is scored entirely row-locally
+    * (QualityLr.scoreRowLocal — the weight vector as a model-sized map
+    * literal, hashed-BoW counts from a run-length fold over the doc's
+    * own sorted bucket array, every term the same round-8 decimal the
+    * batch join sums). A stateless projection is append-mode safe and
+    * needs no watermark; value-identity with the oracle-checked batch
+    * query is pinned on real documents in StreamingSpec. */
+  def qualityLrScore(docs: DataFrame, m: graft.operators.QualityLr.Model,
+                     label: Column,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    graft.operators.QualityLr.scoreRowLocal(
+      docs, col(textCol), col(idCol), label, m)
 
   /** Watermarked stream-stream inner join: each click joins purchases of
     * the same user that happened within `horizon` BEFORE it — the

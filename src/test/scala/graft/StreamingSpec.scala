@@ -750,6 +750,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"onlyBatch=${(want -- streamed).take(3)}")
   }
 
+  test("streaming quality-LR scoring equals the q_quality_lr driver query on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // driver-oracle-anchored streaming parity for the discriminative
+    // quality filter: the logistic model is trained once over the
+    // batch corpus (bit-deterministic, so this retrain IS the model
+    // the batch query cached) and frozen; the same corpus streams
+    // through the ZERO-STATE row-local scorer (append mode — no
+    // aggregation, no watermark). Every logit term is the same round-8
+    // decimal the batch join sums, so the streamed confusion surface
+    // must equal the batch query row for row regardless of batching.
+    val docs = Tables.documents(spark, sf)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val keep = graft.functions.TextFns.qualityKeep(
+      length(col("text")).cast("long"), size(toks).cast("long"),
+      graft.functions.TextFns.meanWordLen(toks))
+    val m = operators.QualityLr.train(docs, $"text", $"doc_id",
+      when(keep, 1.0).otherwise(0.0))
+    val feed = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toVector
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.qualityLrScore(in.toDF().toDF("doc_id", "text"), m,
+        when(keep, 1L).otherwise(0L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qlrpar").start()
+    feed.grouped(90).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.table("qlrpar").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val want = SparkEntry.queries("q_quality_lr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+  }
+
   test("streaming DSIR scoring equals the q_dsir_weights driver query on real documents") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
