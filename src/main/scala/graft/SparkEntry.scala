@@ -5928,6 +5928,127 @@ object SparkEntry {
             round($"st.l" + lit(h.toDouble) * $"st.b" + sAt(h), 6)
               .as(s"f$h"))): _*)
     }),
+
+    "q_lm_kn" -> ((s, dir) => {
+      import s.implicits._
+      // interpolated Kneser–Ney bigram scoring — the smoothing endpoint
+      // of the perplexity-proxy ladder (q_lm_score unigram MLE →
+      // q_lm_bigram add-one conditional → this, the Chen–Goodman
+      // standard): P(w|v) = (c(vw) − d)/c(v) + (d·N₁₊(v·)/c(v))·
+      // N₁₊(·w)/N₁₊(··), absolute discount d = 0.75 as a literal on
+      // both sides. The continuation distribution ("how many contexts
+      // has w followed?") is what separates KN from count smoothing —
+      // burstiness stops inflating P. All counts come from ONE distinct
+      // bigram-TYPE table (context totals c(v) = Σ_w c(vw), so the
+      // model is self-consistent at doc boundaries); ln rounds at 8 →
+      // decimal sums → round-6 cross-entropy (the lm_score recipe).
+      // Scale shape = q_lm_bigram's: type-table joins that AQE
+      // broadcasts while small and shuffles when corpus-grown.
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select($"doc_id", TextFns.tokens($"text").as("toks"))
+      val bi = toks.select($"doc_id", explode(expr(
+          "CASE WHEN size(toks) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i - 1], ' ', toks[i])) END")).as("bg"))
+      val types = bi.groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+        .withColumn("a", split($"bg", " ").getItem(0))
+        .withColumn("b", split($"bg", " ").getItem(1))
+      val ctx = types.groupBy($"a")
+        .agg(sum($"c_ab").as("c_v"), count(lit(1)).as("n1v"))
+      val cont = types.groupBy($"b").agg(count(lit(1)).as("n1w"))
+      val nbt = types.agg(count(lit(1)).as("nbt"))
+      val lp = types.join(ctx, "a").join(cont, "b")
+        .crossJoin(broadcast(nbt))
+        .select($"bg",
+          round(log(($"c_ab".cast(DoubleType) - lit(0.75)) / $"c_v"
+            + (lit(0.75) * $"n1v" / $"c_v")
+              * ($"n1w".cast(DoubleType) / $"nbt")), 8)
+            .cast(DecimalType(18, 8)).as("logp"))
+      bi.join(lp, "bg")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logp"))
+        .select($"doc_id", $"n_bigrams",
+          round(-($"sum_logp".cast(DoubleType)) / $"n_bigrams", 6)
+            .as("cross_entropy"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      // top principal component of the embedding corpus by power
+      // iteration — the dimensionality/anisotropy audit the ANN family
+      // reads (SCALE.md's isotropy measurement said the 25%-budget
+      // frontier was geometry-bound; this PINS that geometry: loadings
+      // + explained-variance share of PC1). The corpus collapses to a
+      // DOMAIN-bounded 64×64 Gram matrix in one row-local 4096-cell
+      // explode + map-side-combined sum (cells per task, never corpus
+      // rows, cross the shuffle — the Gram shape every distributed PCA
+      // uses); everything after is work on 4096 cells. Three v←Cv
+      // rounds on the HITS decimal grid: matvec terms round(c·v, 10) →
+      // exact decimal sums, L2 renorm via IEEE sqrt (the Wilson
+      // convention) → round-8 components — so the unrolled-CTE oracle
+      // replays every float op. λ = v₃ᵀCv₃ and explained = λ/tr(C).
+      val e = Tables.embeddings(s, dir)
+      val cells = e.select(explode(expr(
+          "flatten(transform(sequence(0, 63), i -> " +
+            "transform(sequence(0, 63), j -> struct(i, j, " +
+            "CAST(element_at(embedding, i + 1) AS DOUBLE) " +
+            "* CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))"))
+          .as("c"))
+        .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+        .groupBy($"i", $"j")
+        .agg(sum(round($"p", 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("g"),
+          count(lit(1)).as("n"))
+      val mu = e.select(posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"pos")
+        .agg(sum(round($"x".cast(DoubleType), 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("sx"))
+      // iteration arithmetic in INTEGER micro-units (the q_pagerank
+      // discipline): a round-8 grid times a round-8 vector lands
+      // decimal TIES at digits 10-16, where Spark's decimal-string
+      // HALF_UP and DuckDB's float-multiply rounding disagree —
+      // integers cannot tie. ci = c·1e8, v·1e8; the matvec is an exact
+      // Long sum (|ci·vj| ≤ 1e16, ×64 terms < 2^63); only the L2 norm
+      // (IEEE sqrt — the Wilson convention) and the final unit-vector
+      // re-grid touch doubles, identically on both engines.
+      val cov = cells
+        .join(mu.select($"pos".as("i"), $"sx".as("sxi")), "i")
+        .join(mu.select($"pos".as("j"), $"sx".as("sxj")), "j")
+        .select($"i", $"j",
+          round(round($"g" / $"n" - ($"sxi" / $"n") * ($"sxj" / $"n"), 8)
+            * lit(100000000.0), 0).cast(LongType).as("ci"))
+      def renorm(w: DataFrame): DataFrame = {
+        val wd = $"wi".cast(DoubleType)
+        val nrm = w.agg(sqrt(sum((wd * wd).cast(DecimalType(38, 0)))
+          .cast(DoubleType)).as("nrm"))
+        w.crossJoin(broadcast(nrm))
+          .select($"i",
+            round(wd / $"nrm" * lit(100000000.0), 0).cast(LongType).as("vi"))
+      }
+      def matvec(v: DataFrame): DataFrame = cov
+        .join(v.select($"i".as("j"), $"vi"), "j")
+        .groupBy($"i").agg(sum($"ci" * $"vi").as("wi"))
+      val w1 = cov.groupBy($"i")
+        .agg(sum($"ci" * lit(12500000L)).as("wi"))
+      val v3 = renorm(matvec(renorm(matvec(renorm(w1)))))
+      val d13 = (c: Column) => c.cast(DecimalType(13, 0))
+      val lam = cov
+        .join(v3.select($"i", $"vi".as("va")), "i")
+        .join(v3.select($"i".as("j"), $"vi".as("vb")), "j")
+        .agg(round(sum((d13($"va") * d13($"ci")).cast(DecimalType(25, 0))
+            * d13($"vb"))
+          .cast(DoubleType) / lit(1e24), 6).as("eigenvalue"))
+      val tr = cov.filter($"i" === $"j")
+        .agg((sum($"ci").cast(DoubleType) / lit(100000000.0)).as("trace"))
+      v3.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+        .select($"i".cast(LongType).as("dim"),
+          ($"vi".cast(DoubleType) / lit(100000000.0)).as("loading"),
+          $"eigenvalue",
+          round(lit(1000000.0) * $"eigenvalue" / $"trace", 2)
+            .as("explained_ppm"))
+        .orderBy($"dim")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -10075,6 +10196,87 @@ object SparkEntry {
          |  round(r.b, 6) AS trend_last,
          |  $fcast
          |FROM r JOIN nn ON r.rn = nn.n""".stripMargin
+    },
+
+    "q_lm_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |types AS (SELECT bg, count(*) AS c_ab,
+        |    string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+        |  FROM bi GROUP BY 1),
+        |ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_v,
+        |    count(*) AS n1v
+        |  FROM types GROUP BY 1),
+        |cont AS (SELECT b, count(*) AS n1w FROM types GROUP BY 1),
+        |nbt AS (SELECT count(*) AS nbt FROM types),
+        |lp AS (SELECT bg,
+        |    CAST(round(ln((CAST(c_ab AS DOUBLE) - 0.75) / c_v
+        |      + (0.75 * n1v / c_v) * (CAST(n1w AS DOUBLE) / nbt)), 8)
+        |      AS DECIMAL(18,8)) AS logp
+        |  FROM types JOIN ctx USING (a) JOIN cont USING (b)
+        |  CROSS JOIN nbt)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  round(-(CAST(sum(logp) AS DOUBLE)) / count(*), 6) AS cross_entropy
+        |FROM bi JOIN lp USING (bg)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pca_power" -> {
+      // unrolled power iteration in integer micro-units (see the
+      // query's scaladoc): exact Long matvecs, IEEE sqrt for the norm,
+      // one round-to-integer per component per iteration
+      def mv(vTab: String, wName: String): String =
+        s"$wName AS (SELECT c.i, CAST(sum(c.ci * $vTab.vi) AS BIGINT) AS wi\n" +
+          s"  FROM cov c JOIN $vTab ON $vTab.i = c.j GROUP BY 1)"
+      def rn(wTab: String, vName: String): String =
+        s"${vName}n AS (SELECT sqrt(CAST(sum(CAST(\n" +
+          s"  CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE) AS DECIMAL(38,0)))\n" +
+          s"  AS DOUBLE)) AS nrm FROM $wTab),\n" +
+          s"$vName AS (SELECT i, CAST(round(\n" +
+          s"  CAST(wi AS DOUBLE) / nrm * 100000000.0, 0) AS BIGINT) AS vi\n" +
+          s"  FROM $wTab CROSS JOIN ${vName}n)"
+      s"""WITH cells AS (
+         |  SELECT i, j,
+         |    CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+         |      * CAST(embedding[j + 1] AS DOUBLE), 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS g,
+         |    count(*) AS n
+         |  FROM embeddings, unnest(range(0, 64)) ui(i),
+         |    unnest(range(0, 64)) uj(j)
+         |  GROUP BY 1, 2),
+         |mu AS (
+         |  SELECT i, CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE), 12)
+         |    AS DECIMAL(38,12))) AS DOUBLE) AS sx
+         |  FROM embeddings, unnest(range(0, 64)) ui(i) GROUP BY 1),
+         |cov AS (
+         |  SELECT cells.i AS i, cells.j AS j,
+         |    CAST(round(round(g / n - (mi.sx / n) * (mj.sx / n), 8)
+         |      * 100000000.0, 0) AS BIGINT) AS ci
+         |  FROM cells JOIN mu mi ON mi.i = cells.i
+         |  JOIN mu mj ON mj.i = cells.j),
+         |w1 AS (SELECT i, CAST(sum(ci * 12500000) AS BIGINT) AS wi
+         |  FROM cov GROUP BY 1),
+         |${rn("w1", "v1")},
+         |${mv("v1", "w2")},
+         |${rn("w2", "v2")},
+         |${mv("v2", "w3")},
+         |${rn("w3", "v3")},
+         |lam AS (
+         |  SELECT round(CAST(sum(CAST(CAST(va.vi AS DECIMAL(13,0))
+         |    * CAST(c.ci AS DECIMAL(13,0)) AS DECIMAL(25,0))
+         |    * CAST(vb.vi AS DECIMAL(13,0)))
+         |    AS DOUBLE) / 1e24, 6) AS eigenvalue
+         |  FROM cov c JOIN v3 va ON va.i = c.i JOIN v3 vb ON vb.i = c.j),
+         |tr AS (SELECT CAST(sum(ci) AS DOUBLE) / 100000000.0
+         |  AS trace FROM cov WHERE i = j)
+         |SELECT CAST(v3.i AS BIGINT) AS dim,
+         |  CAST(v3.vi AS DOUBLE) / 100000000.0 AS loading, eigenvalue,
+         |  round(1000000.0 * eigenvalue / trace, 2) AS explained_ppm
+         |FROM v3 CROSS JOIN lam CROSS JOIN tr
+         |ORDER BY dim""".stripMargin
     },
 
     "q_bpe_pairs" ->
