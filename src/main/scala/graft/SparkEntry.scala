@@ -771,6 +771,29 @@ object SparkEntry {
        |ORDER BY l.doc_id""".stripMargin
   }
 
+  /** q_lr_calibration's oracle: q_quality_lr's literal-replay scoring
+    * wrapped in a CTE (the annRecallOracle nested-WITH pattern), then
+    * the reliability rollup — the audit's oracle can't drift from the
+    * model it audits. */
+  private def lrCalibrationOracle(m: operators.QualityLr.Model): String =
+    s"""WITH scored AS (
+       |${qualityLrOracle(m)}),
+       |withp AS (SELECT y, round(1.0 / (1.0 + exp(-logit)), 8) AS p
+       |  FROM scored),
+       |bins AS (SELECT least(9, CAST(floor(p * 10.0) AS BIGINT)) AS bin,
+       |    y, CAST(p AS DECIMAL(18,8)) AS pd
+       |  FROM withp),
+       |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(y) AS BIGINT) AS n_pos, sum(pd) AS sp
+       |  FROM bins GROUP BY 1)
+       |SELECT bin, n_docs, n_pos,
+       |  round(CAST(sp AS DOUBLE) / n_docs, 6) AS mean_p,
+       |  CAST((1000000 * n_pos) // n_docs AS BIGINT) AS emp_rate_ppm,
+       |  round(round(CAST(sp AS DOUBLE) / n_docs, 6)
+       |    - CAST((1000000 * n_pos) // n_docs AS DOUBLE) / 1000000.0, 6)
+       |    AS calib_gap
+       |FROM agg ORDER BY bin""".stripMargin
+
   /** Replays TopicCluster.summary in SQL with the trained topic centroids
     * as DOUBLE[] literals: assignment = rank-1 cell by dot product (ties
     * toward the lower cell id, the kernel's rule), then the integer
@@ -6049,6 +6072,79 @@ object SparkEntry {
             .as("explained_ppm"))
         .orderBy($"dim")
     }),
+
+    "q_lr_calibration" -> ((s, dir) => {
+      import s.implicits._
+      // calibration audit for the learned quality classifier — the
+      // "every model carries an audit measuring its error" rule
+      // (q_minhash_recall, q_ann_recall, q_bloom_fpr) applied to
+      // q_quality_lr: a reliability diagram. Per predicted-probability
+      // decile: docs, positives, mean predicted probability vs the
+      // EMPIRICAL positive rate, and the gap a reader compares to 0 —
+      // a classifier can be 99% accurate yet badly calibrated, and a
+      // curation pass that thresholds on probability (not rank) needs
+      // this table before trusting the cutoff. Same trained model and
+      // per-doc logits as q_quality_lr (the oracle wraps that query's
+      // literal-replay in a CTE); p = sigmoid(round-6 logit) rounds at
+      // 8, bins are floor(10p) clamped, empirical rate exact-integer
+      // ppm, mean p a decimal sum. One tiny rollup after the scoring
+      // pass — the audit costs one aggregation at any corpus size.
+      val m = qualityLrModel(s, dir)
+      val toksQ = graft.functions.TextFns.tokens($"text")
+      val keep = graft.functions.TextFns.qualityKeep(
+        length($"text").cast(LongType), size(toksQ).cast(LongType),
+        graft.functions.TextFns.meanWordLen(toksQ))
+      val scored = operators.QualityLr.score(Tables.documents(s, dir),
+        $"text", $"doc_id", when(keep, 1L).otherwise(0L), m)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-$"logit")), 8)
+      scored.select($"y", p.as("p"))
+        .withColumn("bin",
+          least(lit(9L), floor($"p" * lit(10.0)).cast(LongType)))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"y").as("n_pos"),
+          sum($"p".cast(DecimalType(18, 8))).as("sp"))
+        .select($"bin", $"n_docs", $"n_pos",
+          round($"sp".cast(DoubleType) / $"n_docs", 6).as("mean_p"),
+          expr("(1000000 * n_pos) div n_docs").cast(LongType)
+            .as("emp_rate_ppm"),
+          round(round($"sp".cast(DoubleType) / $"n_docs", 6)
+            - expr("(1000000 * n_pos) div n_docs").cast(DoubleType)
+              / lit(1000000.0), 6).as("calib_gap"))
+        .orderBy($"bin")
+    }),
+
+    "q_gini" -> ((s, dir) => {
+      import s.implicits._
+      // revenue-concentration audit: the Gini coefficient of customer
+      // revenue, on the grouped Lorenz curve over a DOMAIN-bounded
+      // $1k-bin grid (the q_ks_drift "collapse to domain" shape — a
+      // per-customer sorted pass would put the corpus through one
+      // partition; the binned Lorenz curve is exact for the binned
+      // distribution and its error is the bin width). Trapezoid form
+      // G = 1 − Σ c_k·(L_{k−1}+L_k) / (N·T) with every term an exact
+      // integer (DECIMAL(38,0) cross-products — cents totals overflow
+      // Long at warehouse scale); ONE double division at the end.
+      val perCust = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("cents"))
+      val binned = perCust
+        .groupBy(expr("cents div 100000").as("bin"))
+        .agg(count(lit(1)).as("c"), sum($"cents").as("t"))
+      val w = Window.orderBy($"bin")
+      val d10 = (c: Column) => c.cast(DecimalType(10, 0))
+      val d18 = (c: Column) => c.cast(DecimalType(18, 0))
+      val lorenz = binned
+        .withColumn("lk", sum($"t").over(w))
+        .withColumn("term",
+          d10($"c") * (d18($"lk" - $"t") + d18($"lk")))
+      lorenz.agg(sum($"c").as("n_customers"), sum($"t").as("total_cents"),
+          sum($"term").as("num"))
+        .select($"n_customers", $"total_cents",
+          round(lit(1.0) - $"num".cast(DoubleType)
+            / ($"n_customers".cast(DoubleType)
+              * $"total_cents".cast(DoubleType)), 6).as("gini"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -10279,6 +10375,30 @@ object SparkEntry {
          |ORDER BY dim""".stripMargin
     },
 
+    "q_gini" ->
+      """WITH perc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |binned AS (
+        |  SELECT CAST(cents // 100000 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c, CAST(sum(cents) AS BIGINT) AS t
+        |  FROM perc GROUP BY 1),
+        |lorenz AS (
+        |  SELECT bin, c, t, sum(t) OVER (ORDER BY bin) AS lk FROM binned),
+        |agg AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_customers,
+        |    CAST(sum(t) AS BIGINT) AS total_cents,
+        |    sum(CAST(c AS DECIMAL(10,0)) * (CAST(lk - t AS DECIMAL(18,0))
+        |      + CAST(lk AS DECIMAL(18,0)))) AS num
+        |  FROM lorenz)
+        |SELECT n_customers, total_cents,
+        |  round(1.0 - CAST(num AS DOUBLE)
+        |    / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+        |    AS gini
+        |FROM agg""".stripMargin,
+
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte
         |SELECT l AS lhs, r AS rhs, CAST(sum(cnt) AS BIGINT) AS freq
@@ -10315,7 +10435,9 @@ object SparkEntry {
     Option(lastDir).flatMap(d => Option(bitextModels.get(d)))
       .map(m => "q_bitext_blocked" -> bitextBlockedOracle(m)).toSeq ++
     Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
-      .map(m => "q_quality_lr" -> qualityLrOracle(m)).toSeq
+      .map(m => "q_quality_lr" -> qualityLrOracle(m)).toSeq ++
+    Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
+      .map(m => "q_lr_calibration" -> lrCalibrationOracle(m)).toSeq
 
   /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions
     * .TextFns.tokens]] domain), distinct-word counts, and the initial
