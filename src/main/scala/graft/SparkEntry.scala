@@ -6011,22 +6011,45 @@ object SparkEntry {
       // exact decimal sums, L2 renorm via IEEE sqrt (the Wilson
       // convention) → round-8 components — so the unrolled-CTE oracle
       // replays every float op. λ = v₃ᵀCv₃ and explained = λ/tr(C).
+      // Gram cells in LONG micro-units (scale 1e9): products round to
+      // integer nanos — round(y, 0) is the one rounding BOTH engines
+      // agree on by construction (nearest integer of the identical
+      // double; exact-tie behavior also agrees) — and the 20M-row
+      // hash-agg sums primitive longs instead of 128-bit decimals
+      // (the first cut summed DECIMAL(38,12): 23 s at sf0.1, ~all of
+      // it decimal hash-agg + per-row struct allocation; this shape
+      // is ~6x faster and exactly as deterministic). Flat k = 64i+j
+      // long arrays keep the explode primitive. Long bound: Σ|p|·1e9
+      // ≤ 1e9·N ⇒ exact to ~9e9 vectors — widen the sum to DECIMAL
+      // past that (the q_t_closeness note).
+      // floor(y + 0.5) == round(y, 0) for every non-tie double (exact
+      // half-integer products of raw floats don't occur), but floor is
+      // a primitive codegen op while Spark's round() allocates a
+      // BigDecimal per value — on 20M products that was most of the
+      // remaining runtime. The oracle keeps round(y, 0); the integers
+      // are equal.
+      // full 64×64 flat array (k = 64i + j): a triangle-plus-mirror
+      // halves the explode but references the aggregation twice, and
+      // recomputing the lineage costs more than the saved rows — the
+      // square form measured faster (5.1 s vs 7.4 s at sf0.1)
       val e = Tables.embeddings(s, dir)
-      val cells = e.select(explode(expr(
+      val cells = e.select(posexplode(expr(
           "flatten(transform(sequence(0, 63), i -> " +
-            "transform(sequence(0, 63), j -> struct(i, j, " +
-            "CAST(element_at(embedding, i + 1) AS DOUBLE) " +
-            "* CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))"))
-          .as("c"))
-        .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
-        .groupBy($"i", $"j")
-        .agg(sum(round($"p", 12).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("g"),
-          count(lit(1)).as("n"))
-      val mu = e.select(posexplode($"embedding").as(Seq("pos", "x")))
+            "transform(sequence(0, 63), j -> " +
+            "CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) " +
+            "* CAST(element_at(embedding, j + 1) AS DOUBLE) " +
+            "* 1000000000.0 + 0.5) AS BIGINT))))"))
+          .as(Seq("k", "li")))
+        .groupBy($"k")
+        .agg(sum($"li").as("sli"), count(lit(1)).as("n"))
+        .select(expr("k div 64").as("i"), ($"k" % 64).as("j"),
+          ($"sli".cast(DoubleType) / lit(1000000000.0)).as("g"), $"n")
+      val mu = e.select(posexplode(expr(
+          "transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"))
+          .as(Seq("pos", "xl")))
         .groupBy($"pos")
-        .agg(sum(round($"x".cast(DoubleType), 12).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("sx"))
+        .agg((sum($"xl").cast(DoubleType) / lit(1000000000.0)).as("sx"))
       // iteration arithmetic in INTEGER micro-units (the q_pagerank
       // discipline): a round-8 grid times a round-8 vector lands
       // decimal TIES at digits 10-16, where Spark's decimal-string
@@ -6144,6 +6167,147 @@ object SparkEntry {
           round(lit(1.0) - $"num".cast(DoubleType)
             / ($"n_customers".cast(DoubleType)
               * $"total_cents".cast(DoubleType)), 6).as("gini"))
+    }),
+
+    "q_power_analysis" -> ((s, dir) => {
+      import s.implicits._
+      // A/B sample-size planner — the third experimentation brick
+      // (q_conversion_ci reads a finished test, q_cuped sharpens one,
+      // this SIZES the next one): per hour-of-day baseline conversion,
+      // the per-arm n required to detect a 10% relative lift at
+      // α=.05 two-sided / 80% power, via the standard two-proportion
+      // formula n = (z_α√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/δ². Like Wilson,
+      // the formula needs only +,−,×,÷,sqrt/pow/ceil — correctly-
+      // rounded IEEE ops — so the mirrored tree is bit-identical with
+      // no ln() caveat; p₁ derives from the EXACT integer-ppm rate so
+      // both engines start from the same number; zero-rate hours take
+      // a guarded NULL (undetectable lift), z literals on both sides.
+      val flags = Tables.events(s, dir)
+        .select(hour($"ts").cast(LongType).as("hod"), $"user_id",
+          ($"event_type" === "view").as("v"),
+          ($"event_type" === "purchase").as("p"))
+        .groupBy($"hod", $"user_id")
+        .agg(max($"v").as("viewed"), max($"p").as("purchased"))
+      val agg = flags.filter($"viewed")
+        .groupBy($"hod")
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(when($"purchased", 1L).otherwise(0L)).as("n_converters"))
+        .withColumn("rate_ppm",
+          expr("(1000000 * n_converters) div n_viewers").cast(LongType))
+        .withColumn("p1", $"rate_ppm".cast(DoubleType) / lit(1000000.0))
+        .withColumn("p2", $"p1" * lit(1.1))
+        .withColumn("pbar", ($"p1" + $"p1" * lit(1.1)) / lit(2.0))
+      agg.select($"hod", $"n_viewers", $"n_converters", $"rate_ppm",
+          when($"rate_ppm" === 0L, lit(null).cast(LongType))
+            .otherwise(ceil(pow(
+              lit(1.959964) * sqrt(lit(2.0) * $"pbar" * (lit(1.0) - $"pbar"))
+                + lit(0.841621) * sqrt($"p1" * (lit(1.0) - $"p1")
+                  + $"p2" * (lit(1.0) - $"p2")), lit(2.0))
+              / (($"p2" - $"p1") * ($"p2" - $"p1"))).cast(LongType))
+            .as("n_required"))
+        .orderBy($"hod")
+    }),
+
+    "q_forecast_backtest" -> ((s, dir) => {
+      import s.implicits._
+      // rolling-origin backtest of the forecasting ladder — the
+      // "measure, don't guess" audit for q_ewma/q_holt_trend/
+      // q_holt_winters (the forecasting family's q_ann_recall): each
+      // model runs over the daily-revenue series accumulating its
+      // ONE-STEP-AHEAD errors e_t = x_t − f_{t−1}(state) inside the
+      // same stateful fold that drives the smoother (shared literals
+      // α=.3/β=.1/γ=.2, the holt_winters recurrences with b≡0 / s≡0
+      // degenerations, so the three models differ ONLY in the term
+      // the audit is selecting for). Error terms round at 6 →
+      // decimal accumulators (order-independent; the oracle re-derives
+      // the state SERIES with recursive CTEs and sums the identical
+      // terms relationally); MAE/RMSE round at 4, one IEEE sqrt.
+      // Model selection for the forecast fan, measured on the data.
+      val daily = Tables.orders(s, dir)
+        .groupBy($"o_orderdate".as("d"))
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("cents"))
+      val wd = Window.orderBy($"d")
+      val seq0 = daily
+        .withColumn("rn", row_number().over(wd).cast(LongType))
+        .select($"rn", (($"rn" - 1) % 7).cast(IntegerType).as("idx"),
+          ($"cents".cast(DoubleType) / lit(100.0)).as("x"))
+      val collected = seq0
+        .agg(sort_array(collect_list(struct($"rn", $"idx", $"x"))).as("h"),
+          count(lit(1)).as("n_days"))
+      val accT = DecimalType(34, 6)
+      val termT = DecimalType(22, 6)
+      val zero = lit(0).cast(accT)
+      def sae2(sae: Column, e: Column): Column =
+        (sae + round(abs(e), 6).cast(termT)).cast(accT)
+      def sse2(sse: Column, e: Column): Column =
+        (sse + round(e * e, 6).cast(termT)).cast(accT)
+      val nilD = lit(null).cast(DoubleType)
+      // EWMA: state (l, sae, sse)
+      def ewmaStep(acc: Column, el: Column): Column = {
+        val e = el("x") - acc("l")
+        when(acc("l").isNull,
+          struct(el("x").as("l"), zero.as("sae"), zero.as("sse")))
+          .otherwise(struct(
+            (el("x") * lit(0.3) + acc("l") * lit(0.7)).as("l"),
+            sae2(acc("sae"), e).as("sae"), sse2(acc("sse"), e).as("sse")))
+      }
+      // Holt: state (l, b, sae, sse)
+      def holtStep(acc: Column, el: Column): Column = {
+        val e = el("x") - (acc("l") + acc("b"))
+        val newL = el("x") * lit(0.3) + (acc("l") + acc("b")) * lit(0.7)
+        when(acc("l").isNull,
+          struct(el("x").as("l"), lit(0.0).as("b"),
+            zero.as("sae"), zero.as("sse")))
+          .otherwise(struct(newL.as("l"),
+            ((newL - acc("l")) * lit(0.1) + acc("b") * lit(0.9)).as("b"),
+            sae2(acc("sae"), e).as("sae"), sse2(acc("sse"), e).as("sse")))
+      }
+      // Holt–Winters: state (l, b, s0..s6, sae, sse)
+      def sAcc(acc: Column, idx: Column): Column =
+        (1 to 6).foldLeft(when(idx === 0, acc("s0"))) {
+          (w, i) => w.when(idx === i, acc(s"s$i"))
+        }.otherwise(lit(0.0))
+      def hwStep(acc: Column, el: Column): Column = {
+        val sd = sAcc(acc, el("idx"))
+        val e = el("x") - (acc("l") + acc("b") + sd)
+        val newL = (el("x") - sd) * lit(0.3) +
+          (acc("l") + acc("b")) * lit(0.7)
+        val newS = (0 to 6).map(i =>
+          when(el("idx") === i,
+            (el("x") - newL) * lit(0.2) + acc(s"s$i") * lit(0.8))
+            .otherwise(acc(s"s$i")).as(s"s$i"))
+        when(acc("l").isNull,
+          struct((el("x").as("l") +: lit(0.0).as("b") +:
+            (0 to 6).map(i => lit(0.0).as(s"s$i"))) ++
+            Seq(zero.as("sae"), zero.as("sse")): _*))
+          .otherwise(struct((newL.as("l") +:
+            ((newL - acc("l")) * lit(0.1) + acc("b") * lit(0.9)).as("b") +:
+            newS) ++
+            Seq(sae2(acc("sae"), e).as("sae"),
+              sse2(acc("sse"), e).as("sse")): _*))
+      }
+      def report(name: String, st: Column): DataFrame = collected
+        .select(lit(name).as("model"),
+          ($"n_days" - 1).cast(LongType).as("n_evals"), st.as("st"))
+        .select($"model", $"n_evals",
+          when($"n_evals" === 0L, lit(null).cast(DoubleType))
+            .otherwise(round($"st.sae".cast(DoubleType) / $"n_evals", 4))
+            .as("mae"),
+          when($"n_evals" === 0L, lit(null).cast(DoubleType))
+            .otherwise(round(
+              sqrt($"st.sse".cast(DoubleType) / $"n_evals"), 4))
+            .as("rmse"))
+      val nilAcc = lit(null).cast(accT)
+      val ew = report("ewma", aggregate($"h",
+        struct(nilD.as("l"), nilAcc.as("sae"), nilAcc.as("sse")), ewmaStep))
+      val ho = report("holt", aggregate($"h",
+        struct(nilD.as("l"), nilD.as("b"),
+          nilAcc.as("sae"), nilAcc.as("sse")), holtStep))
+      val hw = report("holt_winters", aggregate($"h",
+        struct((nilD.as("l") +: nilD.as("b") +:
+          (0 to 6).map(i => nilD.as(s"s$i"))) ++
+          Seq(nilAcc.as("sae"), nilAcc.as("sse")): _*), hwStep))
+      ew.unionByName(ho).unionByName(hw).orderBy($"model")
     }),
   )
 
@@ -10336,16 +10500,17 @@ object SparkEntry {
           s"  FROM $wTab CROSS JOIN ${vName}n)"
       s"""WITH cells AS (
          |  SELECT i, j,
-         |    CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE)
-         |      * CAST(embedding[j + 1] AS DOUBLE), 12) AS DECIMAL(38,12)))
-         |      AS DOUBLE) AS g,
+         |    CAST(CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+         |      * CAST(embedding[j + 1] AS DOUBLE) * 1000000000.0, 0)
+         |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS g,
          |    count(*) AS n
          |  FROM embeddings, unnest(range(0, 64)) ui(i),
          |    unnest(range(0, 64)) uj(j)
          |  GROUP BY 1, 2),
          |mu AS (
-         |  SELECT i, CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE), 12)
-         |    AS DECIMAL(38,12))) AS DOUBLE) AS sx
+         |  SELECT i, CAST(CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+         |    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / 1000000000.0 AS sx
          |  FROM embeddings, unnest(range(0, 64)) ui(i) GROUP BY 1),
          |cov AS (
          |  SELECT cells.i AS i, cells.j AS j,
@@ -10398,6 +10563,116 @@ object SparkEntry {
         |    / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
         |    AS gini
         |FROM agg""".stripMargin,
+
+    "q_power_analysis" ->
+      """WITH flags AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hod, user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchased
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT hod, CAST(count(*) AS BIGINT) AS n_viewers,
+        |    CAST(sum(purchased) AS BIGINT) AS n_converters
+        |  FROM flags WHERE viewed = 1 GROUP BY 1),
+        |pr AS (
+        |  SELECT hod, n_viewers, n_converters,
+        |    CAST((1000000 * n_converters) // n_viewers AS BIGINT) AS rate_ppm
+        |  FROM agg),
+        |px AS (
+        |  SELECT hod, n_viewers, n_converters, rate_ppm,
+        |    CAST(rate_ppm AS DOUBLE) / 1000000.0 AS p1,
+        |    CAST(rate_ppm AS DOUBLE) / 1000000.0 * 1.1 AS p2,
+        |    (CAST(rate_ppm AS DOUBLE) / 1000000.0
+        |      + CAST(rate_ppm AS DOUBLE) / 1000000.0 * 1.1) / 2.0 AS pbar
+        |  FROM pr)
+        |SELECT hod, n_viewers, n_converters, rate_ppm,
+        |  CASE WHEN rate_ppm = 0 THEN NULL ELSE
+        |    CAST(ceil(pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+        |      / ((p2 - p1) * (p2 - p1))) AS BIGINT) END AS n_required
+        |FROM px ORDER BY hod""".stripMargin,
+
+    "q_forecast_backtest" -> {
+      // three state recursions (EWMA, Holt, Holt–Winters) over the
+      // shared daily series; errors re-derived RELATIONALLY by joining
+      // each state series to the next observation — identical round-6
+      // terms to the Spark folds' accumulators, summed exactly
+      def sCase(idxRef: String): String =
+        (0 to 6).map(i => s"WHEN $idxRef = $i THEN r.s$i")
+          .mkString("CASE ", " ", " ELSE 0.0 END")
+      val sCols = (0 to 6).map(i => s"s$i")
+      val newL =
+        s"((o.x - ${sCase("o.idx").replace("r.", "r_w.")}) * 0.3 " +
+          "+ (r_w.l + r_w.b) * 0.7)"
+      val innerW = s"SELECT o.rn, o.x, o.idx, r_w.l, r_w.b, " +
+        sCols.map(c => s"r_w.$c AS $c").mkString(", ") +
+        s", $newL AS new_l FROM r_w JOIN ordered o ON o.rn = r_w.rn + 1"
+      val sUpd = (0 to 6).map(i =>
+          s"CASE WHEN q.idx = $i THEN (q.x - q.new_l) * 0.2 + q.s$i * 0.8 " +
+            s"ELSE q.s$i END")
+        .mkString(",\n    ")
+      def errAgg(name: String, errTab: String): String =
+        s"agg_$name AS (SELECT '$name' AS model,\n" +
+          s"  CAST(nn.n - 1 AS BIGINT) AS n_evals,\n" +
+          s"  CAST(sum(CAST(round(abs(e), 6) AS DECIMAL(22,6)))\n" +
+          s"    AS DOUBLE) AS sae,\n" +
+          s"  CAST(sum(CAST(round(e * e, 6) AS DECIMAL(22,6)))\n" +
+          s"    AS DOUBLE) AS sse\n" +
+          s"  FROM $errTab CROSS JOIN nn GROUP BY 1, 2)"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT o_orderdate AS d,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |ordered AS (
+         |  SELECT row_number() OVER (ORDER BY d) AS rn,
+         |    CAST((row_number() OVER (ORDER BY d) - 1) % 7 AS INT) AS idx,
+         |    CAST(cents AS DOUBLE) / 100.0 AS x
+         |  FROM daily),
+         |nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM ordered),
+         |r_e AS (
+         |  SELECT rn, x AS l FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, o.x * 0.3 + r_e.l * 0.7
+         |  FROM r_e JOIN ordered o ON o.rn = r_e.rn + 1),
+         |err_e AS (SELECT o.x - r.l AS e
+         |  FROM r_e r JOIN ordered o ON o.rn = r.rn + 1),
+         |r_h AS (
+         |  SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT q.rn, q.new_l, (q.new_l - q.l) * 0.1 + q.b * 0.9
+         |  FROM (SELECT o.rn, o.x, r_h.l, r_h.b,
+         |      (o.x * 0.3 + (r_h.l + r_h.b) * 0.7) AS new_l
+         |    FROM r_h JOIN ordered o ON o.rn = r_h.rn + 1) q),
+         |err_h AS (SELECT o.x - (r.l + r.b) AS e
+         |  FROM r_h r JOIN ordered o ON o.rn = r.rn + 1),
+         |r_w AS (
+         |  SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b,
+         |    ${sCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")}
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT q.rn, q.new_l,
+         |    (q.new_l - q.l) * 0.1 + q.b * 0.9,
+         |    $sUpd
+         |  FROM ($innerW) q),
+         |err_w AS (SELECT o.x - (r.l + r.b + ${sCase("o.idx")}) AS e
+         |  FROM r_w r JOIN ordered o ON o.rn = r.rn + 1),
+         |${errAgg("ewma", "err_e")},
+         |${errAgg("holt", "err_h")},
+         |${errAgg("holt_winters", "err_w")},
+         |united AS (
+         |  SELECT * FROM agg_ewma
+         |  UNION ALL SELECT * FROM agg_holt
+         |  UNION ALL SELECT * FROM agg_holt_winters)
+         |SELECT model, n_evals,
+         |  CASE WHEN n_evals = 0 THEN NULL
+         |    ELSE round(sae / n_evals, 4) END AS mae,
+         |  CASE WHEN n_evals = 0 THEN NULL
+         |    ELSE round(sqrt(sse / n_evals), 4) END AS rmse
+         |FROM united ORDER BY model""".stripMargin
+    },
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

@@ -39,6 +39,33 @@ class HoltWintersSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("f7") > r.getAs[Double]("f1"))
   }
 
+  test("backtest: a constant series gives every model exactly zero error") {
+    val rows = SparkEntry.queries("q_forecast_backtest")(
+      spark, dailyDir(Seq.fill(30)(420.0))).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_evals") == 29L)
+      assert(r.getAs[Double]("mae") == 0.0, s"${r.getString(0)}")
+      assert(r.getAs[Double]("rmse") == 0.0, s"${r.getString(0)}")
+    }
+  }
+
+  test("backtest: only Holt-Winters absorbs a strong weekly pattern") {
+    val vals = (0 until 70).map(i => if (i % 7 == 0) 1000.0 else 100.0)
+    val mae = SparkEntry.queries("q_forecast_backtest")(
+      spark, dailyDir(vals)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mae")).toMap
+    assert(mae("holt_winters") < mae("ewma"), s"$mae")
+    assert(mae("holt_winters") < mae("holt"), s"$mae")
+  }
+
+  test("backtest: the trend term earns its keep on a rising series") {
+    val mae = SparkEntry.queries("q_forecast_backtest")(
+      spark, dailyDir((1 to 60).map(_ * 10.0))).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mae")).toMap
+    assert(mae("holt") < mae("ewma"), s"$mae")
+  }
+
   test("weekly pattern: the spike day forecasts highest in the fan") {
     // spike on day index 0 of every week, 10 full cycles
     val vals = (0 until 70).map(i => if (i % 7 == 0) 1000.0 else 100.0)

@@ -128,6 +128,37 @@ class StatTestsSpec extends AnyFunSuite with SparkSpec {
     assert(r(0L).getAs[Double]("var_reduction_ppm") == 0.0)
   }
 
+  /** Minimal events parquet for the power-analysis test: one view per
+    * (hour, user), plus purchases for the first `conv` users. */
+  private def hourlyEventsDir(spec: Seq[(Int, Int, Int)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("power_").toString
+    spec.flatMap { case (h, users, conv) =>
+      (1 to users).flatMap { u =>
+        val uid = h * 10000L + u
+        val ts = Timestamp.valueOf(f"2024-01-05 $h%02d:10:00")
+        Seq((uid, ts, "view", 1.0)) ++
+          (if (u <= conv) Seq((uid, ts, "purchase", 1.0)) else Nil)
+      }
+    }.toDF("user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("power analysis: closed-form sizes and the rarity law") {
+    // hour 1: p = 0.5 -> n = 1565; hour 2: p = 0.25 -> n = 4862 (rarer
+    // events need more samples for the same relative lift)
+    val r = SparkEntry.queries("q_power_analysis")(spark,
+      hourlyEventsDir(Seq((1, 8, 4), (2, 8, 2), (3, 8, 0))))
+      .collect().map(x => x.getAs[Long]("hod") -> x).toMap
+    assert(r(1L).getAs[Long]("rate_ppm") == 500000L)
+    assert(r(1L).getAs[Long]("n_required") == 1565L)
+    assert(r(2L).getAs[Long]("n_required") == 4862L)
+    assert(r(2L).getAs[Long]("n_required") > r(1L).getAs[Long]("n_required"))
+    // zero conversions: the lift is undetectable, guarded NULL
+    assert(r(3L).isNullAt(r(3L).fieldIndex("n_required")))
+  }
+
   test("plan: both tests collapse to the bin grid before any window") {
     for (q <- Seq("q_ks_drift", "q_mann_whitney")) {
       val plan = SparkEntry.queries(q)(spark, sf)
