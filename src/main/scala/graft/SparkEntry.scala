@@ -6309,6 +6309,112 @@ object SparkEntry {
           Seq(nilAcc.as("sae"), nilAcc.as("sse")): _*), hwStep))
       ew.unionByName(ho).unionByName(hw).orderBy($"model")
     }),
+
+    "q_seasonal_decompose" -> ((s, dir) => {
+      import s.implicits._
+      // classical additive seasonal decomposition of the daily-revenue
+      // series (trend = centered 7-day moving average, seasonal =
+      // dow-mean of the detrended values re-centered to Σs = 0,
+      // residual = x − trend − seasonal) with a 3σ anomaly flag on the
+      // residuals — the DIAGNOSTIC view behind q_holt_winters' model
+      // (which days break the weekly structure?) and the additive
+      // sibling of q_changepoint's mean-shift scan. Exactness: the MA
+      // is an exact integer-cents window sum (full 7-day windows only
+      // — edges stay NULL, both engines agree on NULL arithmetic),
+      // detrended/seasonal/residual round at 6 between stages, σ from
+      // decimal moments of the round-6 residuals, ONE IEEE sqrt. The
+      // corpus collapses to the bounded daily grid before any window.
+      val daily = Tables.orders(s, dir)
+        .groupBy($"o_orderdate".as("d"))
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("cents"))
+      val wd = Window.orderBy($"d")
+      val w7 = wd.rowsBetween(-3, 3)
+      val base = daily
+        .withColumn("rn", row_number().over(wd).cast(LongType))
+        .withColumn("s7", sum($"cents").over(w7))
+        .withColumn("cnt7", count(lit(1)).over(w7))
+        .withColumn("trend", when($"cnt7" === 7,
+          round($"s7".cast(DoubleType) / lit(700.0), 6)))
+        .withColumn("idx", ($"rn" - 1) % 7)
+        .withColumn("det",
+          round($"cents".cast(DoubleType) / lit(100.0) - $"trend", 6))
+      val sraw = base.filter($"det".isNotNull)
+        .groupBy($"idx")
+        .agg(sum($"det".cast(DecimalType(18, 6))).as("sd"),
+          count(lit(1)).as("cd"))
+        .select($"idx", round($"sd".cast(DoubleType) / $"cd", 6).as("s_raw"))
+      val smean = sraw.agg(
+        round(sum($"s_raw".cast(DecimalType(18, 6))).cast(DoubleType)
+          / lit(7.0), 6).as("sm"))
+      val seas = sraw.crossJoin(broadcast(smean))
+        .select($"idx", round($"s_raw" - $"sm", 6).as("seasonal"))
+      val withSeas = base.join(broadcast(seas), "idx")
+        .withColumn("residual",
+          round($"cents".cast(DoubleType) / lit(100.0)
+            - $"trend" - $"seasonal", 6))
+      val d6 = (c: Column) => c.cast(DecimalType(18, 6))
+      val sig = withSeas.filter($"residual".isNotNull)
+        .agg(count(lit(1)).as("nr"),
+          sum(d6($"residual")).cast(DoubleType).as("sr"),
+          sum((d6($"residual") * d6($"residual")).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("srr"))
+      withSeas.crossJoin(broadcast(sig))
+        .select($"d", ($"cents".cast(DoubleType) / lit(100.0)).as("revenue"),
+          $"trend", $"seasonal", $"residual",
+          when($"residual".isNull, lit(null).cast(LongType))
+            .otherwise((abs($"residual") > lit(3.0)
+              * sqrt($"srr" / $"nr" - ($"sr" / $"nr") * ($"sr" / $"nr")))
+              .cast(LongType)).as("anomaly"))
+        .orderBy($"d")
+    }),
+
+    "q_heaps_law" -> ((s, dir) => {
+      import s.implicits._
+      // Heaps'-law fit — the vocabulary-growth scaling curve V(n) ≈
+      // K·n^β, the corpus-health companion of q_zipf_fit (Zipf reads
+      // the frequency SPECTRUM, Heaps reads GROWTH: natural text sits
+      // near β ≈ 0.5; templated corpora flatten early, open-domain
+      // crawls keep climbing — the "is more data bringing new words?"
+      // question a tokenizer budget hangs on). Ten nested corpus
+      // prefixes by doc-id decile; cumulative vocabulary needs no
+      // 10-pass rescan: a token joins the curve at its FIRST decile
+      // (min-bucket per term — the sentence-dedup first-occurrence
+      // shape), so one corpus pass + two bounded rollups + a 10-point
+      // OLS in the q_regression/q_zipf_fit discipline.
+      val mxdf = Tables.documents(s, dir).agg(max($"doc_id").as("mx"))
+      val tok = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+      val wb = tok.crossJoin(broadcast(mxdf))
+        .select($"term",
+          expr("least(9, (doc_id * 10) div (mx + 1))").as("b"))
+      val tpb = wb.groupBy($"b").agg(count(lit(1)).as("c"))
+      val vpb = wb.groupBy($"term").agg(min($"b").as("fb"))
+        .groupBy($"fb").agg(count(lit(1)).as("v"))
+      val wo = Window.orderBy($"b")
+      val cum = tpb.join(vpb, $"b" === $"fb", "left")
+        .select($"b", $"c", coalesce($"v", lit(0L)).as("v"))
+        .withColumn("n_tokens", sum($"c").over(wo))
+        .withColumn("vocab", sum($"v").over(wo))
+      val pts = cum.select(
+        round(log($"n_tokens".cast(DoubleType)), 8)
+          .cast(DecimalType(18, 8)).as("x"),
+        round(log($"vocab".cast(DoubleType)), 8)
+          .cast(DecimalType(18, 8)).as("y"))
+      val st = pts.agg(count(lit(1)).as("n"),
+        sum($"x").cast(DoubleType).as("sx"),
+        sum($"y").cast(DoubleType).as("sy"),
+        sum($"x" * $"x").cast(DoubleType).as("sxx"),
+        sum($"x" * $"y").cast(DoubleType).as("sxy"))
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      cum.crossJoin(broadcast(st))
+        .select(($"b" + 1).cast(LongType).as("decile"),
+          $"n_tokens".cast(LongType).as("n_tokens"),
+          $"vocab".cast(LongType).as("vocab"),
+          round(slope, 6).as("beta"),
+          round(($"sy" - slope * $"sx") / $"n", 6).as("ln_k"))
+        .orderBy($"decile")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -10673,6 +10779,94 @@ object SparkEntry {
          |    ELSE round(sqrt(sse / n_evals), 4) END AS rmse
          |FROM united ORDER BY model""".stripMargin
     },
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT d, cents,
+        |    row_number() OVER (ORDER BY d) AS rn,
+        |    sum(cents) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    count(*) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+        |  FROM daily),
+        |bx AS (
+        |  SELECT d, cents, (rn - 1) % 7 AS idx,
+        |    CASE WHEN cnt7 = 7
+        |      THEN round(CAST(s7 AS DOUBLE) / 700.0, 6) END AS trend
+        |  FROM base),
+        |bd AS (
+        |  SELECT *, round(CAST(cents AS DOUBLE) / 100.0 - trend, 6) AS det
+        |  FROM bx),
+        |sraw AS (
+        |  SELECT idx,
+        |    round(CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS s_raw
+        |  FROM bd WHERE det IS NOT NULL GROUP BY 1),
+        |smean AS (
+        |  SELECT round(CAST(sum(CAST(s_raw AS DECIMAL(18,6))) AS DOUBLE)
+        |    / 7.0, 6) AS sm FROM sraw),
+        |seas AS (SELECT idx, round(s_raw - sm, 6) AS seasonal
+        |  FROM sraw CROSS JOIN smean),
+        |ws AS (
+        |  SELECT bd.d, bd.cents, bd.trend, seas.seasonal,
+        |    round(CAST(bd.cents AS DOUBLE) / 100.0 - bd.trend
+        |      - seas.seasonal, 6) AS residual
+        |  FROM bd JOIN seas ON seas.idx = bd.idx),
+        |sig AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nr,
+        |    CAST(sum(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+        |    CAST(sum(CAST(CAST(residual AS DECIMAL(19,6))
+        |      * CAST(residual AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS srr
+        |  FROM ws WHERE residual IS NOT NULL)
+        |SELECT d, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  trend, seasonal, residual,
+        |  CASE WHEN residual IS NULL THEN NULL ELSE
+        |    CAST(CASE WHEN abs(residual) > 3.0
+        |      * sqrt(srr / nr - (sr / nr) * (sr / nr))
+        |    THEN 1 ELSE 0 END AS BIGINT) END AS anomaly
+        |FROM ws CROSS JOIN sig
+        |ORDER BY d""".stripMargin,
+
+    "q_heaps_law" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |wb AS (SELECT term,
+        |    least(9, (doc_id * 10) // (mx + 1)) AS b
+        |  FROM tok CROSS JOIN mx),
+        |tpb AS (SELECT b, count(*) AS c FROM wb GROUP BY 1),
+        |vpb AS (SELECT fb, count(*) AS v FROM (
+        |    SELECT term, min(b) AS fb FROM wb GROUP BY 1) GROUP BY 1),
+        |cum AS (
+        |  SELECT tpb.b,
+        |    sum(tpb.c) OVER (ORDER BY tpb.b) AS n_tokens,
+        |    sum(coalesce(vpb.v, 0)) OVER (ORDER BY tpb.b) AS vocab
+        |  FROM tpb LEFT JOIN vpb ON vpb.fb = tpb.b),
+        |pts AS (SELECT
+        |    CAST(round(ln(CAST(n_tokens AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        |  FROM cum),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,8)) * CAST(x AS DECIMAL(19,8)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)))
+        |      AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT CAST(b + 1 AS BIGINT) AS decile,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS ln_k
+        |FROM cum CROSS JOIN st ORDER BY decile""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte
