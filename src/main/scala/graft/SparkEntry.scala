@@ -5883,8 +5883,13 @@ object SparkEntry {
       // floats for the shortlist only. Ranges are exact min/max
       // aggregates — the one ANN lane whose oracle derives everything
       // in SQL with no trained-model literals. operators.SqAnn.
+      // Probe set BOUNDED (id < 5000 on top of the mod-100 sample): an
+      // unbounded probe side grows with the corpus and turns the flat
+      // scan quadratic — sf1 measured 17× at 10× data before the cap,
+      // 50-probes-max × linear scan after.
       operators.SqAnn.topK(
-          Tables.embeddings(s, dir).filter($"vec_id" % 100 === 0),
+          Tables.embeddings(s, dir)
+            .filter($"vec_id" % 100 === 0 && $"vec_id" < 5000),
           Tables.embeddings(s, dir), shortlist = 20, k = 5)
         .orderBy($"query_id", $"rank")
     }),
@@ -10484,7 +10489,7 @@ object SparkEntry {
         |            / (mx_arr[j] - mn_arr[j])) AS BIGINT))) END) AS codes
         |  FROM embeddings CROSS JOIN arrs),
         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-        |  WHERE vec_id % 100 = 0),
+        |  WHERE vec_id % 100 = 0 AND vec_id < 5000),
         |scored AS (
         |  SELECT q.query_id, c.cand_id,
         |    round(list_sum(list_transform(range(1, 65), j ->
