@@ -6420,6 +6420,97 @@ object SparkEntry {
           round(($"sy" - slope * $"sx") / $"n", 6).as("ln_k"))
         .orderBy($"decile")
     }),
+
+    "q_markov_attribution" -> ((s, dir) => {
+      import s.implicits._
+      // Markov-chain (removal-effect) attribution — the data-driven
+      // completion of the attribution ladder (q_attribution last-touch
+      // → q_attribution_multi positional → this): build the journey
+      // transition matrix START→channels→{CONV, DROP}, compute the
+      // absorption probability of CONV by value iteration, then
+      // re-compute it with each channel's INBOUND edges removed — a
+      // channel's credit is how much conversion disappears without it
+      // (Anderl et al. 2014). Journeys = each user's events up to the
+      // FIRST purchase (conversion absorbs; no purchase ⇒ DROP).
+      // Exactness: transition probabilities are exact integer
+      // micro-units ((1e8·c) div c_src), value iteration runs 12
+      // bounded-horizon rounds entirely in Long floor-division (the
+      // q_pagerank discipline — no float ever enters the recursion),
+      // removal/share in exact ppm. The channel domain {click, error,
+      // signup, view} is fixed in both texts (the q_ppr seed-predicate
+      // convention). Scale shape: one corpus pass to per-user ordered
+      // journeys, then EVERYTHING runs on the ≤(states²)-row matrix —
+      // value iteration costs nothing at any corpus size.
+      val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val base0 = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(wo))
+      val prn = base0.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"rn").as("prn"))
+      val jr = base0.join(prn, Seq("user_id"), "left")
+      val pre = jr.filter($"prn".isNull || $"rn" < $"prn")
+      val w2 = Window.partitionBy($"user_id").orderBy($"rn")
+      val chain = pre
+        .withColumn("src",
+          coalesce(lag($"event_type", 1).over(w2), lit("START")))
+        .select($"src", $"event_type".as("dst"))
+      val lastPre = pre.groupBy($"user_id")
+        .agg(max_by($"event_type", $"rn").as("last_t"))
+      val term = jr.groupBy($"user_id").agg(max($"prn").as("p"))
+        .join(lastPre, Seq("user_id"), "left")
+        .select(coalesce($"last_t", lit("START")).as("src"),
+          when($"p".isNotNull, lit("CONV")).otherwise(lit("DROP")).as("dst"))
+      val counts = chain.unionByName(term)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+      val srcTot = counts.groupBy($"src").agg(sum($"c").as("c_src"))
+      val trans = counts.join(srcTot, "src")
+        .select($"src", $"dst",
+          expr("(100000000 * c) div c_src").cast(LongType).as("pi"))
+      // the matrix is DOMAIN-bounded (≤(channels+2)² rows): collect it
+      // and run the 5 × 12-round value iterations driver-side in exact
+      // Long arithmetic (the IvfAnn/Bpe bounded-collect rule — as a
+      // DataFrame recursion the ≤30-row matrix's lineage, including
+      // the events window scan, is replicated into all 65 iteration
+      // subtrees: measured 100+ s; this shape is one corpus pass).
+      // All values non-negative, so Scala's / IS the oracle's floor
+      // division.
+      val transRows = trans.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      def pconvL(rows: Array[(String, String, Long)]): Long = {
+        var v = rows.map(_._1).distinct.map(_ -> 0L).toMap
+        for (_ <- 1 to 12) {
+          v = rows.groupBy(_._1).map { case (src, rs) =>
+            src -> rs.map { case (_, dst, pi) =>
+              pi * (dst match {
+                case "CONV" => 100000000L
+                case "DROP" => 0L
+                case d => v.getOrElse(d, 0L)
+              })
+            }.sum / 100000000L
+          }
+        }
+        v.getOrElse("START", 0L)
+      }
+      val channels = Seq("click", "error", "signup", "view")
+      val vb = pconvL(transRows)
+      val scens = channels.map { c =>
+        val vw = pconvL(transRows.filter(_._2 != c))
+        val rem = if (vb == 0L) None
+          else Some(1000000L - (1000000L * vw) / vb)
+        (c, vb / 100L, vw / 100L, rem)
+      }
+      val tr = if (scens.exists(_._4.isEmpty)) None
+        else Some(scens.flatMap(_._4).sum)
+      scens.map { case (c, pb, pw, rem) =>
+        (c, pb, pw, rem,
+          (rem, tr) match {
+            case (Some(r), Some(t)) if t != 0L => Some((1000000L * r) / t)
+            case _ => None
+          })
+      }.toDF("channel", "p_conv_ppm", "p_without_ppm",
+          "removal_ppm", "share_ppm")
+        .orderBy($"channel")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -10872,6 +10963,90 @@ object SparkEntry {
         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
         |    AS ln_k
         |FROM cum CROSS JOIN st ORDER BY decile""".stripMargin,
+
+    "q_markov_attribution" -> {
+      // per-scenario 12-round value iteration, generated (one CTE per
+      // round, Long floor-division throughout — see the query scaladoc)
+      def iters(tag: String, tTab: String): String = {
+        // AS MATERIALIZED: DuckDB inlines plain CTEs, and re-planning a
+        // 12-deep iteration tree per reference turns a 0.7 s query into
+        // minutes — the oracle text runs only in DuckDB, so the hint is
+        // safe (measured 6.4 s/scenario inlined vs 0.7 s total
+        // materialized at sf0.01)
+        val v0 = s"v_${tag}_0 AS MATERIALIZED (SELECT DISTINCT src AS s, " +
+          s"CAST(0 AS BIGINT) AS vi FROM $tTab)"
+        val steps = (1 to 12).map { k =>
+          s"v_${tag}_$k AS MATERIALIZED (SELECT t.src AS s,\n" +
+            s"  CAST(CAST(sum(t.pi * CASE WHEN t.dst = 'CONV' THEN 100000000\n" +
+            s"    WHEN t.dst = 'DROP' THEN 0 ELSE coalesce(v.vi, 0) END)\n" +
+            s"    AS BIGINT) // 100000000 AS BIGINT) AS vi\n" +
+            s"  FROM $tTab t LEFT JOIN v_${tag}_${k - 1} v ON v.s = t.dst\n" +
+            s"  GROUP BY 1)"
+        }
+        (v0 +: steps).mkString(",\n")
+      }
+      val channels = Seq("click", "error", "signup", "view")
+      val scenT = channels.map(c =>
+        s"t_$c AS MATERIALIZED (SELECT * FROM trans WHERE dst <> '$c')")
+        .mkString(",\n")
+      val scenIters = channels.map(c => iters(c, s"t_$c")).mkString(",\n")
+      val chanRows = channels.map(c =>
+        s"SELECT '$c' AS channel, " +
+          s"(SELECT vi FROM v_${c}_12 WHERE s = 'START') AS vw")
+        .mkString("\n  UNION ALL ")
+      s"""WITH base0 AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events),
+         |prn AS (SELECT user_id, min(rn) AS prn FROM base0
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |jr AS (SELECT base0.user_id, base0.event_type, base0.rn, prn.prn
+         |  FROM base0 LEFT JOIN prn ON prn.user_id = base0.user_id),
+         |pre AS (SELECT * FROM jr WHERE prn IS NULL OR rn < prn),
+         |chain AS (
+         |  SELECT coalesce(lag(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY rn), 'START') AS src,
+         |    event_type AS dst
+         |  FROM pre),
+         |last_pre AS (SELECT user_id, max_by(event_type, rn) AS last_t
+         |  FROM pre GROUP BY 1),
+         |term AS (
+         |  SELECT coalesce(lp.last_t, 'START') AS src,
+         |    CASE WHEN u.p IS NOT NULL THEN 'CONV' ELSE 'DROP' END AS dst
+         |  FROM (SELECT user_id, max(prn) AS p FROM jr GROUP BY 1) u
+         |  LEFT JOIN last_pre lp ON lp.user_id = u.user_id),
+         |counts AS (
+         |  SELECT src, dst, count(*) AS c FROM (
+         |    SELECT * FROM chain UNION ALL SELECT * FROM term)
+         |  GROUP BY 1, 2),
+         |src_tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS c_src
+         |  FROM counts GROUP BY 1),
+         |trans AS MATERIALIZED (SELECT counts.src, counts.dst,
+         |    CAST((100000000 * c) // c_src AS BIGINT) AS pi
+         |  FROM counts JOIN src_tot USING (src)),
+         |${iters("b", "trans")},
+         |$scenT,
+         |$scenIters,
+         |chans AS (
+         |  $chanRows),
+         |basev AS (SELECT vi AS vb FROM v_b_12 WHERE s = 'START'),
+         |rems AS (SELECT channel, vw, vb,
+         |    CASE WHEN vb = 0 THEN NULL
+         |      ELSE CAST(1000000 - (1000000 * vw) // vb AS BIGINT) END
+         |      AS removal_ppm
+         |  FROM chans CROSS JOIN basev),
+         |tot AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS tr FROM rems)
+         |SELECT channel,
+         |  CAST(vb // 100 AS BIGINT) AS p_conv_ppm,
+         |  CAST(vw // 100 AS BIGINT) AS p_without_ppm,
+         |  removal_ppm,
+         |  CASE WHEN tr IS NULL OR tr = 0 THEN NULL
+         |    ELSE CAST((1000000 * removal_ppm) // tr AS BIGINT) END
+         |    AS share_ppm
+         |FROM rems CROSS JOIN tot
+         |ORDER BY channel""".stripMargin
+    },
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte
