@@ -6511,6 +6511,58 @@ object SparkEntry {
           "removal_ppm", "share_ppm")
         .orderBy($"channel")
     }),
+
+    "q_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      // Poissonized bootstrap CI for mean daily revenue — uncertainty
+      // on ANY aggregate without a closed form (q_conversion_ci's
+      // Wilson covers proportions; this covers everything else, the
+      // Efron machinery in the engine's deterministic-by-seed idiom):
+      // each of B=200 replicates reweights every day by a Poisson(1)
+      // draw (the multinomial bootstrap's scalable limit — resampling
+      // n rows WITH replacement is a shuffle, Poisson weights are
+      // row-local) from an md5-uniform seeded by (day, rep), via the
+      // 9-step inverse-CDF threshold ladder written as literals on
+      // both sides. Replicate means are exact integer ratios; the CI
+      // is nearest-rank order statistics (ranks 5 / 196 of 200), no
+      // interpolation. Scale shape: the corpus collapses to the daily
+      // grid, the ×200 explode is grid-sized, and at 100 TB the SAME
+      // recipe bootstraps any per-key aggregate row-locally.
+      val daily = Tables.orders(s, dir)
+        .groupBy($"o_orderdate".as("d"))
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("cents"))
+      val reps = (1 to 200).map(_.toLong).toDF("rep")
+      val h = conv(substring(md5(concat(lit("boot:"),
+        $"d".cast(DateType).cast(StringType), lit(":"),
+        $"rep".cast(StringType))),
+        1, 8), 16, 10).cast(LongType)
+      val u = (h.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+      val thresholds = Seq(0.36787944, 0.73575888, 0.91969860, 0.98101184,
+        0.99634015, 0.99940582, 0.99991676, 0.99998975, 0.99999887)
+      val w = thresholds.zipWithIndex
+        .foldLeft(when(u < thresholds.head, lit(0L))) {
+          case (acc, (t, i)) =>
+            if (i == 0) acc else acc.when(u < t, lit(i.toLong))
+        }.otherwise(lit(9L))
+      val weighted = daily.crossJoin(broadcast(reps))
+        .select($"rep", $"cents", w.as("w"))
+      val repMeans = weighted.groupBy($"rep")
+        .agg(sum($"w" * $"cents").as("swc"), sum($"w").as("sw"))
+        .select($"rep",
+          when($"sw" === 0L, lit(null).cast(DoubleType))
+            .otherwise(round($"swc".cast(DoubleType) / $"sw" / lit(100.0), 6))
+            .as("m"))
+      val ranked = repMeans.filter($"m".isNotNull)
+        .withColumn("rk", row_number().over(Window.orderBy($"m", $"rep")))
+      val lo = ranked.filter($"rk" === 5).select($"m".as("boot_lo"))
+      val hi = ranked.filter($"rk" === 196).select($"m".as("boot_hi"))
+      val point = daily.agg(count(lit(1)).as("n_days"),
+        round(sum($"cents").cast(DoubleType)
+          / count(lit(1)) / lit(100.0), 6).as("mean_daily"))
+      point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select($"n_days", $"mean_daily", $"boot_lo", $"boot_hi",
+          lit(200L).as("b_replicates"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11047,6 +11099,46 @@ object SparkEntry {
          |FROM rems CROSS JOIN tot
          |ORDER BY channel""".stripMargin
     },
+
+    "q_bootstrap_ci" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |reps AS (SELECT unnest(range(1, 201)) AS rep),
+        |uu AS (
+        |  SELECT rep, cents,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('boot:',
+        |      CAST(CAST(d AS DATE) AS VARCHAR), ':', CAST(rep AS VARCHAR))),
+        |      1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM daily CROSS JOIN reps),
+        |wtd AS (
+        |  SELECT rep, cents,
+        |    CASE WHEN u < 0.36787944 THEN 0 WHEN u < 0.73575888 THEN 1
+        |      WHEN u < 0.9196986 THEN 2 WHEN u < 0.98101184 THEN 3
+        |      WHEN u < 0.99634015 THEN 4 WHEN u < 0.99940582 THEN 5
+        |      WHEN u < 0.99991676 THEN 6 WHEN u < 0.99998975 THEN 7
+        |      WHEN u < 0.99999887 THEN 8 ELSE 9 END AS w
+        |  FROM uu),
+        |rm AS (
+        |  SELECT rep, CASE WHEN sum(w) = 0 THEN NULL
+        |    ELSE round(CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+        |      / CAST(sum(w) AS BIGINT) / 100.0, 6) END AS m
+        |  FROM wtd GROUP BY 1),
+        |ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, rep) AS rk
+        |  FROM rm WHERE m IS NOT NULL),
+        |lo AS (SELECT m AS boot_lo FROM ranked WHERE rk = 5),
+        |hi AS (SELECT m AS boot_hi FROM ranked WHERE rk = 196),
+        |pt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |      / count(*) / 100.0, 6) AS mean_daily
+        |  FROM daily)
+        |SELECT n_days, mean_daily, boot_lo, boot_hi,
+        |  CAST(200 AS BIGINT) AS b_replicates
+        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

@@ -877,6 +877,42 @@ object StreamOps {
       }
   }
 
+  final case class EwmaState(n: Long, l: Double)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma_last: Double)
+
+  /** Streaming per-key EWMA — the streaming twin of q_ewma's stateful
+    * fold (the sequential recurrence no window frame expresses): state
+    * is ONE (count, level) pair per key, each arriving event folds
+    * acc·(1−α) + x·α with the identical literals the batch fold and
+    * its recursive-CTE oracle use, and the running estimate re-emits
+    * in update mode (the live monitoring/forecast-seed view). Ordering
+    * contract: a sequential smoother is order-SENSITIVE, so parity
+    * holds under the ordered-log contract — batches deliver each key's
+    * events in (ts, event_id) order (Kafka-style per-key order; events
+    * WITHIN a micro-batch are sorted here, so any batching of an
+    * ordered feed is fine). Pinned row-identical to the batch query's
+    * final states in StreamingSpec (parity lane 12). */
+  def ewmaLast(events: Dataset[Event], alpha: Double = 0.25): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import Codec.tsMicros
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          evs.foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(1L, e.value)
+              else EwmaState(st.n + 1L,
+                st.l * (1 - alpha) + e.value * alpha)
+          }
+          state.update(st)
+          EwmaOut(userId, st.n, st.l)
+      }
+  }
+
   final case class FunnelState(start: Long, last: Long, n: Long,
                                buf: List[(Long, Long, String)])
   final case class FunnelOut(user_id: Long, session_start: Timestamp,

@@ -159,6 +159,42 @@ class StatTestsSpec extends AnyFunSuite with SparkSpec {
     assert(r(3L).isNullAt(r(3L).fieldIndex("n_required")))
   }
 
+  private def dateStr(i: Int): String =
+    java.time.LocalDate.of(1996, 1, 1).plusDays(i).toString
+
+  test("bootstrap ci: brackets the point estimate and is deterministic") {
+    val rows = (0 until 60).map(i =>
+      (1000.0 + 37 * (i % 11), dateStr(i), "1-URGENT"))
+    val dir = ordersDir(rows)
+    val a = SparkEntry.queries("q_bootstrap_ci")(spark, dir).collect().head
+    val b = SparkEntry.queries("q_bootstrap_ci")(spark, dir).collect().head
+    assert(a == b, "seeded bootstrap must be deterministic")
+    assert(a.getAs[Double]("boot_lo") <= a.getAs[Double]("mean_daily"))
+    assert(a.getAs[Double]("boot_hi") >= a.getAs[Double]("mean_daily"))
+    assert(a.getAs[Long]("n_days") == 60L)
+  }
+
+  test("bootstrap ci: a constant series collapses the interval to a point") {
+    val rows = (0 until 40).map(i => (777.0, dateStr(i), "1-URGENT"))
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, ordersDir(rows))
+      .collect().head
+    assert(r.getAs[Double]("boot_lo") == 777.0)
+    assert(r.getAs[Double]("boot_hi") == 777.0)
+    assert(r.getAs[Double]("mean_daily") == 777.0)
+  }
+
+  test("bootstrap ci: more days shrink the interval (the sqrt-n law)") {
+    def width(nDays: Int): Double = {
+      val rows = (0 until nDays).map(i =>
+        (if (i % 2 == 0) 100.0 else 200.0, dateStr(i), "1-URGENT"))
+      val r = SparkEntry.queries("q_bootstrap_ci")(spark, ordersDir(rows))
+        .collect().head
+      r.getAs[Double]("boot_hi") - r.getAs[Double]("boot_lo")
+    }
+    val w28 = width(28); val w112 = width(112)
+    assert(w112 < w28, s"width did not shrink: $w28 -> $w112")
+  }
+
   test("plan: both tests collapse to the bin grid before any window") {
     for (q <- Seq("q_ks_drift", "q_mann_whitney")) {
       val plan = SparkEntry.queries(q)(spark, sf)

@@ -750,6 +750,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"onlyBatch=${(want -- streamed).take(3)}")
   }
 
+  test("streaming per-key EWMA equals the q_ewma driver query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parity lane 12: the sequential smoother under the ordered-log
+    // contract — events feed in global (ts, event_id) order across
+    // arbitrary batch boundaries; the final per-key state must equal
+    // the batch fold (identical 0.75/0.25 double literals) exactly.
+    val evs = Tables.events(spark, sf).as[Event].collect()
+      .sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
+        e.event_id)).toVector
+    val in = MemoryStream[Event]
+    val q = StreamOps.ewmaLast(in.toDF().as[Event])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewmapar").start()
+    evs.grouped(700).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.table("ewmapar")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"ewma_last")).as("fin"))
+      .select($"user_id", $"fin.n_events",
+        round($"fin.ewma_last", 6).as("ewma_last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val want = SparkEntry.queries("q_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+  }
+
   test("streaming quality-LR scoring equals the q_quality_lr driver query on real documents") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
