@@ -6563,6 +6563,84 @@ object SparkEntry {
         .select($"n_days", $"mean_daily", $"boot_lo", $"boot_hi",
           lit(200L).as("b_replicates"))
     }),
+
+    "q_anova" -> ((s, dir) => {
+      import s.implicits._
+      // one-way ANOVA: does mean order value differ across the five
+      // priorities? The multi-group member of the hypothesis-test
+      // family (two-group shift is q_mann_whitney's; k-group means are
+      // the F test's). Per-group moments are exact integers in the
+      // cents domain (Σx as Long, Σx² decimal-summed); the
+      // between/within decomposition runs on round-4 per-group
+      // correction terms decimal-summed (order-independent across
+      // groups), then ONE double F ratio rounds at 6. One map-side agg
+      // — the corpus collapses to k rows.
+      val g = Tables.orders(s, dir)
+        .select($"o_orderpriority".as("grp"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("c"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_g"), sum($"c").as("s_g"),
+          sum(($"c".cast(DecimalType(19, 0)) * $"c".cast(DecimalType(19, 0)))
+            .cast(DecimalType(38, 0))).as("ss_g"))
+      val tot = g.agg(count(lit(1)).as("k"), sum($"n_g").as("n"),
+        sum($"s_g").as("s"), sum($"ss_g").as("a"),
+        sum(round($"s_g".cast(DoubleType) * $"s_g".cast(DoubleType)
+          / $"n_g", 4).cast(DecimalType(38, 4))).as("b"))
+      val cterm = round($"s".cast(DoubleType) * $"s".cast(DoubleType)
+        / $"n", 4)
+      val fstat = round(
+        (($"b".cast(DoubleType) - cterm) / ($"k" - 1).cast(DoubleType))
+          / (($"a".cast(DoubleType) - $"b".cast(DoubleType))
+            / ($"n" - $"k").cast(DoubleType)), 6)
+      g.crossJoin(broadcast(tot))
+        .select($"grp", $"n_g",
+          round($"s_g".cast(DoubleType) / $"n_g" / lit(100.0), 6)
+            .as("mean_value"),
+          fstat.as("f_stat"),
+          ($"k" - 1).cast(LongType).as("df_between"),
+          ($"n" - $"k").cast(LongType).as("df_within"))
+        .orderBy($"grp")
+    }),
+
+    "q_benford" -> ((s, dir) => {
+      import s.implicits._
+      // Benford first-digit audit of order values — the classic
+      // fabricated-data / unit-mixing detector (a price column whose
+      // leading digits drift from log10(1+1/d) was typed in, scaled
+      // wrong, or filtered on a threshold): first significant digit by
+      // STRING head of the exact cents integer (no float log10 at
+      // power-of-ten boundaries — both engines render a BIGINT
+      // identically), observed share in exact integer ppm vs the
+      // Benford literals, χ² distance from round-8 decimal-summed
+      // per-digit terms. One map-side count agg at any corpus size.
+      val expected = Seq(0.30103000, 0.17609126, 0.12493874, 0.09691001,
+        0.07918125, 0.06694679, 0.05799195, 0.05115252, 0.04575749)
+      val expDf = expected.zipWithIndex
+        .map { case (e, i) => ((i + 1).toLong, e) }.toDF("digit", "exp_share")
+      val obs = Tables.orders(s, dir)
+        .select(expr(
+          "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+            "* 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum($"n").as("nt"))
+      val cells = expDf.join(obs, Seq("digit"), "left")
+        .select($"digit", coalesce($"n", lit(0L)).as("n"), $"exp_share")
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_ppm",
+          expr("(1000000 * n) div nt").cast(LongType))
+        .withColumn("chi2_term",
+          round(($"n".cast(DoubleType) - $"exp_share" * $"nt")
+            * ($"n".cast(DoubleType) - $"exp_share" * $"nt")
+            / ($"exp_share" * $"nt"), 8).cast(DecimalType(18, 8)))
+      val chi2 = cells.agg(
+        round(sum($"chi2_term").cast(DoubleType), 6).as("chi2"))
+      cells.crossJoin(broadcast(chi2))
+        .select($"digit", $"n", $"obs_ppm",
+          round($"exp_share" * lit(1000000.0), 2).as("exp_ppm"),
+          $"chi2")
+        .orderBy($"digit")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11139,6 +11217,61 @@ object SparkEntry {
         |SELECT n_days, mean_daily, boot_lo, boot_hi,
         |  CAST(200 AS BIGINT) AS b_replicates
         |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin,
+
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(c) AS BIGINT) AS s_g,
+        |    sum(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0))) AS ss_g
+        |  FROM (SELECT o_orderpriority AS grp,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |    FROM orders)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s, sum(ss_g) AS a,
+        |    sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 4)
+        |      AS DECIMAL(38,4))) AS b
+        |  FROM g)
+        |SELECT grp, n_g,
+        |  round(CAST(s_g AS DOUBLE) / n_g / 100.0, 6) AS mean_value,
+        |  round(((CAST(b AS DOUBLE)
+        |      - round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 4))
+        |      / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |      / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+        |  CAST(k - 1 AS BIGINT) AS df_between,
+        |  CAST(n - k AS BIGINT) AS df_within
+        |FROM g CROSS JOIN tot ORDER BY grp""".stripMargin,
+
+    "q_benford" -> {
+      val expected = Seq(0.30103000, 0.17609126, 0.12493874, 0.09691001,
+        0.07918125, 0.06694679, 0.05799195, 0.05115252, 0.04575749)
+      val vals = expected.zipWithIndex.map { case (e, i) =>
+        s"(CAST(${i + 1} AS BIGINT), CAST($e AS DOUBLE))"
+      }.mkString(",\n    ")
+      s"""WITH expd(digit, exp_share) AS (VALUES
+         |    $vals),
+         |obs AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+         |cells AS (
+         |  SELECT expd.digit, coalesce(obs.n, 0) AS n, exp_share, nt,
+         |    CAST((1000000 * coalesce(obs.n, 0)) // nt AS BIGINT) AS obs_ppm,
+         |    CAST(round((CAST(coalesce(obs.n, 0) AS DOUBLE) - exp_share * nt)
+         |      * (CAST(coalesce(obs.n, 0) AS DOUBLE) - exp_share * nt)
+         |      / (exp_share * nt), 8) AS DECIMAL(18,8)) AS chi2_term
+         |  FROM expd LEFT JOIN obs ON obs.digit = expd.digit CROSS JOIN tot),
+         |c2 AS (SELECT round(CAST(sum(chi2_term) AS DOUBLE), 6) AS chi2
+         |  FROM cells)
+         |SELECT digit, n, obs_ppm,
+         |  round(exp_share * 1000000.0, 2) AS exp_ppm, chi2
+         |FROM cells CROSS JOIN c2 ORDER BY digit""".stripMargin
+    },
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

@@ -195,6 +195,52 @@ class StatTestsSpec extends AnyFunSuite with SparkSpec {
     assert(w112 < w28, s"width did not shrink: $w28 -> $w112")
   }
 
+  test("anova: closed-form two-group case gives F = 8 exactly") {
+    // A = {100, 200}, B = {300, 400}: SSB = 40000, SSW = 10000,
+    // F = (40000/1)/(10000/2) = 8 (scale-invariant, so exact in cents)
+    val dir = ordersDir(Seq(
+      (100.0, "1997-01-01", "1-URGENT"), (200.0, "1997-01-01", "1-URGENT"),
+      (300.0, "1997-01-01", "5-LOW"), (400.0, "1997-01-01", "5-LOW")))
+    val rows = SparkEntry.queries("q_anova")(spark, dir).collect()
+    assert(rows.length == 2)
+    val byG = rows.map(r => r.getString(0) -> r).toMap
+    assert(byG("1-URGENT").getAs[Double]("mean_value") == 150.0)
+    assert(byG("5-LOW").getAs[Double]("mean_value") == 350.0)
+    assert(rows.head.getAs[Double]("f_stat") == 8.0)
+    assert(rows.head.getAs[Long]("df_between") == 1L)
+    assert(rows.head.getAs[Long]("df_within") == 2L)
+  }
+
+  test("anova: identical group distributions give F = 0") {
+    val dir = ordersDir(Seq(
+      (100.0, "1997-01-01", "1-URGENT"), (200.0, "1997-01-01", "1-URGENT"),
+      (100.0, "1997-01-01", "5-LOW"), (200.0, "1997-01-01", "5-LOW")))
+    val f = SparkEntry.queries("q_anova")(spark, dir)
+      .collect().head.getAs[Double]("f_stat")
+    assert(f == 0.0, s"F $f")
+  }
+
+  test("benford: digit extraction exact, chi2 matches the literal recompute") {
+    // 10 orders per digit d with value d*111: digits uniform — far
+    // from Benford, chi2 recomputable in closed form
+    val rows = (1 to 9).flatMap(d =>
+      (1 to 10).map(_ => (d * 111.0, "1997-01-01", "1-URGENT")))
+    val out = SparkEntry.queries("q_benford")(spark, ordersDir(rows))
+      .collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == 10L, s"digit ${r.getLong(0)}")
+      assert(r.getAs[Long]("obs_ppm") == 111111L)
+    }
+    val expected = Seq(0.30103000, 0.17609126, 0.12493874, 0.09691001,
+      0.07918125, 0.06694679, 0.05799195, 0.05115252, 0.04575749)
+    val want = BigDecimal(expected.map { e =>
+      BigDecimal((10.0 - e * 90) * (10.0 - e * 90) / (e * 90))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("chi2") == want)
+  }
+
   test("plan: both tests collapse to the bin grid before any window") {
     for (q <- Seq("q_ks_drift", "q_mann_whitney")) {
       val plan = SparkEntry.queries(q)(spark, sf)
