@@ -684,4 +684,54 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"all-pairs in the ANN frontier plan:\n$p")
     assert(p.contains("cell"), s"cell join key missing:\n$p")
   }
+
+  test("pca: the corpus crosses ONE exchange into the 4096-cell domain") {
+    // the Gram pass must map-side combine: a partial HashAggregate
+    // below the k-exchange, the final one above; everything after is
+    // 4096-cell work, so no second corpus-sized shuffle can exist
+    val p = plan("q_pca_power")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), s"all-pairs in PCA:\n$p")
+    val emb = p.linesIterator.filter(_.contains("Scan parquet")).toList
+    assert(emb.nonEmpty, "embeddings scan missing")
+  }
+
+  test("sq8: probe side broadcast, code scan never cartesian on floats") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in SQ8:\n$p")
+  }
+
+  test("bootstrap: the replicate axis broadcasts onto the daily grid") {
+    // 200 replicates x bounded daily grid — the corpus itself is
+    // aggregated before the explode, so no corpus-sized join appears
+    val p = plan("q_bootstrap_ci")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"replicates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join crept in:\n$p")
+  }
+
+  test("anova and benford collapse to map-side-combined single aggregations") {
+    for (q <- Seq("q_anova", "q_benford")) {
+      val p = plan(q)
+      // partial + final pairs: at least two HashAggregates and no join
+      // before the group domain (benford's literal table join is a
+      // broadcast over 9 rows)
+      assert(p.contains("HashAggregate"), s"$q: no hash agg:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: corpus-sized join crept in:\n$p")
+    }
+  }
+
+  test("markov: one corpus pass feeds the bounded matrix — no iteration joins remain") {
+    // the value iteration runs driver-side on the collected matrix, so
+    // the PLAN contains only the final literal rows (a LocalTableScan)
+    val df = SparkEntry.queries("q_markov_attribution")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"),
+      s"markov output should be literal rows:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("events"),
+      s"iteration lineage leaked into the output plan:\n$p")
+  }
 }
