@@ -6641,6 +6641,56 @@ object SparkEntry {
           $"chi2")
         .orderBy($"digit")
     }),
+
+    "q_simpsons" -> ((s, dir) => {
+      import s.implicits._
+      // Simpson's-paradox audit: does the price-on-quantity slope flip
+      // sign between the AGGREGATE regression and the pooled
+      // WITHIN-group regression? The aggregation-reversal trap every
+      // segment-blind dashboard metric walks into — q_regression
+      // reports the per-group truth, this audits whether the ungrouped
+      // number tells the opposite story. Same exact-decimal moments;
+      // global sums are the exact decimal sums of the group moments
+      // (one map-side agg feeds both); pooled-within slope =
+      // Σ S_xy(g) / Σ S_xx(g) on round-4 per-group corrected terms
+      // decimal-summed (the q_anova discipline); slopes round at 6,
+      // the flag compares the rounded signs.
+      val x = $"l_quantity"
+      val y = $"l_extendedprice"
+      val g = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag".as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(x)).cast(DoubleType).as("sx"),
+          sum(dec2(y)).cast(DoubleType).as("sy"),
+          sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("sxx"),
+          sum((x * y).cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"),
+          sum(dec2(x)).as("dsx"), sum(dec2(y)).as("dsy"),
+          sum((x * x).cast(DecimalType(30, 6))).as("dsxx"),
+          sum((x * y).cast(DecimalType(30, 6))).as("dsxy"))
+      val slopeG = round(($"n" * $"sxy" - $"sx" * $"sy")
+        / ($"n" * $"sxx" - $"sx" * $"sx"), 6)
+      val tot = g.agg(sum($"n").as("nt"),
+        sum($"dsx").cast(DoubleType).as("tx"),
+        sum($"dsy").cast(DoubleType).as("ty"),
+        sum($"dsxx").cast(DoubleType).as("txx"),
+        sum($"dsxy").cast(DoubleType).as("txy"),
+        sum(round($"sxy" - $"sx" * $"sy" / $"n", 4)
+          .cast(DecimalType(38, 4))).as("wxy"),
+        sum(round($"sxx" - $"sx" * $"sx" / $"n", 4)
+          .cast(DecimalType(38, 4))).as("wxx"))
+      val slopeAll = round(($"nt" * $"txy" - $"tx" * $"ty")
+        / ($"nt" * $"txx" - $"tx" * $"tx"), 6)
+      val slopeW = round($"wxy".cast(DoubleType)
+        / $"wxx".cast(DoubleType), 6)
+      g.crossJoin(broadcast(tot))
+        .select($"grp", $"n", slopeG.as("slope_group"),
+          slopeAll.as("slope_aggregate"),
+          slopeW.as("slope_within"),
+          (((slopeAll > 0) && (slopeW < 0))
+            || ((slopeAll < 0) && (slopeW > 0)))
+            .cast(LongType).as("reversal"))
+        .orderBy($"grp")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11272,6 +11322,42 @@ object SparkEntry {
          |  round(exp_share * 1000000.0, 2) AS exp_ppm, chi2
          |FROM cells CROSS JOIN c2 ORDER BY digit""".stripMargin
     },
+
+    "q_simpsons" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6)))
+        |      AS DOUBLE) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS dsxx,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS dsxy
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(dsx) AS DOUBLE) AS tx, CAST(sum(dsy) AS DOUBLE) AS ty,
+        |    CAST(sum(dsxx) AS DOUBLE) AS txx,
+        |    CAST(sum(dsxy) AS DOUBLE) AS txy,
+        |    sum(CAST(round(sxy - sx * sy / n, 4) AS DECIMAL(38,4))) AS wxy,
+        |    sum(CAST(round(sxx - sx * sx / n, 4) AS DECIMAL(38,4))) AS wxx
+        |  FROM g)
+        |SELECT grp, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_group,
+        |  round((nt * txy - tx * ty) / (nt * txx - tx * tx), 6)
+        |    AS slope_aggregate,
+        |  round(CAST(wxy AS DOUBLE) / CAST(wxx AS DOUBLE), 6)
+        |    AS slope_within,
+        |  CAST(CASE WHEN
+        |      (round((nt * txy - tx * ty) / (nt * txx - tx * tx), 6) > 0
+        |        AND round(CAST(wxy AS DOUBLE) / CAST(wxx AS DOUBLE), 6) < 0)
+        |      OR (round((nt * txy - tx * ty) / (nt * txx - tx * tx), 6) < 0
+        |        AND round(CAST(wxy AS DOUBLE) / CAST(wxx AS DOUBLE), 6) > 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reversal
+        |FROM g CROSS JOIN tot ORDER BY grp""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH $bpeWordsCte

@@ -241,6 +241,31 @@ class StatTestsSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Double]("chi2") == want)
   }
 
+  test("simpsons: a planted reversal is flagged, clean data is not") {
+    // groups slope -1 within, +1.38 across: the canonical paradox
+    def liDir(rows: Seq[(String, Double, Double)]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("simpson_").toString
+      rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val planted = SparkEntry.queries("q_simpsons")(spark, liDir(Seq(
+      ("A", 1.0, 10.0), ("A", 2.0, 9.0),
+      ("B", 8.0, 20.0), ("B", 9.0, 19.0)))).collect()
+    assert(planted.forall(_.getAs[Double]("slope_group") == -1.0))
+    assert(planted.head.getAs[Double]("slope_within") == -1.0)
+    assert(planted.head.getAs[Double]("slope_aggregate") == 1.38)
+    assert(planted.forall(_.getAs[Long]("reversal") == 1L))
+    // aligned groups: all slopes positive, no flag
+    val clean = SparkEntry.queries("q_simpsons")(spark, liDir(Seq(
+      ("A", 1.0, 10.0), ("A", 2.0, 12.0),
+      ("B", 8.0, 20.0), ("B", 9.0, 23.0)))).collect()
+    assert(clean.forall(_.getAs[Long]("reversal") == 0L))
+    assert(clean.head.getAs[Double]("slope_within") > 0.0)
+  }
+
   test("plan: both tests collapse to the bin grid before any window") {
     for (q <- Seq("q_ks_drift", "q_mann_whitney")) {
       val plan = SparkEntry.queries(q)(spark, sf)
