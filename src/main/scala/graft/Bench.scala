@@ -102,8 +102,13 @@ object Bench {
       // cache registry); the getPersistentRDDs sweep below then catches
       // anything persisted outside the registry (e.g. localCheckpoints)
       graft.operators.OpCaches.releaseAll()
+      // blocking=true (r15): an async unpersist lets block removal
+      // bleed into the NEXT timed run — under box pressure that is
+      // exactly the kind of cross-run state the gate's warm-inversion
+      // guard exists to catch. Teardown cost belongs to cleanup(),
+      // which is outside every timed window.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // Spark's ContextCleaner reclaims dead broadcasts/shuffles/RDD blocks
       // only when the JVM GCs their weak references. 126 query runs in one
       // JVM without explicit GC let that debris pile up, so late-running
@@ -129,7 +134,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip.contains(n) }
       .map { case (n, f) =>
+      // r15: snapshot the once-per-JVM build meter around each run so
+      // cold numbers split into query + amortized build (DerivedCache
+      // parquet builds, driver-side model trains) — bench_detail gets
+      // a per-query build_cold/build_warm map (VERDICT r14 ask 8)
+      val b0 = graft.operators.BuildMeter.seconds
       val cold = run(f)
+      val bCold = graft.operators.BuildMeter.seconds - b0
       // r14: tear down BETWEEN cold and warm too. A query that persists
       // intermediates builds NEW DataFrame instances on the warm run, so
       // the cold run's pinned blocks are pure dead weight the warm run
@@ -137,9 +148,11 @@ object Bench {
       // the driver box — 2.7× INVERTED). JIT/codegen caches survive
       // cleanup(), which is what "warm" is meant to measure here.
       cleanup()
+      val b1 = graft.operators.BuildMeter.seconds
       val warm = run(f)
+      val bWarm = graft.operators.BuildMeter.seconds - b1
       cleanup()
-      (n, cold, warm)
+      (n, cold, warm, bCold, bWarm)
     }
 
     def esc(s: String): String = s.flatMap {
@@ -149,33 +162,44 @@ object Bench {
       case c => c.toString
     }
     def t3(t: Double): String = f"$t%.3f"
-    def times(sel: ((String, (Double, Option[String]), (Double, Option[String]))) => (Double, Option[String])): String =
+    type Res = (String, (Double, Option[String]), (Double, Option[String]), Double, Double)
+    def times(sel: Res => (Double, Option[String])): String =
       results.map { r =>
         val (t, err) = sel(r)
         s""""${esc(r._1)}":${if (err.isDefined) "-1" else t3(t)}"""
       }.mkString("{", ",", "}")
     val coldJson = times(_._2)
     val warmJson = times(_._3)
+    // once-per-JVM build seconds charged inside each run (BuildMeter):
+    // cold minus build_cold is the query's own cold cost
+    def builds(sel: Res => Double): String =
+      results.map(r => s""""${esc(r._1)}":${t3(sel(r))}""").mkString("{", ",", "}")
+    val buildColdJson = builds(_._4)
+    val buildWarmJson = builds(_._5)
     val errors = results
-      .flatMap { case (n, (_, ce), (_, we)) => (ce.orElse(we)).map(e => s""""${esc(n)}":"${esc(e)}"""") }
+      .flatMap { case (n, (_, ce), (_, we), _, _) => (ce.orElse(we)).map(e => s""""${esc(n)}":"${esc(e)}"""") }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (t, None), _) => t }.sum
+    val total = results.collect { case (_, (t, None), _, _, _) => t }.sum
 
     // full detail for the judge (cold + warm + errors); the contract line
     // below stays small enough to survive the driver's output tail
     val skipJson = skip.toSeq.sorted.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
-    // r14 honesty assertion: warm must not exceed cold by more than the
-    // documented ±5% box wobble plus a 0.5 s absolute floor (sub-second
-    // queries jitter on GC/scheduling noise, not on pinned state). Any
-    // violation is named in the detail file so an inversion like r13's
-    // q_minhash_recall can never hide in the totals again.
+    // r14 honesty assertion (r15: comment aligned to the code per
+    // ADVICE): warm must not exceed cold by more than the ENFORCED
+    // bound of 1.2× + 0.5 s. The multiplier is deliberately looser
+    // than the ±5% box wobble SCALE.md documents for totals — single
+    // queries see scheduler/GC noise well past 5%, and the guard's job
+    // is catching state-driven inversions (2-5× like r13's
+    // q_minhash_recall), not re-measuring wobble. Any violation is
+    // named in the detail file so an inversion can never hide in the
+    // totals again.
     val warmInversions = results.collect {
-      case (n, (c, None), (w, None)) if w > c * 1.2 + 0.5 => n
+      case (n, (c, None), (w, None), _, _) if w > c * 1.2 + 0.5 => n
     }.sorted
     warmInversions.foreach(n =>
       System.err.println(s"[bench] WARM>COLD inversion: $n"))
     val invJson = warmInversions.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total_cold","value":${t3(total)},"unit":"sec","queries_cold":$coldJson,"queries_warm":$warmJson,"errors":$errors,"skipped":$skipJson,"warm_inversions":$invJson,"sf":"$sfDir","cpus":$cpus}"""
+    val detail = s"""{"metric":"total_cold","value":${t3(total)},"unit":"sec","queries_cold":$coldJson,"queries_warm":$warmJson,"build_cold":$buildColdJson,"build_warm":$buildWarmJson,"errors":$errors,"skipped":$skipJson,"warm_inversions":$invJson,"sf":"$sfDir","cpus":$cpus}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
@@ -190,7 +214,7 @@ object Bench {
     // scalars and points at bench_detail.json for the per-query map.
     // count a query as errored if EITHER run failed, so the contract
     // line's error count always matches the errors map in the detail file
-    val nErr = results.count { case (_, (_, ce), (_, we)) => ce.orElse(we).isDefined }
+    val nErr = results.count { case (_, (_, ce), (_, we), _, _) => ce.orElse(we).isDefined }
     val skipNote = if (skip.isEmpty) "" else s""","skipped":${skip.size}"""
     val line = s"""{"metric":"total","value":${t3(total)},"unit":"sec","n":${results.size},"errors":$nErr$skipNote,"sf":"$sfDir","detail":"bench_detail.json"}"""
     // hard guarantee: never exceed the driver's tail, whatever sfDir is

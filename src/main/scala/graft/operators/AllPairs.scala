@@ -237,4 +237,52 @@ object AllPairs {
         expr("m * (m - 1) div 2").as("n_pairs"))
     inter.unionAll(intra)
   }
+
+  /** (rep, doc_id) member map over a (doc_id, tokens, sz) table: rep =
+    * min doc id per DISTINCT token set — the key that expands the
+    * compact form back to the full pair list. One shuffle (window min
+    * over the set identity). Materialize it next to [[compactJoin]]'s
+    * output when both forms are served (SparkEntry does, via
+    * DerivedCache). */
+  def memberMap(sets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tokens"), col("sz"))
+    sets.select(min(col("doc_id")).over(w).as("rep"), col("doc_id"))
+  }
+
+  /** Expand [[compactJoin]]'s linear-size output back to
+    * [[jaccardJoin]]'s full pair list using the [[memberMap]]:
+    * inter-set rows (id_a ≠ id_b) become their |A|·|B| cross pairs
+    * (re-oriented — members of different cliques can order either
+    * way), intra rows (id_a = id_b) become the C(m,2) member pairs at
+    * jaccard 1.0. expandCompact(compact(X), members(X)) ==
+    * jaccardJoin(X) exactly for every input (AllPairsSpec pins it).
+    *
+    * This is the serving shape for the full list at scale (r15): the
+    * expensive prefix-filter detection runs ONCE into the compact
+    * parquet, and expansion is three cheap keyed joins over plain
+    * scans — no persisted blocks, no lineage to evict, warm cost =
+    * read cost. The n_pairs column is consumed here as multiplicity
+    * and dropped. */
+  def expandCompact(compact: DataFrame, members: DataFrame): DataFrame = {
+    val memb = members.select(col("rep"), col("doc_id"))
+    val inter = compact.filter(col("id_a") =!= col("id_b"))
+      .join(memb.select(col("rep").as("id_a"), col("doc_id").as("ma")),
+        "id_a")
+      .join(memb.select(col("rep").as("id_b"), col("doc_id").as("mb")),
+        "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // intra pairs: members of each duplicated set, C(m,2) per set; the
+    // semi-join keeps only cliques the compact form recorded (m >= 2)
+    val im = members.join(
+      compact.filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("rep")), "rep")
+    val intra = im.as("x").join(im.as("y"),
+        col("x.rep") === col("y.rep") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    inter.unionAll(intra)
+  }
 }

@@ -176,7 +176,9 @@ object DerivedCache {
       else {
         val out = s"$baseDir/${Integer.toHexString(key.hashCode)}_" +
           key.replaceAll("[^A-Za-z0-9_.-]", "_").takeRight(40)
-        build.write.mode("overwrite").parquet(out)
+        // build time is once-per-JVM amortized work, metered separately
+        // so bench cold numbers can split query from build (BuildMeter)
+        BuildMeter.time { build.write.mode("overwrite").parquet(out) }
         paths.put(key, out)
         out
       }

@@ -42,8 +42,13 @@ object SqAnn {
         transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
           e => e("mx")).as("mx_arr"))
 
+  // Loop bounds derive from size(mn_arr) — the trained per-dimension
+  // stats — so the scan is dimension-generic (r15, ADVICE: the former
+  // hard-coded sequence(1, 64) silently truncated wider corpora and
+  // broke element_at on narrower ones). dimStats' posexplode guarantees
+  // len(mn_arr) == the corpus' embedding width.
   private val codesExpr =
-    """transform(sequence(1, 64), j ->
+    """transform(sequence(1, size(mn_arr)), j ->
       |  CASE WHEN element_at(mx_arr, j) = element_at(mn_arr, j)
       |    THEN CAST(0 AS BIGINT)
       |    ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
@@ -54,7 +59,7 @@ object SqAnn {
 
   private val approxExpr =
     """round(aggregate(
-      |  zip_with(q_emb, transform(sequence(1, 64), j ->
+      |  zip_with(q_emb, transform(sequence(1, size(mn_arr)), j ->
       |    element_at(mn_arr, j)
       |      + (CAST(element_at(codes, j) AS DOUBLE) + 0.5)
       |        * (element_at(mx_arr, j) - element_at(mn_arr, j)) / 255.0),

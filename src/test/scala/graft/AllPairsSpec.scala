@@ -107,6 +107,36 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       s"missing=${(full -- expanded).take(3)} extra=${(expanded -- full).take(3)}")
   }
 
+  test("expandCompact(compact, memberMap) == jaccardJoin, dup-heavy and dup-free") {
+    import spark.implicits._
+    // r15: this is the serving contract behind q_allpairs — the full
+    // pair list is reconstructed IN-ENGINE from the compact form + the
+    // member map (the write-once parquet pair), so the equality must
+    // hold exactly on both a duplicate-heavy corpus (inter + intra
+    // expansion paths) and a dup-free one (intra path empty, every
+    // group m=1)
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "totally different words here now",
+      "totally different words here then")
+    val dupHeavy = (for ((t, g) <- base.zipWithIndex; k <- 0 until 7)
+      yield (g * 100L + k, t)).toDF("doc_id", "text")
+    val dupFree = base.zipWithIndex
+      .map { case (t, g) => (g * 100L, t) }.toDF("doc_id", "text")
+    for ((docs, label) <- Seq((dupHeavy, "dup-heavy"), (dupFree, "dup-free"));
+         t <- Seq(0.6, 1.0)) {
+      val sets = AllPairs.buildTokenSets(docs, $"doc_id", $"text")
+      val full = asSet(AllPairs.jaccardJoinFromSets(sets, t))
+      graft.operators.OpCaches.releaseAll()
+      val expanded = asSet(AllPairs.expandCompact(
+        AllPairs.compactJoinFromSets(sets, t), AllPairs.memberMap(sets)))
+      graft.operators.OpCaches.releaseAll()
+      assert(expanded == full, s"$label t=$t: " +
+        s"missing=${(full -- expanded).take(3)} extra=${(expanded -- full).take(3)}")
+    }
+  }
+
   test("near-threshold pairs: filter runs on the raw ratio, not rounded") {
     import spark.implicits._
     // J(a,b) = 9/13 ≈ 0.6923: below 0.7 — must NOT appear at t=0.7 even

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q_dp_hist (Laplace release) and q_bloom_fpr (bloom calibration):
+/** q_dp_hist (seeded SIMULATION of a Laplace release — not a DP
+  * mechanism; see the lane doc) and q_bloom_fpr (bloom calibration):
   * the DuckDB oracle pins exact values; these pin the statistical laws
   * the two audits exist to demonstrate, on inputs sized so the laws
   * have teeth. */
@@ -23,9 +24,11 @@ class DpBloomSpec extends AnyFunSuite with SparkSpec {
     assert(mean > 0.4 && mean < 8.0, s"mean |noise| $mean implausible for b=2")
   }
 
-  test("dp hist: epsilon metadata constant and true counts preserved") {
+  test("dp hist: sim_epsilon metadata constant and true counts preserved") {
     val rows = SparkEntry.queries("q_dp_hist")(spark, sf).collect()
-    assert(rows.forall(_.getAs[Double]("epsilon") == 0.5))
+    // the column is named sim_epsilon because the lane is a seeded
+    // SIMULATION of a Laplace release, not a DP mechanism (see lane doc)
+    assert(rows.forall(_.getAs[Double]("sim_epsilon") == 0.5))
     val total = rows.map(_.getAs[Long]("n_true")).sum
     assert(total == Tables.customer(spark, sf).count())
   }
