@@ -2566,8 +2566,8 @@ object SparkEntry {
       // seed set over the sampled co-purchase graph — the reachability/
       // distance lane of the graph family ("how far does a recall set
       // propagate"). Each round expands only the CURRENT frontier (one
-      // keyed join + one anti-join, edge-linear), per-round
-      // localCheckpoint keeps plans flat, and every node settles exactly
+      // keyed join + one anti-join, edge-linear), per-round reliable
+      // checkpoints keep plans flat, and every node settles exactly
       // once so total work is O(edges) no matter the rounds. The oracle
       // unrolls 6 neighbor expansions (MATERIALIZED — the k-core lesson)
       // and takes the min round per node.
@@ -3214,9 +3214,9 @@ object SparkEntry {
       graft.plans.GraftExtensions.install(s)
       val e = Tables.embeddings(s, dir)
       val q = e.filter($"vec_id" < 10)
-      val brute = Similarity.bruteForceTopK(q, e, k = 5)
-        .select($"query_id", $"cand_id")
-        .localCheckpoint(true)
+      val brute = operators.Ckpt.viaParquet(
+        Similarity.bruteForceTopK(q, e, k = 5)
+          .select($"query_id", $"cand_id"), parts = 1) // 50 rows
       val coarse = ivfModel(s, dir)
       val codebooks = pqModel(s, dir)
       // lsh_r2 = the same LSH lane at probe radius 2: the audit doubles
@@ -3263,9 +3263,9 @@ object SparkEntry {
       graft.plans.GraftExtensions.install(s)
       val e = Tables.embeddings(s, dir)
       val q = e.filter($"vec_id" < 10)
-      val brute = Similarity.bruteForceTopK(q, e, k = 5)
-        .select($"query_id", $"cand_id")
-        .localCheckpoint(true)
+      val brute = operators.Ckpt.viaParquet(
+        Similarity.bruteForceTopK(q, e, k = 5)
+          .select($"query_id", $"cand_id"), parts = 1) // 50 rows
       val coarse = ivf64Model(s, dir)
       val pq8 = pq8Model(s, dir)
       val m128 = ivf128Model(s, dir)

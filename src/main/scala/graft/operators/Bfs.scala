@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale shape (the CC/k-core discipline): each round expands the
   * CURRENT frontier only — one keyed join frontier⋈edges + one
   * anti-join against the settled set, all edge-linear keyed shuffles;
-  * the frontier and settled sets are localCheckpoint'd per round so
-  * round N's plan doesn't embed rounds 1..N−1. BFS settles each node
+  * the frontier and settled sets are reliably checkpointed per round
+  * (operators.Ckpt — disk files, not evictable cache; r15) so round
+  * N's plan doesn't embed rounds 1..N−1. BFS settles each node
   * exactly once (the first time it's reached IS its minimum hop —
   * Dijkstra with unit weights), so total work across all rounds is
   * O(edges) regardless of round count, and the loop stops early the
@@ -53,28 +54,31 @@ object Bfs {
     // round joins scan the cached edges once each, no re-shuffle.)
     val e =
       if (edgesPinned) edges
+      // plain persist with lineage KEPT (cheap deterministic upstream:
+      // scan + distinct + repartition — evicted blocks recompute);
+      // loop frames below cut lineage onto checkpoint files instead
       else edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
         .repartition(col("src"))
-        .localCheckpoint(true)
-    var frontier = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = Ckpt.viaParquet(seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("hops")))
     var settled = frontier
     var h = 1L
-    var done = frontier.isEmpty
+    var nFrontier = frontier.count() // metadata-only; sizes round writes
+    var done = nFrontier == 0L
     def hint(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df
     while (h <= maxHops && !done) {
       val fr = hint(frontier)
-      val next = e
+      val next = Ckpt.viaParquet(e
         .join(fr, fr("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(hint(settled), Seq("node"), "left_anti")
-        .select(col("node"), lit(h).as("hops"))
-        .localCheckpoint(true)
-      done = next.isEmpty
+        .select(col("node"), lit(h).as("hops")), Ckpt.partsFor(nFrontier))
+      nFrontier = next.count() // metadata-only on the parquet frame
+      done = nFrontier == 0L
       if (!done) {
         settled = settled.unionByName(next)
         frontier = next

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * Scale notes: each iteration is one groupBy shuffle on the doc id;
   * iteration count is the graph diameter, and near-dup graphs are
   * overwhelmingly tiny cliques (diameter ~1-2), so `maxIter` of a few
-  * converges in practice. Each iteration's result is localCheckpoint'd
-  * (lineage TRUNCATED, not just cached) and the previous one released —
-  * no plan blow-up. This is the standard
-  * large-graph CC shape (Hash-Min); for adversarial diameters swap in
-  * large-star/small-star, which keeps the same per-iteration shuffle.
+  * converges in practice. Each iteration's result has its lineage
+  * truncated onto RELIABLE storage (operators.Ckpt — r15: was
+  * localCheckpoint, whose evicted blocks are unrecomputable under
+  * pressure) and the previous one released — no plan blow-up. This is
+  * the standard large-graph CC shape (Hash-Min); for adversarial
+  * diameters swap in large-star/small-star, which keeps the same
+  * per-iteration shuffle.
   */
 object DedupClusters {
 
@@ -48,31 +50,38 @@ object DedupClusters {
 
   def clustersWithStats(pairs: DataFrame, idA: Column, idB: Column,
                         maxIter: Int = 5): ClusteringResult = {
-    // localCheckpoint (eager) the edge list BEFORE deriving anything from
-    // it, for two compounding reasons. (1) The symmetrize-union below
-    // references `edges` four times, and Spark unions don't share subtree
-    // computation — an un-truncated edge plan (here: an entire MinHash-LSH
-    // pipeline) would execute 4×. (2) persist caches DATA but keeps the
-    // full upstream plan, so every loop iteration's logical plan would
-    // embed it plus all previous iterations' — Catalyst re-analyzing that
-    // growing tree each round soon dwarfs the (tiny) data work. Truncating
-    // lineage keeps every iteration's plan two nodes deep. (On a cluster
-    // with flaky executors swap in checkpoint() against a reliable dir —
-    // same shape.)
-    val edges = pairs.select(idA.as("src"), idB.as("dst")).localCheckpoint(true)
+    // Reliably checkpoint (Ckpt.reliable) the edge list BEFORE deriving
+    // anything from it, for two compounding reasons. (1) The
+    // symmetrize-union below references `edges` four times, and Spark
+    // unions don't share subtree computation — an un-truncated edge plan
+    // (here: an entire MinHash-LSH pipeline) would execute 4×. (2)
+    // persist caches DATA but keeps the full upstream plan, so every
+    // loop iteration's logical plan would embed it plus all previous
+    // iterations' — Catalyst re-analyzing that growing tree each round
+    // soon dwarfs the (tiny) data work. Truncating lineage keeps every
+    // iteration's plan two nodes deep. Truncation is onto DISK FILES,
+    // not evictable cache — localCheckpoint blocks are unrecomputable
+    // once evicted, the r14 gate's churn mode (see Ckpt scaladoc).
+    val edges = Ckpt.viaParquet(pairs.select(idA.as("src"), idB.as("dst")))
     // symmetrize + self-loops so isolated link members keep themselves
+    // sym is referenced every round but its upstream is now just the
+    // edge CHECKPOINT FILES (4 union arms + distinct) — plain persist
+    // keeps that cheap lineage, so evicted blocks recompute from disk
+    // files instead of failing; no second checkpoint write needed
     val sym = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .unionAll(edges.select(col("src"), col("src").as("dst")))
       .unionAll(edges.select(col("dst").as("src"), col("dst").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // label(v) starts as v, then repeatedly takes the min label among
     // neighbors (including itself, via the self-loop)
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("label"))
-      .localCheckpoint(true)
+    var labels = Ckpt.viaParquet(sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("label")))
+    // node count is CONSTANT across Hash-Min rounds — one metadata-only
+    // count sizes every round's checkpoint write (Ckpt.partsFor)
+    val nNodes = labels.count()
     // Hash-Min labels only ever decrease, so an unchanged label SUM is an
     // exact convergence test — one cheap aggregate per round, no join.
     def labelSum(df: DataFrame): Long =
@@ -81,12 +90,11 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = sym
+      val next = Ckpt.viaParquet(sym
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("label"))
-        .localCheckpoint(true)
+        .agg(min(col("dst_label")).as("label")), Ckpt.partsFor(nNodes))
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -146,24 +154,24 @@ object DedupClusters {
     // Truncate the input lineage FIRST: `nodes` and `edges` below
     // reference the pair plan three times between them, and Spark unions
     // don't share subtree computation — an un-truncated candidate-pair
-    // pipeline would execute 3×. localCheckpoint (eager) rather than
+    // pipeline would execute 3×. Reliable checkpoints (Ckpt) rather than
     // persist throughout: each star round builds on the previous round's
     // plan, so without lineage TRUNCATION the logical plan grows
-    // exponentially with rounds (persist caches data but keeps lineage).
-    // On a cluster with flaky executors swap in checkpoint() against a
-    // reliable dir — same shape, recoverable.
-    val base = pairs.select(idA.as("u"), idB.as("v")).localCheckpoint(true)
+    // exponentially with rounds (persist caches data but keeps lineage)
+    // — and the truncated state must live on reliable storage, not in
+    // evictable block-manager cache (r15; see Ckpt scaladoc).
+    val base = Ckpt.viaParquet(pairs.select(idA.as("u"), idB.as("v")))
     val nodes = base.select(col("u").as("id")).unionAll(base.select(col("v").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
-    var edges = base
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    var edges = Ckpt.viaParquet(base
+      .filter(col("u") =!= col("v")).distinct())
     var prevSig = signature(edges)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = Ckpt.viaParquet(smallStar(largeStar(edges)),
+        Ckpt.partsFor(prevSig._1))
       val nextSig = signature(next)
       edges.unpersist()
       edges = next

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * The per-round argmax goes through row_number over (node) — rewritten
   * to the bounded TopKPerGroup operator by GraftExtensions — and each
-  * round's labels are localCheckpoint'd like the CC loop's frontiers,
-  * so lineage stays flat however many rounds run.
+  * round's labels are reliably checkpointed like the CC loop's
+  * frontiers (operators.Ckpt; r15), so lineage stays flat however many
+  * rounds run.
   */
 object LabelProp {
 
@@ -53,13 +54,16 @@ object LabelProp {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      labels = adoptionRound(e, labels).localCheckpoint(eager = false)
+    var nLabels = 0L
+    for (r <- 1 to rounds) {
+      // parquet-round-trip truncation: each round materializes exactly
+      // once onto reliable files, so the final labels never replay
+      // against the released edge cache; node count is constant across
+      // rounds, so round 1's metadata-only count sizes later writes
+      labels = Ckpt.viaParquet(adoptionRound(e, labels),
+        if (r == 1) 0 else Ckpt.partsFor(nLabels))
+      if (r == 1) nLabels = labels.count()
     }
-    // materialize the final round before releasing the edge cache —
-    // an un-run lazy checkpoint would otherwise replay against
-    // unpersisted edges, recomputing the whole chain
-    labels.count()
     OpCaches.untrack(e)
     e.unpersist(blocking = false)
     labels

@@ -72,7 +72,10 @@ object Triangles {
       val parts = (0 until batches).map { k =>
         val slice = closeSlice(oriented.filter(
             pmod(xxhash64(col("u")), lit(batches)) === k))
-        val t = slice.localCheckpoint(true) // eager: severs lineage to slice shuffles
+        // parquet-round-trip truncation severs lineage to the slice
+        // shuffles onto DISK files (Ckpt, r15 — evicted localCheckpoint
+        // blocks are unrecomputable; per-node count frames are tiny)
+        val t = Ckpt.viaParquet(slice)
         // unregister the slice's wedge shuffles DETERMINISTICALLY so
         // disk frees before the next slice starts writing (the whole
         // point of batching) — no GC/weak-ref timing involved:
