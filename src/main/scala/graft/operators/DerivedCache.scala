@@ -29,6 +29,12 @@ object DerivedCache {
 
   private val paths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // birth order of cache entries (monotonic, no wall clock): eviction
+  // spares any entry born after an evictor captured its view of the
+  // input state — see evictSuperseded
+  private val born =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val births = new java.util.concurrent.atomic.AtomicLong(0L)
   // PER-KEY build monitors (computeIfAbsent here is side-effect-free, so
   // the recursive-update hazard doesn't apply): builds of unrelated
   // derivations never serialize on each other — only same-key racers
@@ -133,34 +139,56 @@ object DerivedCache {
     * current neither to itself nor to the present input state (its own
     * stale entry is then evicted by the next fresh caller).
     *
-    * KNOWN RESIDUAL RACE (r14, ADVICE — accepted): if the input is
-    * rewritten AGAIN between this method's fingerprint() recomputation
-    * and the delete below, an entry a concurrent fresh caller just built
-    * (keyed to the newest fingerprint) is neither `keep` nor `current`
-    * and can be deleted while that caller still references it — the
-    * caller then fails loudly on vanished files, the same outcome as any
-    * read raced by a double rewrite of its input. Closing it fully means
-    * holding every sibling's per-key lock across the refingerprint (a
-    * lock-ordering hazard for two-line value) or an age grace period
-    * (clock coupling); the DOUBLE-rewrite window is accepted as is —
-    * the single-rewrite race is covered by DerivedCacheSpec. */
+    * The r14 TOCTOU is CLOSED by a birth-order cutoff (r15; was an
+    * accepted-risk note): the former hazard was an input rewritten
+    * AGAIN between this method's fingerprint() recomputation and the
+    * delete — an entry a concurrent fresh caller just built against
+    * the newest input state was neither `keep` nor `current` and got
+    * deleted while current. Now the evictor captures the monotonic
+    * birth counter BEFORE recomputing the fingerprint and only evicts
+    * entries born up to that cutoff: any entry that could possibly
+    * describe an input state newer than the evictor's view was born
+    * after the cutoff and is spared (the next fresh caller, whose
+    * cutoff postdates its birth, collects it if it is genuinely
+    * stale). No clocks, no extra locks, no lock-ordering hazard.
+    * Evicting a genuinely superseded version while some straggler
+    * still reads it remains correct by contract: a reader whose input
+    * was rewritten underneath it must fail loudly, not serve stale
+    * rows (DerivedCacheSpec pins both directions). */
   private def evictSuperseded(baseKey: String, keep: String,
                               inputs: Seq[String]): Unit = {
     import scala.jdk.CollectionConverters._
     val stale = paths.keySet.asScala.toSeq
       .filter(k => k != keep && k.startsWith(baseKey + "@"))
     if (stale.nonEmpty) {
+      val cutoff = births.get() // BEFORE the refingerprint, see above
       val current = s"$baseKey@${fingerprint(inputs)}"
-      stale.filter(_ != current).foreach { k =>
+      evictStaleSiblings(stale, keep, current, cutoff)
+    }
+  }
+
+  /** Eviction core, factored so the race spec can drive the exact
+    * interleaving (a stale view + a concurrently-born fresh entry)
+    * deterministically. Removes every `stale` key that is neither
+    * `keep` nor `current` and was born at or before `cutoff`. */
+  private[graft] def evictStaleSiblings(stale: Seq[String], keep: String,
+                                        current: String,
+                                        cutoff: Long): Unit =
+    stale.filter(k => k != keep && k != current &&
+        born.getOrDefault(k, 0L) <= cutoff)
+      .foreach { k =>
         keyLocks.computeIfAbsent(k, _ => new Object).synchronized {
           val p = paths.remove(k)
+          born.remove(k)
           if (p != null)
             try graft.Fs.deleteRec(java.nio.file.Paths.get(p))
             catch { case _: Exception => () }
         }
       }
-    }
-  }
+
+  /** Current value of the birth counter (monotonic; for the race
+    * spec's deterministic cutoffs). */
+  private[graft] def birthSeq: Long = births.get()
 
   /** The derived table for `key` (any stable string naming the data dir
     * + derivation variant), building and writing it on first call.
@@ -179,6 +207,7 @@ object DerivedCache {
         // build time is once-per-JVM amortized work, metered separately
         // so bench cold numbers can split query from build (BuildMeter)
         BuildMeter.time { build.write.mode("overwrite").parquet(out) }
+        born.put(key, births.incrementAndGet())
         paths.put(key, out)
         out
       }

@@ -151,4 +151,54 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
     assert(rows(again) == (1L to 7L).toSet)
     graft.Fs.deleteRec(dir)
   }
+
+  test("double-rewrite race: a concurrently-born fresh entry survives a stale evictor") {
+    // The r14 ADVICE accepted-risk TOCTOU, closed in r15 by the
+    // birth-order cutoff. Interleaving (driven deterministically
+    // through the factored eviction core): an evictor captures its
+    // view of the input state (cutoff, then current fingerprint);
+    // the input is rewritten AGAIN and a fresh caller builds and
+    // registers the newest entry; THEN the evictor's delete runs.
+    // The fresh entry was born after the cutoff and must survive —
+    // the pre-r15 code deleted it (neither keep nor current).
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    def parquetDir(df: org.apache.spark.sql.DataFrame): java.nio.file.Path =
+      Paths.get(df.inputFiles.head
+        .replaceFirst("^file:", "").replaceFirst("/[^/]*$", ""))
+    val dir = Files.createTempDirectory("derived-race2")
+    val input = dir.resolve("t.txt")
+    Files.writeString(input, "v1")
+    val key = s"spec#race2-${System.nanoTime()}"
+    // entry A at fp1 — the evictor's own `keep` (registered directly
+    // through table() so no eviction pass muddies the interleaving)
+    val fp1 = DerivedCache.fingerprint(Seq(input.toString))
+    val a = DerivedCache.table(spark, s"$key@$fp1")((1L to 5L).toDF("v"))
+    val aPath = parquetDir(a)
+    // rewrite #1 lands; the evictor captures cutoff BEFORE its
+    // refingerprint (exactly what evictSuperseded does), current = fp2
+    Files.writeString(input, "v2-but-longer")
+    val cutoff = DerivedCache.birthSeq
+    val fp2 = DerivedCache.fingerprint(Seq(input.toString))
+    // rewrite #2 lands and a concurrent fresh caller builds + registers
+    // the newest-fingerprint entry before the evictor's delete runs
+    Files.writeString(input, "v3-even-longer!!")
+    val fp3 = DerivedCache.fingerprint(Seq(input.toString))
+    val fresh = DerivedCache.table(spark, s"$key@$fp3")((1L to 9L).toDF("v"))
+    val freshPath = parquetDir(fresh)
+    // the evictor's delete finally runs with its STALE view
+    DerivedCache.evictStaleSiblings(
+      stale = Seq(s"$key@$fp3"), keep = s"$key@$fp1",
+      current = s"$key@$fp2", cutoff = cutoff)
+    assert(Files.exists(freshPath),
+      "fresh entry deleted by a stale evictor — the r14 TOCTOU is back")
+    assert(rows(spark.read.parquet(freshPath.toString)) == (1L to 9L).toSet)
+    // ...while a LATER evictor with a fresh view (cutoff postdating
+    // every birth) does collect the genuinely stale fp1 entry
+    DerivedCache.evictStaleSiblings(
+      stale = Seq(s"$key@$fp1"), keep = s"$key@$fp3",
+      current = s"$key@$fp3", cutoff = DerivedCache.birthSeq)
+    assert(!Files.exists(aPath), "genuinely stale entry not collected")
+    graft.Fs.deleteRec(dir)
+  }
 }
