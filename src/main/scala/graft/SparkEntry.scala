@@ -2535,9 +2535,14 @@ object SparkEntry {
       // (degree-ordered orientation bounds wedge fan-out at O(m^1.5) —
       // the hub-safe classic; see operators.Triangles). Integer counts
       // → exact SQL replay; top-50 via TakeOrderedAndProject. Shared
-      // materialized edge table (operators.CoPurchase).
+      // materialized edge table (operators.CoPurchase). r15: the lane
+      // is SELF-SIZING — wedge volume (one cheap agg) picks the
+      // close-shuffle width and the K-slice count, so the sf1+ wedge
+      // growth that spilled the fixed 32-partition close (80-170 s)
+      // runs wide instead (~40-65 s measured at sf1), and sf10's
+      // 4.1B-wedge disk wall engages the batched plan automatically.
       val und = operators.CoPurchase.fullEdges(s, dir)
-      operators.Triangles.perNode(und)
+      operators.Triangles.perNodeAdaptive(und)
         .orderBy($"n_triangles".desc, $"node")
         .limit(50)
     }),

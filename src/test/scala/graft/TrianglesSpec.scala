@@ -38,6 +38,43 @@ class TrianglesSpec extends AnyFunSuite with SparkSpec {
     assert(one == four, s"batched diverged: ${one.size} vs ${four.size}")
   }
 
+  test("adaptive plan: slice plan engages above the wedge threshold, output identical") {
+    import spark.implicits._
+    // the r15 plan pin: on the skewed co-purchase fixture, forcing the
+    // thresholds down makes choose() pick batches > 1 AND a widened
+    // close shuffle — and the output stays identical to the plain plan
+    val und = PageRank.coOccurrenceEdges(
+      Tables.lineitem(spark, sf), $"l_orderkey", $"l_partkey", maxBasket = 64)
+    // measure the fixture's real wedge volume (orientation re-derived
+    // exactly as the operator does it)
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("d"))
+    val oriented = und.join(deg.select($"src", $"d".as("du")), "src")
+      .join(deg.select($"src".as("dst"), $"d".as("dv")), "dst")
+      .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
+      .select($"src".as("u"), $"dst".as("v"), $"dv")
+    val w = Triangles.wedgeVolume(oriented)
+    assert(w > 0)
+    // the sizing rule: thresholds below the fixture's volume engage
+    // BOTH the slice plan and the wide close
+    val plan = Triangles.choose(w, perSlice = w / 3 + 1, perPart = w / 100 + 1,
+      defaultParts = 4)
+    assert(plan.batches > 1, s"slice plan must engage: $plan")
+    assert(plan.closeParts > 4, s"close must widen: $plan")
+    // and at production thresholds on this small fixture, the plan is
+    // untouched (no extra exchanges at bench scale)
+    val prod = Triangles.choose(w, Triangles.wedgesPerSlice,
+      Triangles.wedgesPerPartition, defaultParts = 32)
+    assert(prod.batches == 1 && prod.closeParts == 0, s"got $prod")
+    // output identity under the forced-adaptive plan
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = m(Triangles.perNode(und, 1))
+    val adaptive = m(Triangles.perNodeAdaptive(und,
+      perSlice = w / 3 + 1, perPart = w / 100 + 1))
+    graft.operators.OpCaches.releaseAll()
+    assert(plain == adaptive, s"adaptive diverged: ${plain.size} vs ${adaptive.size}")
+  }
+
   test("random graphs: always matches brute force (incl. ties, components)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
