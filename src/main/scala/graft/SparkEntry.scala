@@ -463,6 +463,48 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, cand_id) AS rank
        |    FROM sscored) t WHERE rank <= 5),
+       |s8stats AS (
+       |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+       |s8arrs AS (SELECT list(mn ORDER BY pos) AS mn_arr,
+       |  list(mx ORDER BY pos) AS mx_arr FROM s8stats),
+       |s8codes AS (
+       |  SELECT vec_id AS cand_id,
+       |    list_transform(range(1, 65), j ->
+       |      CASE WHEN mx_arr[j] = mn_arr[j] THEN CAST(0 AS BIGINT)
+       |        ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |          CAST(floor((CAST(embedding[j] AS DOUBLE) - mn_arr[j]) * 255.0
+       |            / (mx_arr[j] - mn_arr[j])) AS BIGINT))) END) AS codes
+       |  FROM embeddings CROSS JOIN s8arrs),
+       |s8scored AS (
+       |  SELECT ca.query_id, ca.cand_id,
+       |    round(list_sum(list_transform(range(1, 65), j ->
+       |      CAST(q.embedding[j] AS DOUBLE) * (mn_arr[j]
+       |        + (CAST(c.codes[j] AS DOUBLE) + 0.5)
+       |          * (mx_arr[j] - mn_arr[j]) / 255.0))), 6) AS approx
+       |  FROM cands ca
+       |  JOIN s8codes c ON c.cand_id = ca.cand_id
+       |  JOIN embeddings q ON q.vec_id = ca.query_id
+       |  CROSS JOIN s8arrs),
+       |s8short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, cand_id) AS srank
+       |    FROM s8scored) t WHERE srank <= 200),
+       |s8rr AS (
+       |  SELECT sh.query_id, sh.cand_id,
+       |    ${cos("a.embedding", "b.embedding")} AS cosine
+       |  FROM s8short sh
+       |  JOIN embeddings a ON a.vec_id = sh.query_id
+       |  JOIN embeddings b ON b.vec_id = sh.cand_id),
+       |ivf_s8 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM s8rr) t WHERE rank <= 5),
        |b4 AS (SELECT vec_id, embedding,
        |  $bucket AS bucket FROM embeddings),
        |lscored AS (
@@ -532,6 +574,8 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT 'ivf_s', count(*) FROM candsv
        |  UNION ALL
+       |  SELECT 'ivf_s8', count(*) FROM candsv
+       |  UNION ALL
        |  SELECT 'lsh_t', count(*) FROM lscored
        |  UNION ALL
        |  SELECT 'pq_rerank', count(*) FROM cand),
@@ -543,6 +587,9 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT 'ivf_s', count(*)
        |    FROM ivf_s JOIN brute USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'ivf_s8', count(*)
+       |    FROM ivf_s8 JOIN brute USING (query_id, cand_id)
        |  UNION ALL
        |  SELECT 'lsh_t', count(*)
        |    FROM lsh_t JOIN brute USING (query_id, cand_id)
@@ -3286,6 +3333,12 @@ object SparkEntry {
         // fraction law — the full evidence ladder is in SCALE.md r14.
         "ivf_s" -> operators.IvfAnn.topKSpill(q, e, k = 5, m128,
           nProbe = 10, spill = 3),
+        // r15: the SQ8 × spill combo — same spilled index geometry
+        // (same pair-visits), but the cell scan reads 1-byte codes
+        // with a shortlist-200 exact rerank; the frontier row records
+        // whether the code-domain shortlist costs recall vs ivf_s
+        "ivf_s8" -> operators.SqAnn.topKSpillSq8(q, e, k = 5, m128,
+          nProbe = 10, spill = 3, shortlist = 200),
         "lsh_t" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 4,
           probeRadius = 2),
         "pq_rerank" -> operators.PqAnn.adcRerankTopK(q, e, k = 5,
@@ -3326,6 +3379,9 @@ object SparkEntry {
           .select(lit("ivf_t").as("lane"), $"n_scored"),
         candS.agg(count(lit(1)).as("n_scored"))
           .select(lit("ivf_s").as("lane"), $"n_scored"),
+        // ivf_s8 scans the SAME spilled pair-visits (in code domain)
+        candS.agg(count(lit(1)).as("n_scored"))
+          .select(lit("ivf_s8").as("lane"), $"n_scored"),
         lshCand.agg(count(lit(1)).as("n_scored"))
           .select(lit("lsh_t").as("lane"), $"n_scored"),
         cand.agg(count(lit(1)).as("n_scored"))

@@ -66,6 +66,59 @@ object SqAnn {
       |    (a, b) -> CAST(a AS DOUBLE) * b),
       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)""".stripMargin
 
+  /** SQ8 scan INSIDE the spilled-IVF index (r15 — the frontier combo
+    * the r14 verdict asked for): candidates meet queries in up to
+    * `spill` shared cells ([[IvfAnn.assignCells]] multi-assignment,
+    * the 25%-budget recall winner on isotropic data), but the cell
+    * scan reads 1-byte-per-dimension CODES instead of floats — at
+    * 100 TB the probed-cell scan is memory-bandwidth-bound, so the 8×
+    * compression is the speedup — and only the per-query `shortlist`
+    * by approximate score re-joins the float table for the exact
+    * cosine rerank. Pair-visits (duplicates across shared cells
+    * included) are the honest scan cost, identical to the plain
+    * spilled lane's — SQ8 changes the bandwidth per visit, not the
+    * visit count; the q_ann_tuned frontier row records what the
+    * rerank shortlist costs in recall (none, at shortlist ≥ the
+    * per-query candidate count). Deterministic: approx rounds at 6
+    * with cand_id tiebreaks, duplicates collapse by max (the value is
+    * identical per copy), rerank is the house cosine6. */
+  def topKSpillSq8(queries: DataFrame, corpus: DataFrame, k: Int,
+                   model: IvfAnn.Model, nProbe: Int, spill: Int,
+                   shortlist: Int): DataFrame = {
+    val stats = dimStats(corpus)
+    val coded = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), col("mn_arr"), col("mx_arr"))
+      .select(col("cand_id"), expr(codesExpr).as("codes"),
+        explode(IvfAnn.assignCells(col("c_emb"), model, spill)).as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(IvfAnn.probeCells(col("embedding"), model, nProbe)).as("cell"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("cand_id"), expr(approxExpr).as("approx"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("approx")).as("approx"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id"))
+    val short = scored
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .drop("srank")
+    val rr = short
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb")), "cand_id")
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), "query_id")
+      .select(col("query_id"), col("cand_id"), col("approx"),
+        VectorFns.cosine6(col("q_emb"), col("c_emb")).as("cosine"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rr.withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k by exact cosine over an SQ8-scanned shortlist. Queries keep
     * full precision (asymmetric distance); candidates are scanned as
     * codes only, floats re-fetched for the shortlist. */

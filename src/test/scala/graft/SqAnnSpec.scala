@@ -58,6 +58,25 @@ class SqAnnSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"sq8 recall@5 $recall vs exact")
   }
 
+  test("spilled SQ8 lane == plain spilled lane when the shortlist covers every candidate") {
+    // r15 frontier combo: the SQ8 code scan inside the spilled index
+    // changes bandwidth, not candidates — with shortlist >= corpus the
+    // exact rerank sees every visited pair, so (query, cand, rank)
+    // must equal IvfAnn.topKSpill's exactly
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val model = graft.operators.IvfAnn.train(e, "vec_id", "embedding", k = 32)
+    def trip(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("rank"))).toSet
+    val plain = trip(graft.operators.IvfAnn.topKSpill(q, e, k = 5, model,
+      nProbe = 6, spill = 2))
+    val sq8 = trip(SqAnn.topKSpillSq8(q, e, k = 5, model,
+      nProbe = 6, spill = 2, shortlist = Int.MaxValue))
+    assert(sq8 == plain,
+      s"missing=${(plain -- sq8).take(3)} extra=${(sq8 -- plain).take(3)}")
+  }
+
   test("approx scores order like true scores at the top (rank-1 agreement)") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" % 100 === 0)
