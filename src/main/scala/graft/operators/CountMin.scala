@@ -74,9 +74,18 @@ object CountMin {
   /** Point estimates for every distinct key: min over the d rows of the
     * key's counters. The sketch side is d·width rows — broadcast into
     * the probe join, so the keys table never shuffles. */
-  def estimates(df: DataFrame, key: Column, width: Int): DataFrame = {
-    val sk = sketch(df, key, width)
-    val keys = df.select(key.as("key")).distinct()
+  def estimates(df: DataFrame, key: Column, width: Int): DataFrame =
+    estimatesFrom(sketch(df, key, width), df.select(key.as("key")).distinct(),
+      width)
+
+  /** [[estimates]] from an ALREADY-BUILT sketch table (row, bucket,
+    * cnt) — the production read path when the sketch is MAINTAINED
+    * (nightly batch build, or the streaming twin's carried state) and
+    * estimation must not rescan the data it summarizes. `keys` is the
+    * (key)-column probe set. The streaming parity spec pins that a
+    * sketch carried across micro-batches estimates identically through
+    * this path. */
+  def estimatesFrom(sk: DataFrame, keys: DataFrame, width: Int): DataFrame = {
     val probes = Seeds.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("row"), bucket(col("key"), a, b, width).as("bucket"))
     }

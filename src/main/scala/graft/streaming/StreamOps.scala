@@ -10,6 +10,43 @@ import java.sql.Timestamp
   * The same transformations compose over batch and streaming DataFrames;
   * watermarks bound state so a 100 TB/day stream doesn't accumulate
   * unbounded session/window state.
+  *
+  * == Batch-parity ledger (r15) ==
+  * The strongest oracle anchoring available to a streaming lane is a
+  * StreamingSpec parity pin: replay REAL table rows through the lane
+  * and assert row-identity with a hash-green driver query. Lanes pinned
+  * that way: sessionize (q_events_sessionize), ohlcBars
+  * (q_resample_ohlc), sessionFunnel (q_funnel_sessions),
+  * attributionLastTouch (q_attribution), dedupExact (q_dedup_exact's
+  * min-id keep set), decontaminate (q_decontaminate), sentenceDedup
+  * (q_sentence_dedup), dsirScore (q_dsir_weights), quality-LR scoring
+  * (q_quality_lr), ewmaLast (q_ewma), driftHistogram (q_drift_psi),
+  * cdcUpsert (q_cdc_merge), cmsSketch (q_cms_freq via
+  * CountMin.estimatesFrom), kmvDistinct (q_kmv_distinct).
+  * Lanes NOT parity-pinned, each with its reason:
+  *  - windowedCounts — watermark-windowed counts have no driver-query
+  *    twin (the batch q_events_windowed differs in window spec); exact
+  *    counts pinned on a bounded fixture instead;
+  *  - the foreachBatch ETL sink — a side-effecting SINK, not a query;
+  *    its written partitions/content are spec-pinned directly;
+  *  - clickPurchaseJoin / clickPurchaseJoinOuter — stream-stream joins
+  *    whose horizon semantics (watermark expiry emits) have no batch
+  *    twin in the catalog; expected match sets pinned on fixtures;
+  *  - enrichWithDim — a stateless broadcast-join wrapper; the join
+  *    itself IS the batch operator, spec-pinned on a fixture;
+  *  - cdcUpsertPartitioned / appendDeltaBatch (MOR) — same CdcMerge
+  *    core as the parity-pinned cdcUpsert; what they add (partition
+  *    scoping, delta compaction) is filesystem behavior, spec-pinned
+  *    (CdcMorSpec) rather than row-set behavior;
+  *  - heavyHitters — Misra–Gries summaries are ARRIVAL-ORDER-dependent
+  *    (merge of per-batch summaries ≠ one-pass summary), so exact
+  *    parity with the batch q_approx_heavy_hitters cannot hold by
+  *    construction; the MG error bound (true_count − k-bound ≤ est ≤
+  *    true_count) is spec-pinned instead;
+  *  - StreamShard / nearDupHits (StreamDedup) — routing/candidate
+  *    generation whose batch twins (q_shuffle_shard, q_dedup_minhash)
+  *    use per-corpus statistics a stream cannot see at arrival time;
+  *    the hash/banding algebra is shared code and spec-pinned.
   */
 object StreamOps {
 

@@ -940,4 +940,135 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(vanished.nonEmpty, "baseline-only bin produced no scored row")
     assert(vanished.forall(r => r.getLong(2) == 0L && r.getDouble(4) > 0.0))
   }
+
+  test("streaming CDC upsert equals the q_cdc_merge driver query on real customers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parity lane (r15): the CDC sink replayed over the REAL changelog
+    // q_cdc_merge derives from orders, against the REAL customer base
+    // snapshot. Changes are delivered in version order across 5 uneven
+    // batches (the CDC log-order contract — cross-batch, arrival IS the
+    // version order; versions re-order only within a batch). The final
+    // snapshot must equal the hash-green driver query exactly: same key
+    // set, same balances, and change_applied <=> the snapshot row
+    // carries a changelog version column (schema evolution fills those
+    // only on upserted rows).
+    val dir = java.nio.file.Files.createTempDirectory("cdc_parity_")
+      .toString + "/snap"
+    Tables.customer(spark, sf)
+      .select($"c_custkey",
+        $"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("acctbal"))
+      .write.mode("overwrite").parquet(dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val changes = Tables.orders(spark, sf).select(
+        $"o_custkey".as("c_custkey"),
+        when($"o_orderstatus" === "F", lit("D")).otherwise(lit("U")).as("op"),
+        $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("acctbal"),
+        $"o_orderdate", $"o_orderkey")
+      .withColumn("b", ((row_number().over(w) - 1) / 400).cast("int"))
+    val nBatches = changes.agg(max($"b")).head.getInt(0)
+    (0 to nBatches).foreach { b =>
+      StreamOps.mergeBatch(changes.filter($"b" === b).drop("b"), dir,
+        keys = Seq("c_custkey"), opCol = "op",
+        version = Seq("o_orderdate", "o_orderkey"))
+    }
+    val got = spark.read.parquet(dir)
+      .select($"c_custkey", $"acctbal".cast("double"),
+        $"o_orderkey".isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .toSet
+    val want = SparkEntry.queries("q_cdc_merge")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .toSet
+    assert(got == want,
+      s"stream/batch diverge: onlyStream=${(got -- want).take(3)} " +
+        s"onlyBatch=${(want -- got).take(3)}")
+    // every customer has orders at this sf, so the untouched branch is
+    // vacuous here; the change_applied <=> version-column equivalence is
+    // still pinned row-by-row by the set equality above
+    assert(want.exists(_._3))
+  }
+
+  test("streaming CMS sketch estimates equal the q_cms_freq driver query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parity lane (r15): the carried sketch state, estimated through
+    // CountMin.estimatesFrom (the maintained-sketch read path), must
+    // reproduce the hash-green q_cms_freq rows exactly — same width
+    // (256), same keys (events.user_id), same exact-count harness.
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select($"user_id").collect()
+      .map(r => StreamOps.CmsItem("all", r.getLong(0)))
+    val perm = rows.sortBy(r => (r.key * 2654435761L) % 104729)
+    val in = MemoryStream[StreamOps.CmsItem]
+    val q = StreamOps.cmsSketch(in.toDS(), width = 256)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cmspar").start()
+    perm.grouped(997).foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    // counters only grow: final state per cell = max over emissions
+    val cells = spark.sql("SELECT row, bucket, max(cnt) AS cnt FROM cmspar GROUP BY 1, 2")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    val streamedSk = cells.toSeq.toDF("row", "bucket", "cnt")
+    val est = graft.operators.CountMin.estimatesFrom(streamedSk,
+      ev.select($"user_id".as("key")).distinct(), width = 256)
+    val exact = ev.groupBy($"user_id".as("key"))
+      .agg(count(lit(1)).as("true_count"))
+    val got = est.join(exact, "key")
+      .select($"key", $"est_count", $"true_count",
+        ($"est_count" - $"true_count").as("overcount"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = SparkEntry.queries("q_cms_freq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"stream/batch diverge: onlyStream=${(got -- want).take(3)} " +
+        s"onlyBatch=${(want -- got).take(3)}")
+    assert(want.nonEmpty)
+  }
+
+  test("streaming KMV distinct equals the q_kmv_distinct driver query on real lineitem") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parity lane (r15): the streaming sketch at the DRIVER LANE's
+    // operating point (k=256 over (l_returnflag, l_partkey)), final
+    // state assembled into exactly the hash-green q_kmv_distinct rows
+    // (sketch_size, kth_hash, est_distinct + the exact-count harness).
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.select($"l_returnflag", $"l_partkey").collect()
+      .map(r => StreamOps.KmvItem(r.getString(0), r.getLong(1)))
+    val perm = rows.sortBy(r => (r.key * 2654435761L + r.group.hashCode) % 104729)
+    val in = MemoryStream[StreamOps.KmvItem]
+    val q = StreamOps.kmvDistinct(in.toDS(), k = 256)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmvpar").start()
+    perm.grouped(1234).foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    // final state per group: size only grows; at k, the k-th min shrinks
+    val got = spark.sql("SELECT * FROM kmvpar").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.minBy(t => (-t._2, t._3))).toMap
+    q.stop()
+    val exact = li.select($"l_returnflag".as("g"), $"l_partkey").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("exact_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamedRows = got.map { case (g, (_, n, kth, est)) =>
+      (g, n, kth, est, exact(g))
+    }.toSet
+    val want = SparkEntry.queries("q_kmv_distinct")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(streamedRows == want,
+      s"stream/batch diverge: onlyStream=${(streamedRows -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamedRows).take(3)}")
+    assert(want.nonEmpty)
+  }
 }
