@@ -338,6 +338,56 @@ object SparkEntry {
        |FROM h, tot t
        |ORDER BY lane""".stripMargin
 
+  /** q_ann_rank_metrics' oracle: the same four lane definitions the
+    * recall audit embeds (each lane's EXISTING oracle text as a CTE),
+    * joined to the brute ranked truth and scored with the integer-micro
+    * discount grid — per-query DCG/MRR are exact integer sums, the two
+    * means are one double division each (round-6), so the rank metrics
+    * replay bit-identically. */
+  private def annRankMetricsOracle(coarse: operators.IvfAnn.Model,
+                                   pq: operators.PqAnn.Model): String =
+    s"""WITH brute0 AS (
+       |${annBruteOracle}),
+       |brute AS (SELECT query_id, cand_id, CAST(6 - rank AS BIGINT) AS rel
+       |  FROM brute0),
+       |lsh AS (
+       |${annLshOracle}),
+       |lsh_r2 AS (
+       |${annLshOracleAt(2)}),
+       |ivf AS (
+       |${ivfOracle(coarse)}),
+       |pq AS (
+       |${pqOracle(coarse, pq)}),
+       |tot AS (SELECT count(DISTINCT query_id) AS nq FROM brute),
+       |h AS (
+       |  SELECT 'ivf' AS lane, l.query_id, l.rank, b.rel
+       |    FROM ivf l JOIN brute b USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'lsh', l.query_id, l.rank, b.rel
+       |    FROM lsh l JOIN brute b USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'lsh_r2', l.query_id, l.rank, b.rel
+       |    FROM lsh_r2 l JOIN brute b USING (query_id, cand_id)
+       |  UNION ALL
+       |  SELECT 'pq', l.query_id, l.rank, b.rel
+       |    FROM pq l JOIN brute b USING (query_id, cand_id)),
+       |perq AS (SELECT lane, query_id,
+       |    CAST(sum(rel * CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+       |      WHEN 3 THEN 500000 WHEN 4 THEN 430677 ELSE 386853 END)
+       |      AS BIGINT) AS dcg_micro,
+       |    CAST(1000000 // min(rank) AS BIGINT) AS mrr_micro
+       |  FROM h GROUP BY 1, 2),
+       |ag AS (SELECT lane, CAST(sum(dcg_micro) AS BIGINT) AS dcg_sum,
+       |    CAST(sum(mrr_micro) AS BIGINT) AS sum_mrr_micro
+       |  FROM perq GROUP BY 1)
+       |SELECT ag.lane, CAST(t.nq AS BIGINT) AS n_queries, sum_mrr_micro,
+       |  round(CAST(sum_mrr_micro AS DOUBLE) / CAST(t.nq * 1000000 AS DOUBLE),
+       |    6) AS mean_mrr,
+       |  round(CAST(dcg_sum AS DOUBLE) / CAST(t.nq * 10271927 AS DOUBLE), 6)
+       |    AS mean_ndcg
+       |FROM ag, tot t
+       |ORDER BY lane""".stripMargin
+
   /** q_ann_tuned's oracle: ONE flat WITH replaying every tuned lane from
     * the trained-model literals — the 64-cell quantizer ladder is shared
     * by the ivf_t lane, the pq_rerank candidate restriction, AND the
@@ -2393,6 +2443,40 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "q_ngram_novelty" -> ((s, dir) => {
+      import s.implicits._
+      // Split-novelty audit (r15) — the memorization-risk metric for a
+      // train/eval split, and the n-gram-level dual of q_split_leakage
+      // (which finds near-dup DOC pairs straddling the boundary): what
+      // fraction of each eval split's DISTINCT word 5-grams does the
+      // train split already contain? (GPT-3's n-gram collision test
+      // run split-internally — low novelty means eval perplexity is
+      // partly memorization.) Split labels are the exact
+      // q_train_test_split md5-bucket assignment — a pure function of
+      // doc identity, zero extra state; grams expand row-locally (the
+      // decontamination machinery), and the audit is one distinct +
+      // one semi-join per eval split in the gram domain — the corpus
+      // text never shuffles. novelty_ppm = grams NOT seen in train.
+      val b = operators.Sampling.hashBucket($"doc_id")
+      val grams = operators.Decontaminate.docGrams(
+          Tables.documents(s, dir), $"text", $"doc_id", n = 5)
+        .select(when(b < 10, "test").when(b < 20, "val")
+          .otherwise(lit("train")).as("split"), $"gram")
+        .distinct()
+      val trainG = grams.filter($"split" === "train").select($"gram")
+      val evalG = grams.filter($"split" =!= "train")
+      val tot = evalG.groupBy($"split")
+        .agg(count(lit(1)).as("n_distinct_grams"))
+      val seen = evalG.join(trainG, Seq("gram"), "left_semi")
+        .groupBy($"split").agg(count(lit(1)).as("n_overlap_train"))
+      tot.join(seen, Seq("split"), "left")
+        .select($"split", $"n_distinct_grams",
+          coalesce($"n_overlap_train", lit(0L)).as("n_overlap_train"),
+          expr("1000000 * (n_distinct_grams - coalesce(n_overlap_train, 0))" +
+            " div n_distinct_grams").as("novelty_ppm"))
+        .orderBy($"split")
+    }),
+
     "q_minhash_recall" -> ((s, dir) => {
       import s.implicits._
       // The S-curve audit for minhash-LSH dedup — q_ann_recall's
@@ -3294,6 +3378,60 @@ object SparkEntry {
         .orderBy($"lane")
     }),
 
+    "q_ann_rank_metrics" -> ((s, dir) => {
+      import s.implicits._
+      // Rank-AWARE quality audit for the ANN ladder (r15) — recall@5
+      // (q_ann_recall) treats the top-5 as a set; ranking quality is
+      // what retrieval consumers feel, so this lane scores each
+      // approximate lane's ORDERED list against the brute-force ranked
+      // truth with MRR and NDCG@5 (graded relevance = 6 − brute rank).
+      // Exact-parity arithmetic: discounts 1/log2(i+1) are fixed
+      // integer-micro LITERALS on both engines (the Holt literal
+      // rule), per-query DCG/MRR are exact integer sums (mrr_micro =
+      // 1e6 div first-relevant-rank), and the two means are ONE double
+      // division of exact integers each, round-6.
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 10)
+      val brute = operators.Ckpt.viaParquet(
+        Similarity.bruteForceTopK(q, e, k = 5)
+          .select($"query_id", $"cand_id", (lit(6L) - $"rank").as("rel")),
+        parts = 1) // 50 rows
+      val coarse = ivfModel(s, dir)
+      val codebooks = pqModel(s, dir)
+      val lanes: Seq[(String, DataFrame)] = Seq(
+        "ivf" -> operators.IvfAnn.topK(q, e, k = 5, coarse, nProbe = 4),
+        "lsh" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 6),
+        "lsh_r2" -> Similarity.lshTopK(q, e, k = 5, nPlanes = 6,
+          probeRadius = 2),
+        "pq" -> operators.PqAnn.adcTopK(q, e, k = 5, coarse, codebooks,
+          nProbe = 4))
+      // integer-micro discount grid: round(1e6 / log2(rank + 1))
+      val disc = when($"rank" === 1, 1000000L).when($"rank" === 2, 630930L)
+        .when($"rank" === 3, 500000L).when($"rank" === 4, 430677L)
+        .otherwise(lit(386853L))
+      val idcgMicro = 5L * 1000000L + 4L * 630930L + 3L * 500000L +
+        2L * 430677L + 1L * 386853L // = 10271927, the ideal top-5 DCG
+      val tot = brute.agg(countDistinct($"query_id").as("n_queries"))
+      lanes.map { case (lane, df) =>
+        df.select($"query_id", $"cand_id", $"rank")
+          .join(broadcast(brute), Seq("query_id", "cand_id"))
+          .groupBy($"query_id")
+          .agg(sum($"rel" * disc).as("dcg_micro"),
+            min($"rank").as("min_rank"))
+          .agg(sum($"dcg_micro").as("dcg_sum"),
+            sum(expr("1000000 div min_rank")).as("sum_mrr_micro"))
+          .select(lit(lane).as("lane"), $"dcg_sum", $"sum_mrr_micro")
+      }.reduce(_.unionByName(_))
+        .crossJoin(broadcast(tot))
+        .select($"lane", $"n_queries", $"sum_mrr_micro",
+          round($"sum_mrr_micro".cast(DoubleType) /
+            ($"n_queries" * 1000000L).cast(DoubleType), 6).as("mean_mrr"),
+          round($"dcg_sum".cast(DoubleType) /
+            ($"n_queries" * idcgMicro).cast(DoubleType), 6).as("mean_ndcg"))
+        .orderBy($"lane")
+    }),
+
     "q_ann_tuned" -> ((s, dir) => {
       import s.implicits._
       // The CLOSED tuning loop q_ann_recall opened: each approximate
@@ -3502,6 +3640,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"gram")
         .limit(50)
+    }),
+
+    "q_burstiness" -> ((s, dir) => {
+      import s.implicits._
+      // Token burstiness (r15; Church & Gale 1995): variance-to-mean
+      // ratio (Fano factor) of per-document term counts over ALL docs
+      // — vmr ~= 1 reads Poisson-like (function words sprinkled
+      // evenly), vmr >> 1 reads BURSTY (content terms concentrating in
+      // few docs). The corpus dispersion statistic next to q_zipf_fit
+      // (frequency law), q_heaps_law (vocabulary growth) and
+      // q_token_entropy (within-doc diversity) — dispersion is what
+      // upweights topical terms in retrieval and flags template spam
+      // in curation. Exact cross-engine arithmetic: docs NOT
+      // containing a token contribute zero to both ΣC and ΣC², so the
+      // all-docs moments are one explode + groupBy(token) pass plus
+      // the 1-row corpus count; vmr = (N·ΣC² − (ΣC)²) / (N·ΣC) with
+      // DECIMAL(38,0) products (DuckDB sums to HUGEINT — same exact
+      // integers) and ONE double division, round-6.
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      tf.groupBy($"token")
+        .agg(count(lit(1)).as("df"), sum($"c").as("tf_sum"),
+          sum($"c" * $"c").as("tf_sq"))
+        .crossJoin(broadcast(nd))
+        .select($"token", $"df", $"tf_sum",
+          round((($"n_docs".cast(DecimalType(38, 0)) * $"tf_sq" -
+              $"tf_sum".cast(DecimalType(38, 0)) * $"tf_sum")
+              .cast(DoubleType)) /
+            (($"n_docs".cast(DecimalType(38, 0)) * $"tf_sum")
+              .cast(DoubleType)), 6).as("vmr"))
+        .orderBy($"vmr".desc, $"token")
     }),
 
     "q_token_entropy" -> ((s, dir) => {
@@ -5158,6 +5329,45 @@ object SparkEntry {
           round(center - half, 8).as("wilson_lo"),
           round(center + half, 8).as("wilson_hi"))
         .orderBy($"hod")
+    }),
+
+    "q_uplift" -> ((s, dir) => {
+      import s.implicits._
+      // Heterogeneous treatment-effect (uplift) audit (r15) — the
+      // experimentation family's SEGMENTATION lane: q_conversion_ci
+      // gives the pooled rate CI, q_cuped the variance reduction,
+      // q_power_analysis the sizing; this one answers WHERE the effect
+      // concentrates (two-model-free direct uplift by segment — the
+      // campaign-targeting primitive). Assignment is a deterministic
+      // md5 50/50 over customer identity (the seeded-randomization
+      // testability convention — replayed exactly by the oracle);
+      // outcome = customer placed >= 1 order in 1997H1; segment =
+      // c_mktsegment. All-integer output: per-arm counts, exact ppm
+      // rates, uplift_ppm = rate_t − rate_c. Scale: one distinct on
+      // the converter keys + one broadcast-sized segment rollup — the
+      // orders fact is scanned once, map-side filtered by date.
+      val conv = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+          $"o_orderdate" < lit("1997-07-01 00:00:00").cast(TimestampType))
+        .select($"o_custkey".as("c_custkey")).distinct()
+        .withColumn("converted", lit(1L))
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          (operators.Sampling.hashBucket($"c_custkey") < 50).as("treated"))
+        .join(conv, Seq("c_custkey"), "left")
+        .select($"c_mktsegment", $"treated",
+          coalesce($"converted", lit(0L)).as("converted"))
+        .groupBy($"c_mktsegment")
+        .agg(sum(when($"treated", 1L).otherwise(0L)).as("n_t"),
+          sum(when(!$"treated", 1L).otherwise(0L)).as("n_c"),
+          sum(when($"treated", $"converted").otherwise(0L)).as("conv_t"),
+          sum(when(!$"treated", $"converted").otherwise(0L)).as("conv_c"))
+        .select($"c_mktsegment", $"n_t", $"n_c", $"conv_t", $"conv_c",
+          expr("(1000000 * conv_t) div n_t").as("rate_t_ppm"),
+          expr("(1000000 * conv_c) div n_c").as("rate_c_ppm"),
+          expr("(1000000 * conv_t) div n_t - (1000000 * conv_c) div n_c")
+            .as("uplift_ppm"))
+        .orderBy($"c_mktsegment")
     }),
 
     "q_communities" -> ((s, dir) => {
@@ -8660,6 +8870,83 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY split""".stripMargin,
 
+    // same md5-bucket split assignment, same distinct-gram recipe as
+    // q_decontaminate; the overlap is an IN-subquery on the gram domain
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 4, 0) + 1),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram FROM t),
+        |g AS (SELECT DISTINCT
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 < 10 THEN 'test'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 < 20 THEN 'val'
+        |         ELSE 'train' END AS split, gram
+        |  FROM g0),
+        |ev AS (SELECT split, gram FROM g WHERE split <> 'train'),
+        |tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_distinct_grams
+        |  FROM ev GROUP BY 1),
+        |seen AS (SELECT split, CAST(count(*) AS BIGINT) AS n_overlap_train
+        |  FROM ev WHERE gram IN (SELECT gram FROM g WHERE split = 'train')
+        |  GROUP BY 1)
+        |SELECT tot.split, n_distinct_grams,
+        |  CAST(coalesce(n_overlap_train, 0) AS BIGINT) AS n_overlap_train,
+        |  (1000000 * (n_distinct_grams - coalesce(n_overlap_train, 0)))
+        |    // n_distinct_grams AS novelty_ppm
+        |FROM tot LEFT JOIN seen ON tot.split = seen.split
+        |ORDER BY tot.split""".stripMargin,
+
+    // deterministic md5 50/50 assignment replayed; conversion = any
+    // 1997H1 order; all-integer counts and ppm rates
+    "q_uplift" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+        |cu AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    (CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100) < 50 AS treated,
+        |    CASE WHEN c_custkey IN (SELECT c_custkey FROM conv)
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM customer),
+        |ag AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN treated THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_t,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE converted END) AS BIGINT)
+        |      AS conv_c
+        |  FROM cu GROUP BY 1)
+        |SELECT c_mktsegment, n_t, n_c, conv_t, conv_c,
+        |  (1000000 * conv_t) // n_t AS rate_t_ppm,
+        |  (1000000 * conv_c) // n_c AS rate_c_ppm,
+        |  (1000000 * conv_t) // n_t - (1000000 * conv_c) // n_c AS uplift_ppm
+        |FROM ag ORDER BY c_mktsegment""".stripMargin,
+
+    // exact integer moments; HUGEINT products cast to DOUBLE match
+    // Spark's DECIMAL(38,0) products exactly
+    "q_burstiness" ->
+      """WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok AS token, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS tf_sum, CAST(sum(c * c) AS BIGINT) AS tf_sq
+        |  FROM tf GROUP BY 1)
+        |SELECT token, df, tf_sum,
+        |  round(CAST(n_docs * tf_sq - tf_sum * tf_sum AS DOUBLE)
+        |    / CAST(n_docs * tf_sum AS DOUBLE), 6) AS vmr
+        |FROM ag, nd
+        |ORDER BY vmr DESC, token""".stripMargin,
+
     "q_profile" ->
       """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
         |  count(*) - count(o_custkey) AS n_nulls,
@@ -11478,6 +11765,8 @@ object SparkEntry {
         topic.map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
         (for (c <- ivf; p <- pq) yield "q_ann_pq" -> pqOracle(c, p)) ++
         (for (c <- ivf; p <- pq) yield "q_ann_recall" -> annRecallOracle(c, p)) ++
+        (for (c <- ivf; p <- pq) yield
+          "q_ann_rank_metrics" -> annRankMetricsOracle(c, p)) ++
         bpe.map(m => "q_bpe_merges" -> bpeMergesOracle(m)) ++
         bpe.map(m => "q_bpe_encode" -> bpeEncodeOracle(m))
     } ++
