@@ -259,6 +259,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("ngram novelty: split overlap is a semi-join, never a cross") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gram overlap went cross:\n$p")
+  }
+
+  test("burstiness: one token-moments shuffle, corpus count broadcast back") {
+    val p = plan("q_burstiness")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row corpus count not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("uplift: the orders date window pushes to the parquet scan") {
+    val p = plan("q_uplift")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"expected pushed date filter in:\n$p")
+  }
+
+  test("ann rank metrics: truth joins broadcast; no lane goes cross") {
+    val p = plan("q_ann_rank_metrics")
+    assert(p.contains("BroadcastHashJoin"), s"truth not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"a lane planned all-pairs:\n$p")
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("allpairs compact: distinct-set join is equi-join only") {
     val p = plan("q_allpairs_compact")
     assert(!p.contains("CartesianProduct") &&
