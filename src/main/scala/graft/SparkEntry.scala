@@ -916,6 +916,57 @@ object SparkEntry {
        |    AS calib_gap
        |FROM agg ORDER BY bin""".stripMargin
 
+  /** q_lr_auc's oracle: the literal-replay scoring CTE, then the
+    * midrank rank-sum rollup — HUGEINT keeps 2U exact where Spark uses
+    * DECIMAL(38,0); the two final divisions are the only doubles. */
+  private def lrAucOracle(m: operators.QualityLr.Model): String =
+    s"""WITH scored AS (
+       |${qualityLrOracle(m)}),
+       |grp AS (SELECT
+       |    CAST(CAST(logit AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM scored GROUP BY 1),
+       |rk AS (SELECT pos, t,
+       |    2 * (sum(t) OVER (ORDER BY s) - t) + t + 1 AS ar2
+       |  FROM grp),
+       |ag AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(t - pos) AS BIGINT) AS n_neg,
+       |    sum(CAST(pos AS HUGEINT) * ar2) AS r2p
+       |  FROM rk)
+       |SELECT n_pos, n_neg,
+       |  CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
+       |  round(CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |    / (2.0 * n_pos * n_neg), 6) AS auc,
+       |  round((CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |      - CAST(n_pos AS DOUBLE) * n_neg)
+       |    / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS gini_rank
+       |FROM ag""".stripMargin
+
+  /** q_pr_curve's oracle: the literal-replay scoring CTE, the distinct-p
+    * grid, and the nine-threshold sweep — integer ppm throughout. */
+  private def prCurveOracle(m: operators.QualityLr.Model): String =
+    s"""WITH scored AS (
+       |${qualityLrOracle(m)}),
+       |grid AS (SELECT
+       |    CAST(CAST(round(1.0 / (1.0 + exp(-logit)), 8) AS DECIMAL(18,8))
+       |      * 100000000 AS BIGINT) AS p8,
+       |    CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM scored GROUP BY 1),
+       |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n_docs,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos FROM grid),
+       |thr(thr8) AS (VALUES (10000000), (20000000), (30000000),
+       |    (40000000), (50000000), (60000000), (70000000), (80000000),
+       |    (90000000)),
+       |ag AS (SELECT thr8, CAST(sum(t) AS BIGINT) AS n_selected,
+       |    CAST(sum(pos) AS BIGINT) AS tp
+       |  FROM grid JOIN thr ON grid.p8 >= thr.thr8 GROUP BY 1)
+       |SELECT CAST(thr8 // 100 AS BIGINT) AS threshold_ppm, n_selected, tp,
+       |  CAST(CASE WHEN n_selected = 0 THEN NULL
+       |    ELSE (1000000 * tp) // n_selected END AS BIGINT) AS precision_ppm,
+       |  CAST((1000000 * tp) // n_pos AS BIGINT) AS recall_ppm
+       |FROM ag CROSS JOIN tot
+       |ORDER BY threshold_ppm""".stripMargin
+
   /** Replays TopicCluster.summary in SQL with the trained topic centroids
     * as DOUBLE[] literals: assignment = rank-1 cell by dot product (ties
     * toward the lower cell id, the kernel's rule), then the integer
@@ -940,6 +991,38 @@ object SparkEntry {
        |  min(vec_id) AS min_id, max(vec_id) AS max_id
        |FROM rc WHERE rk = 1
        |GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+  }
+
+  /** q_cluster_purity's oracle: the same centroid-literal assignment
+    * ladder as [[kmeansOracle]], then the (cluster, label) rollup with
+    * the majority pick on the (n DESC, label) order — pure integers. */
+  private def clusterPurityOracle(m: operators.IvfAnn.Model): String = {
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH ctr(cell, v) AS (VALUES
+       |    $cells),
+       |dots AS (
+       |  SELECT e.vec_id, e.label, ctr.cell,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * (ctr.v)[j])) AS dot
+       |  FROM embeddings e, ctr),
+       |rc AS (
+       |  SELECT vec_id, label, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rk
+       |  FROM dots),
+       |bl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+       |  FROM rc WHERE rk = 1 GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vectors
+       |  FROM bl GROUP BY 1),
+       |mj AS (SELECT cell, label, n,
+       |    row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+       |  FROM bl)
+       |SELECT CAST(mj.cell AS BIGINT) AS cluster, n_vectors,
+       |  CAST(label AS BIGINT) AS majority_label, n AS n_majority,
+       |  CAST((1000000 * n) // n_vectors AS BIGINT) AS purity_ppm
+       |FROM mj JOIN tot USING (cell) WHERE rk = 1
        |ORDER BY cluster""".stripMargin
   }
 
@@ -4524,6 +4607,68 @@ object SparkEntry {
         .orderBy($"sample_rank")
     }),
 
+    "q_cross_entropy" -> ((s, dir) => {
+      import s.implicits._
+      // Split-divergence audit (r15): token-level cross-entropy and KL
+      // divergence of each eval split against the add-one-smoothed
+      // train unigram LM — the split-level dual of q_lm_score's
+      // per-doc perplexity proxy, and the exact statistic DSIR's
+      // importance weights estimate (a large KL means train and eval
+      // draw from different token distributions — the resampler has
+      // work to do; KL ≈ 0 certifies the split representative, the
+      // counterpart of q_ngram_novelty's memorization direction).
+      // Split labels are q_train_test_split's exact md5-bucket
+      // assignment (pure function of doc identity). Add-1 smoothing
+      // over the UNION vocabulary V, so unseen eval tokens get mass
+      // 1/(T_train+V); H(eval‖train) = −Σ c_e(w)·ln p̂_t(w) / T_e,
+      // H(eval) from the split's own MLE, KL = the difference of the
+      // EXACT decimal sums divided once (not of the two rounded
+      // entropies). Per-term logs round-8 → DECIMAL sums (the
+      // q_lm_score order-independence discipline); counts collapse to
+      // the (split, term) domain in one map-side-combined pass over
+      // the materialized doc-term table — corpus text never shuffles,
+      // and the term-domain join probes train counts left-outer.
+      val dt = operators.DocTerms.table(s, dir)
+      val b = operators.Sampling.hashBucket($"doc_id")
+      val st = dt
+        .select(when(b < 10, "test").when(b < 20, "val")
+          .otherwise(lit("train")).as("split"), $"term", $"tf")
+        .groupBy($"split", $"term").agg(sum($"tf").as("c"))
+      val vocab = st.select($"term").distinct()
+        .agg(count(lit(1)).as("v"))
+      val train = st.filter($"split" === "train")
+        .select($"term", $"c".as("c_t"))
+      val tTot = train.agg(sum($"c_t").as("t_train"))
+      val ev = st.filter($"split" =!= "train")
+        .select($"split", $"term", $"c")
+      val evTot = ev.groupBy($"split").agg(sum($"c").as("t_eval"))
+      // c as DECIMAL(16,0): (split, term) counts are corpus-scale (a
+      // stopword's count ~1e10 at 100 TB; 1e16 covers 100 PB) and the
+      // (18,8)×(16,0) product stays inside DECIMAL(38,8)
+      val d16 = $"c".cast(DecimalType(16, 0))
+      val scoredT = ev.join(train, Seq("term"), "left")
+        .crossJoin(broadcast(tTot)).crossJoin(broadcast(vocab))
+        .join(broadcast(evTot), "split")
+        .select($"split", $"c",
+          round(log((coalesce($"c_t", lit(0L)) + lit(1L)).cast(DoubleType)
+            / ($"t_train" + $"v").cast(DoubleType)), 8)
+            .cast(DecimalType(18, 8)).as("logp_t"),
+          round(log($"c".cast(DoubleType) / $"t_eval".cast(DoubleType)), 8)
+            .cast(DecimalType(18, 8)).as("logp_e"))
+      scoredT.groupBy($"split")
+        .agg(sum($"c").as("n_tokens"),
+          sum($"logp_t" * d16).as("slt"),
+          sum($"logp_e" * d16).as("sle"))
+        .select($"split", $"n_tokens",
+          round(-($"slt".cast(DoubleType)) / $"n_tokens", 6)
+            .as("cross_entropy"),
+          round(-($"sle".cast(DoubleType)) / $"n_tokens", 6)
+            .as("self_entropy"),
+          round(($"sle" - $"slt").cast(DoubleType) / $"n_tokens", 6)
+            .as("kl_divergence"))
+        .orderBy($"split")
+    }),
+
     "q_lm_bigram" -> ((s, dir) => {
       import s.implicits._
       // the conditional upgrade of q_lm_score: per-doc mean bigram
@@ -4669,6 +4814,52 @@ object SparkEntry {
         .limit(5)
     }),
 
+    "q_rolling_corr" -> ((s, dir) => {
+      import s.implicits._
+      // Rolling 14-day Pearson correlation between the URGENT and LOW
+      // daily revenue series — the time-VARYING dependence statistic
+      // completing the series family (q_corr pins the static
+      // correlation, q_autocorr the self-dependence, q_ewma/q_holt the
+      // level): it shows WHEN two streams decouple, the regime change
+      // a whole-series correlation averages away. Exact-integer
+      // moments in cents over the date-domain grid — daily sums are
+      // one map-side-combined pass over orders, and the window runs
+      // over ~2.4k distinct dates, never order rows. DECIMAL(19,0)
+      // cross-products (→ 38,0 sums, the q_corr widths), n pinned at
+      // the literal 14 by the full-window filter, IEEE sqrt + one
+      // round-6 division per row; zero-variance windows emit NULL on
+      // both engines by the explicit guard (0/0 is NaN in Spark and
+      // ±inf in DuckDB — the one place the engines disagree).
+      val daily = Tables.orders(s, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .groupBy($"o_orderdate", $"o_orderpriority")
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("cents"))
+      val a = daily.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderdate".as("d"), $"cents".as("x"))
+      val bLow = daily.filter($"o_orderpriority" === "5-LOW")
+        .select($"o_orderdate".as("d"), $"cents".as("y"))
+      val j = a.join(bLow, "d")
+      val w = Window.orderBy($"d").rowsBetween(-13, 0)
+      val d19 = (c: Column) => c.cast(DecimalType(19, 0))
+      val rolled = j
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum($"x").over(w))
+        .withColumn("sy", sum($"y").over(w))
+        .withColumn("sxy", sum(d19($"x") * d19($"y")).over(w))
+        .withColumn("sxx", sum(d19($"x") * d19($"x")).over(w))
+        .withColumn("syy", sum(d19($"y") * d19($"y")).over(w))
+        .filter($"n" === 14)
+      val vx = lit(14L).cast(DecimalType(2, 0)) * $"sxx" - d19($"sx") * d19($"sx")
+      val vy = lit(14L).cast(DecimalType(2, 0)) * $"syy" - d19($"sy") * d19($"sy")
+      val cov = lit(14L).cast(DecimalType(2, 0)) * $"sxy" - d19($"sx") * d19($"sy")
+      rolled.select($"d".as("o_orderdate"),
+          when(vx === 0 || vy === 0, lit(null).cast(DoubleType))
+            .otherwise(round(cov.cast(DoubleType)
+              / (sqrt(vx.cast(DoubleType)) * sqrt(vy.cast(DoubleType))), 6))
+            .as("corr14"))
+        .orderBy($"o_orderdate")
+    }),
+
     "q_autocorr" -> ((s, dir) => {
       import s.implicits._
       // Lag-k autocorrelation of the daily-revenue series (k = 1..7) —
@@ -4714,6 +4905,40 @@ object SparkEntry {
       // label column.
       operators.TopicCluster.summary(Tables.embeddings(s, dir),
           "vec_id", "embedding", topicModel(s, dir))
+        .orderBy($"cluster")
+    }),
+
+    "q_cluster_purity" -> ((s, dir) => {
+      import s.implicits._
+      // External-validity audit for the topic clustering — the "every
+      // model carries an audit measuring its error" rule applied to
+      // q_kmeans_topics: the embeddings table carries a ground-truth
+      // label column, so purity is measurable, not narrative. Per
+      // cluster: member count, the majority label, its count, and
+      // purity_ppm = 1e6·n_majority div n — all exact integers (the
+      // assignment is the same scan-stage argmax kernel as
+      // q_kmeans_topics, same trained model via topicModel, ties to
+      // the lower cell id; the oracle replays the centroids as
+      // literals, the kmeansOracle recipe). One scan + one
+      // (cluster, label) groupBy on the k×|labels| domain — the
+      // rollup is model-bounded at any corpus size.
+      val m = topicModel(s, dir)
+      val byLab = Tables.embeddings(s, dir)
+        .select($"label",
+          operators.IvfAnn.assignCell($"embedding", m)
+            .cast(LongType).as("cluster"))
+        .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy($"cluster")
+      val wr = Window.partitionBy($"cluster").orderBy($"n".desc, $"label")
+      byLab
+        .withColumn("n_vectors", sum($"n").over(wc))
+        .withColumn("rk", row_number().over(wr))
+        .filter($"rk" === 1)
+        .select($"cluster", $"n_vectors",
+          $"label".cast(LongType).as("majority_label"),
+          $"n".as("n_majority"),
+          expr("(1000000 * n) div n_vectors").cast(LongType)
+            .as("purity_ppm"))
         .orderBy($"cluster")
     }),
 
@@ -5831,6 +6056,68 @@ object SparkEntry {
         .orderBy($"a", $"rank")
     }),
 
+    "q_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      // Market-basket association rules a ⇒ b — the DIRECTIONAL
+      // completion of q_cooccur_recs (whose per-item top-5 answers
+      // "what to recommend next"; this ranks rules GLOBALLY, the
+      // classic Apriori output bundling/assortment reads): support_ppm
+      // = 1e6·n_co div N (how often the pair occurs at all),
+      // confidence_ppm = 1e6·n_co div n_a (how reliably a implies b —
+      // asymmetric, the rule's direction), lift via the overflow-safe
+      // two-stage floor division shared with q_cooccur_recs. Same
+      // write-once capped basket-items derivation (CoPurchase.items),
+      // support floor n_co ≥ 2; the global top-100 sorts only
+      // qualifying rules (support-filtered in the pair domain), never
+      // the corpus, and ties break on the full rule key so the cut is
+      // deterministic at any scale.
+      val in = operators.CoPurchase.items(s, dir)
+      val nBaskets = in.select($"g").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val itemCnt = in.groupBy($"i").agg(count(lit(1)).as("n_i"))
+      val co = in.select($"g", $"i".as("a"))
+        .join(in.select($"g", $"i".as("b")), Seq("g"))
+        .filter($"a" =!= $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_co"))
+        .filter($"n_co" >= 2)
+      co.join(itemCnt.select($"i".as("a"), $"n_i".as("n_a")), "a")
+        .join(itemCnt.select($"i".as("b"), $"n_i".as("n_b")), "b")
+        .crossJoin(broadcast(nBaskets))
+        .select($"a".as("antecedent"), $"b".as("consequent"), $"n_co",
+          expr("(1000000 * n_co) div n_baskets").cast(LongType)
+            .as("support_ppm"),
+          expr("(1000000 * n_co) div n_a").cast(LongType)
+            .as("confidence_ppm"),
+          expr("(((1000000 * n_co) div n_a) * n_baskets) div n_b")
+            .cast(LongType).as("lift_ppm"))
+        .orderBy($"confidence_ppm".desc, $"lift_ppm".desc,
+          $"antecedent", $"consequent")
+        .limit(100)
+    }),
+
+    "q_graph_degrees" -> ((s, dir) => {
+      import s.implicits._
+      // Degree-distribution audit of the co-purchase graph — the graph
+      // HEALTH statistic the iterative lanes' cost models read: the
+      // histogram's wedge column decomposes the wedge volume Σd(d−1)/2
+      // (the exact triangle-close candidate count Triangles'
+      // self-sizing plan reads as one agg), its tail is the skew the
+      // salted lanes size against, and the cumulative node mass shows
+      // where the pairing caps bite. One groupBy(node) over the
+      // materialized edge table, then a rollup on the domain-bounded
+      // degree grid — the ordered pass touches distinct degrees only.
+      val e = operators.CoPurchase.fullEdges(s, dir)
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("degree"))
+      val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      val w = Window.orderBy($"degree")
+      hist
+        .withColumn("cum_nodes", sum($"n_nodes").over(w))
+        .select($"degree", $"n_nodes", $"cum_nodes",
+          expr("n_nodes * ((degree * (degree - 1)) div 2)")
+            .cast(LongType).as("wedges"))
+        .orderBy($"degree")
+    }),
+
     "q_mi_split" -> ((s, dir) => {
       import s.implicits._
       // split-independence audit: mutual information between the
@@ -6446,6 +6733,79 @@ object SparkEntry {
             - expr("(1000000 * n_pos) div n_docs").cast(DoubleType)
               / lit(1000000.0), 6).as("calib_gap"))
         .orderBy($"bin")
+    }),
+
+    "q_lr_auc" -> ((s, dir) => {
+      import s.implicits._
+      // Ranking audit for the learned quality classifier — ROC AUC by
+      // the rank statistic, completing the classifier-evaluation
+      // triptych: q_quality_lr pins ACCURACY, q_lr_calibration pins
+      // probability CALIBRATION, this pins the ORDERING. A curation
+      // pass that keeps the top-X% by score consumes ranks, not
+      // probabilities, and a model can be decile-calibrated yet
+      // rank-poor inside the deciles — AUC is the statistic that
+      // notices. Scores group on the round-6 logit in exact micro-
+      // units (sigmoid is monotone, so logit order IS probability
+      // order); ties at midrank via the q_mann_whitney relational
+      // recipe (operators.RankStats — 2r̄ = 2·rows-before + t + 1 on
+      // the DISTINCT-score grid, DECIMAL(38,0) products, 2U exact);
+      // the ordered pass touches distinct logits only, never docs.
+      // Same trained model as q_quality_lr; the oracle wraps that
+      // query's literal replay in a CTE so the audit cannot drift
+      // from the model it audits.
+      val m = qualityLrModel(s, dir)
+      val toksQ = graft.functions.TextFns.tokens($"text")
+      val keep = graft.functions.TextFns.qualityKeep(
+        length($"text").cast(LongType), size(toksQ).cast(LongType),
+        graft.functions.TextFns.meanWordLen(toksQ))
+      val scored = operators.QualityLr.score(Tables.documents(s, dir),
+        $"text", $"doc_id", when(keep, 1L).otherwise(0L), m)
+      operators.RankStats.aucByMidrank(scored,
+        expr("CAST(CAST(logit AS DECIMAL(18,6)) * 1000000 AS BIGINT)"),
+        $"y")
+    }),
+
+    "q_pr_curve" -> ((s, dir) => {
+      import s.implicits._
+      // Precision/recall operating curve for the learned quality
+      // classifier at nine probability thresholds — the audit that
+      // turns q_lr_auc's single ranking number into the table an
+      // operator actually reads when choosing a cutoff ("keep docs
+      // with p ≥ 0.7" costs THIS much recall at THIS precision).
+      // Same trained model and round-8 sigmoid as q_lr_calibration;
+      // the corpus collapses to the distinct-p grid first (the
+      // q_lr_auc shape — count + positives per exact p in 1e-8
+      // units), then nine broadcast threshold rows sweep the grid,
+      // so the per-threshold rollup costs grid-rows × 9, never
+      // corpus × 9. Exact integer ppm ratios; a threshold selecting
+      // nothing drops from the table identically on both engines
+      // (inner θ-join), and the NULL-precision guard covers the
+      // n_selected = 0 case should a future label source allow it.
+      val m = qualityLrModel(s, dir)
+      val toksQ = graft.functions.TextFns.tokens($"text")
+      val keep = graft.functions.TextFns.qualityKeep(
+        length($"text").cast(LongType), size(toksQ).cast(LongType),
+        graft.functions.TextFns.meanWordLen(toksQ))
+      val scored = operators.QualityLr.score(Tables.documents(s, dir),
+        $"text", $"doc_id", when(keep, 1L).otherwise(0L), m)
+      val grid = scored
+        .select(expr(
+            "CAST(CAST(round(1.0 / (1.0 + exp(-logit)), 8) AS DECIMAL(18,8))" +
+            " * 100000000 AS BIGINT)").as("p8"), $"y")
+        .groupBy($"p8").agg(count(lit(1)).as("t"), sum($"y").as("pos"))
+      val tot = grid.agg(sum($"t").as("n_docs"), sum($"pos").as("n_pos"))
+      val thr = (1 to 9).map(i => i * 10000000L).toDF("thr8")
+      grid.join(broadcast(thr), $"p8" >= $"thr8")
+        .groupBy($"thr8")
+        .agg(sum($"t").as("n_selected"), sum($"pos").as("tp"))
+        .crossJoin(broadcast(tot))
+        .select(expr("thr8 div 100").cast(LongType).as("threshold_ppm"),
+          $"n_selected", $"tp",
+          when($"n_selected" === 0, lit(null).cast(LongType))
+            .otherwise(expr("(1000000 * tp) div n_selected").cast(LongType))
+            .as("precision_ppm"),
+          expr("(1000000 * tp) div n_pos").cast(LongType).as("recall_ppm"))
+        .orderBy($"threshold_ppm")
     }),
 
     "q_gini" -> ((s, dir) => {
@@ -9662,6 +10022,44 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
+    // same md5-bucket split, same token domain, same round-8-log +
+    // decimal-sum discipline; KL divides the exact decimal DIFFERENCE
+    "q_cross_entropy" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |toks AS (SELECT
+        |    CASE WHEN bucket < 10 THEN 'test'
+        |         WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split,
+        |    unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS term
+        |  FROM documents d JOIN b USING (doc_id)),
+        |st AS (SELECT split, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM st),
+        |train AS (SELECT term, c AS c_t FROM st WHERE split = 'train'),
+        |tt AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_train FROM train),
+        |ev AS (SELECT split, term, c FROM st WHERE split <> 'train'),
+        |et AS (SELECT split, CAST(sum(c) AS BIGINT) AS t_eval
+        |  FROM ev GROUP BY 1),
+        |sc AS (SELECT ev.split, ev.c,
+        |    CAST(round(ln(CAST(coalesce(train.c_t, 0) + 1 AS DOUBLE)
+        |      / (t_train + v)), 8) AS DECIMAL(18,8)) AS logp_t,
+        |    CAST(round(ln(CAST(ev.c AS DOUBLE) / t_eval), 8)
+        |      AS DECIMAL(18,8)) AS logp_e
+        |  FROM ev LEFT JOIN train USING (term)
+        |  CROSS JOIN tt CROSS JOIN vocab
+        |  JOIN et ON et.split = ev.split)
+        |SELECT split, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(-(CAST(sum(logp_t * CAST(c AS DECIMAL(16,0))) AS DOUBLE))
+        |    / sum(c), 6) AS cross_entropy,
+        |  round(-(CAST(sum(logp_e * CAST(c AS DECIMAL(16,0))) AS DOUBLE))
+        |    / sum(c), 6) AS self_entropy,
+        |  round(CAST(sum(logp_e * CAST(c AS DECIMAL(16,0)))
+        |      - sum(logp_t * CAST(c AS DECIMAL(16,0))) AS DOUBLE)
+        |    / sum(c), 6) AS kl_divergence
+        |FROM sc GROUP BY 1 ORDER BY split""".stripMargin,
+
     // same hashed-feature domain (md5 first-8-hex mod B), same add-one
     // smoothing, the same round-at-8 decimal-sum discipline — the only
     // double ops (ln, final round) run on identical exact inputs
@@ -10910,6 +11308,76 @@ object SparkEntry {
         |SELECT * FROM ranked WHERE rank <= 5
         |ORDER BY a, rank""".stripMargin,
 
+    // same capped-basket derivation; confidence is the directional
+    // statistic, support/lift via the same floor-division ppm recipe
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= 64),
+        |inb AS (SELECT items.g, items.i FROM items JOIN ok USING (g)),
+        |nb AS (SELECT count(*) AS n_baskets FROM ok),
+        |ic AS (SELECT i, count(*) AS n_i FROM inb GROUP BY 1),
+        |co AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS n_co
+        |  FROM inb x JOIN inb y ON x.g = y.g AND x.i <> y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT co.a AS antecedent, co.b AS consequent, n_co,
+        |  CAST((1000000 * n_co) // n_baskets AS BIGINT) AS support_ppm,
+        |  CAST((1000000 * n_co) // ia.n_i AS BIGINT) AS confidence_ppm,
+        |  CAST((((1000000 * n_co) // ia.n_i) * n_baskets) // ib.n_i AS BIGINT)
+        |    AS lift_ppm
+        |FROM co JOIN ic ia ON ia.i = co.a JOIN ic ib ON ib.i = co.b
+        |CROSS JOIN nb
+        |ORDER BY confidence_ppm DESC, lift_ppm DESC, antecedent, consequent
+        |LIMIT 100""".stripMargin,
+
+    // same symmetric capped edge derivation as q_pagerank's oracle;
+    // wedges = n_nodes · C(degree, 2), exact integers throughout
+    "q_graph_degrees" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |ok AS (SELECT g FROM it GROUP BY g HAVING count(*) <= 64),
+        |ii AS (SELECT it.g, it.i FROM it JOIN ok USING (g)),
+        |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+        |  FROM ii a JOIN ii b ON a.g = b.g AND a.i <> b.i),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        |  FROM e GROUP BY 1),
+        |hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg GROUP BY 1)
+        |SELECT degree, n_nodes,
+        |  CAST(sum(n_nodes) OVER (ORDER BY degree) AS BIGINT) AS cum_nodes,
+        |  CAST(n_nodes * ((degree * (degree - 1)) // 2) AS BIGINT) AS wedges
+        |FROM hist ORDER BY degree""".stripMargin,
+
+    // exact HUGEINT moments over the date grid mirror Spark's
+    // DECIMAL(38,0); the NULL guard keeps 0/0 off both engines
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT o_orderdate AS d, o_orderpriority AS p,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a.d, a.cents AS x, b.cents AS y
+        |  FROM daily a JOIN daily b ON a.d = b.d
+        |  WHERE a.p = '1-URGENT' AND b.p = '5-LOW'),
+        |r AS (SELECT d,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) OVER w AS syy
+        |  FROM j
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT d AS o_orderdate,
+        |  CASE WHEN 14 * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |         OR 14 * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+        |    ELSE round(CAST(14 * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / (sqrt(CAST(14 * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |        * sqrt(CAST(14 * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+        |  END AS corr14
+        |FROM r WHERE n = 14
+        |ORDER BY o_orderdate""".stripMargin,
+
     "q_drift_psi" ->
       """WITH binned AS (
         |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -11763,6 +12231,7 @@ object SparkEntry {
         ivf.map(m => "q_ann_ivf" -> ivfOracle(m)) ++
         ivf.map(m => "q_semantic_dedup" -> semanticDedupOracle(m)) ++
         topic.map(m => "q_kmeans_topics" -> kmeansOracle(m)) ++
+        topic.map(m => "q_cluster_purity" -> clusterPurityOracle(m)) ++
         (for (c <- ivf; p <- pq) yield "q_ann_pq" -> pqOracle(c, p)) ++
         (for (c <- ivf; p <- pq) yield "q_ann_recall" -> annRecallOracle(c, p)) ++
         (for (c <- ivf; p <- pq) yield
@@ -11782,7 +12251,11 @@ object SparkEntry {
     Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
       .map(m => "q_quality_lr" -> qualityLrOracle(m)).toSeq ++
     Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
-      .map(m => "q_lr_calibration" -> lrCalibrationOracle(m)).toSeq
+      .map(m => "q_lr_calibration" -> lrCalibrationOracle(m)).toSeq ++
+    Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
+      .map(m => "q_lr_auc" -> lrAucOracle(m)).toSeq ++
+    Option(lastDir).flatMap(d => Option(qualityLrModels.get(d)))
+      .map(m => "q_pr_curve" -> prCurveOracle(m)).toSeq
 
   /** Shared CTE prefix for the BPE oracles: tokenize ([[graft.functions
     * .TextFns.tokens]] domain), distinct-word counts, and the initial
