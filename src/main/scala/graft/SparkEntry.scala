@@ -2604,11 +2604,10 @@ object SparkEntry {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 16 md5s per (doc, shingle) row make the signature aggregation
-      // scan-heavy — also persisted, so the three banding configs read
-      // signatures instead of re-hashing the corpus each
+      // scan-heavy — it feeds exactly one consumer (the exploded band
+      // table below), so it is NOT persisted; the band table is
       val mh = sh.groupBy($"doc_id")
         .agg(minhashAuditSparkMins.head, minhashAuditSparkMins.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // exact truth via the verified PPJoin machinery (prefix + length +
       // positional filters, recall 1.0 pinned by AllPairsSpec) over the
       // SHINGLE domain — the engine audits one of its approximations
@@ -2625,22 +2624,33 @@ object SparkEntry {
         .jaccardJoinFromSets(shingleSets, threshold = 0.5)
         .select($"id_a", $"id_b")
       // ALL three banding configs ride ONE self-join: every (lane, band)
-      // bucket row goes into a single union keyed (lane, band, bk), the
+      // bucket row goes into a single table keyed (lane, band, bk), the
       // equi-join matches within lane+band+bucket, and a single
       // (id_a, id_b) aggregation folds lane membership into three flag
       // columns. r13 ran 3 joins + 3 distincts + 3 full-outers here; at
       // this data size the audit was STAGE-COUNT-bound, not data-bound,
       // so fusing the lanes is the honest win (values unchanged — the
-      // oracle's three per-lane CTEs replay the same sets).
-      val allBands = Seq(2, 4, 8).flatMap { bands =>
+      // oracle's three per-lane CTEs replay the same sets). r15: the
+      // 14 (lane, band) rows expand via ONE row-local explode over the
+      // signature row instead of a 14-subtree union re-reading a cached
+      // mh 14 times — the union form made the lane's wall time hostage
+      // to cache residency (measured 24–142 s run-to-run at sf0.1; the
+      // exploded form reads signatures once), and the small exploded
+      // table (14 rows/doc) is what persists for the self-join's two
+      // sides.
+      val bandRows = Seq(2, 4, 8).flatMap { bands =>
         val r = minhashAuditH / bands
         (0 until bands).map { j =>
           val key = concat_ws("|",
             ((j * r) until ((j + 1) * r)).map(i => col(s"m$i").cast(StringType)): _*)
-          mh.select($"doc_id", lit(bands).as("lane"), lit(j).as("band"),
-            key.as("bk"))
+          struct(lit(bands).as("lane"), lit(j).as("band"), key.as("bk"))
         }
-      }.reduce(_ unionAll _)
+      }
+      val allBands = mh
+        .select($"doc_id", explode(array(bandRows: _*)).as("b"))
+        .select($"doc_id", $"b.lane".as("lane"), $"b.band".as("band"),
+          $"b.bk".as("bk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candFlags = allBands.as("x")
         .join(allBands.as("y"),
           col("x.lane") === col("y.lane") && col("x.band") === col("y.band") &&

@@ -119,13 +119,19 @@ object AllPairs {
       .select(col("id_a"), col("id_b"))
     // exact verification on candidates only; filter on the RAW ratio
     // (the oracle's form), round only for output — rounding first would
-    // admit pairs just under threshold
+    // admit pairs just under threshold. r15: the intersection is a
+    // zero-allocation two-pointer MERGE over UTF8-sorted copies of the
+    // token arrays (plans.SetKernels — array_intersect's per-pair hash
+    // set build was 73 s of a 75 s verify stage at ~880k candidates on
+    // the sampled minhash audit); the sort costs one array_sort per SET
+    // row before the candidate fan-out, not per pair.
     cand
-      .join(sets.select(col("doc_id").as("id_a"), col("tokens").as("ta"),
-        col("sz").as("sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("tokens").as("tb"),
-        col("sz").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .join(sets.select(col("doc_id").as("id_a"),
+        array_sort(col("tokens")).as("ta"), col("sz").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        array_sort(col("tokens")).as("tb"), col("sz").as("sb")), "id_b")
+      .withColumn("inter",
+        graft.plans.SetKernels.sortedIntersectSize(col("ta"), col("tb")))
       .withColumn("jac_raw", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jac_raw") >= threshold)

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Set-intersection kernel for the exact similarity joins.
+  *
+  * `array_intersect` builds a per-row hash set of one side's elements
+  * (alloc + string hashing for every candidate pair) — measured as the
+  * whole cost of AllPairs verification at ~880k candidates (73 s of a
+  * 75 s stage at sf0.1's sampled minhash audit). Over arrays that are
+  * SORTED in the same order, intersection is a two-pointer MERGE: zero
+  * allocation, binary UTF8 comparisons only, O(|a|+|b|). Verification
+  * sides sort their token arrays once per SET row (array_sort, binary
+  * string order — the merge's comparator exactly) before the candidate
+  * fan-out, so the per-pair work is the merge alone.
+  */
+object SetKernelOps {
+
+  /** |a ∩ b| over two string arrays sorted ascending in UTF8 binary
+    * order. Duplicate-free inputs assumed (token SETS). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** size(a ∩ b) for UTF8-sorted string arrays — see [[SetKernelOps]]. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects two array<string>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetKernelOps.sortedIntersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SetKernelOps.sortedIntersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetKernels {
+  /** Column wrapper: size(a ∩ b) for UTF8-sorted string arrays. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -16,13 +16,31 @@ object MinhashAuditProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // print every stage that takes > 1 s wall with its name/site
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for {
+            a <- i.completionTime; b <- i.submissionTime
+          } yield a - b).getOrElse(0L)
+          if (ms > 1000)
+            println(f"  [stage ${i.stageId}%4d] ${ms / 1000.0}%7.1f s  " +
+              s"${i.name.take(90)}  tasks=${i.numTasks}")
+        }
+      })
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
       println(f"probe: $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val sh = graft.Tables.documents(spark, dir)
+    val docsAll = graft.Tables.documents(spark, dir)
+    val pct = docsAll.agg(
+      expr("least(100, greatest(1, 250000 div count(1)))").as("doc_pct"))
+    val sh = docsAll.crossJoin(broadcast(pct))
+      .filter(graft.operators.Sampling.hashBucket($"doc_id") < $"doc_pct")
       .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
       .select($"doc_id",
         explode(graft.operators.Dedup.wordShinglesOf($"toks", 2)).as("sh0"))
@@ -59,6 +77,39 @@ object MinhashAuditProbe {
         .distinct()
       t(s"cand b=$bands")(println("  rows=" + cand.count()))
     }
+    // inside the PPJoin: which stage of verifiedPairs costs
+    val th = 0.5
+    val allSets = sets.persist()
+    t("sets count")(println("  rows=" + allSets.count()))
+    val prefixes = allSets.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("tokens"), lit(1),
+        (col("sz") - ceil(lit(th) * col("sz")) + 1).cast("int"))))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "token")
+      .withColumn("p", col("p") + 1)
+    t("prefixes")(println("  rows=" + prefixes.count()))
+    val cand2 = prefixes.as("a").join(prefixes.as("b"),
+        col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(th) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .agg(min(col("a.p")).as("ia"), min(col("b.p")).as("jb"))
+      .filter((lit(1) + least(col("sa") - col("ia"), col("sb") - col("jb")))
+        .cast("double") >=
+        lit(th / (1.0 + th)) * (col("sa") + col("sb")))
+      .select(col("id_a"), col("id_b"))
+    t("ppjoin cand")(println("  rows=" + cand2.count()))
+    val ver = cand2
+      .join(allSets.select(col("doc_id").as("id_a"), col("tokens").as("ta"),
+        col("sz").as("sa")), "id_a")
+      .join(allSets.select(col("doc_id").as("id_b"), col("tokens").as("tb"),
+        col("sz").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .filter(col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")) >= th)
+    t("verify")(println("  rows=" + ver.count()))
     spark.stop()
   }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sorted-merge intersection kernel must agree with
+  * size(array_intersect(...)) on every input pair once both arrays are
+  * UTF8-sorted — the law AllPairs verification rides on. */
+class SetKernelsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("sortedIntersectSize == size(array_intersect) on sorted arrays") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(s"t${rnd.nextInt(60)}").distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(s"t${rnd.nextInt(60)}").distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select($"id",
+        plans.SetKernels.sortedIntersectSize($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).as("ref"))
+    assert(df.filter($"k" =!= $"ref").count() == 0)
+    // empty and disjoint edges
+    val edge = Seq(
+      (1L, Seq.empty[String], Seq("x")),
+      (2L, Seq("a", "b"), Seq.empty[String]),
+      (3L, Seq("a", "b"), Seq("c", "d"))).toDF("id", "a", "b")
+      .select(plans.SetKernels.sortedIntersectSize($"a", $"b").as("k"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 0, 0))
+  }
+}
