@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs driver+executors in ONE JVM; 8g starves 32 task
   // threads once a long run accumulates state (the box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r15: a 240-query catalog generates thousands of codegen classes;
+  // JDK 17's default 240 MB reserved code cache fills mid-run and the
+  // sweeper starts flushing HOT generated methods, which then run
+  // INTERPRETED — measured as a 60× executor-CPU blowup on the heavy
+  // mid-catalog stages (q_minhash_recall's band self-join: 2,325 s CPU
+  // for a stage that takes 38 s CPU in a fresh JVM; wall 83 s vs 6 s)
+  // with zero GC signal. 1 GiB holds the whole catalog's compiled code.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -23,14 +23,41 @@ object QuerySeq {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietKnownNoise()
+    // SPARK_GRAFT_STAGES=1: per-stage wall + executor CPU/GC telemetry
+    // for stages over 1 s — the in-bench degradation debugger (r15)
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val ms = (for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b).getOrElse(0L)
+            if (ms > 1000) {
+              val m = i.taskMetrics
+              println(f"  [stage ${i.stageId}%4d] ${ms / 1000.0}%7.1f s wall  " +
+                f"cpu ${m.executorCpuTime / 1e9}%7.1f  run ${m.executorRunTime / 1e3}%7.1f  " +
+                f"gc ${m.jvmGCTime / 1e3}%6.1f  tasks=${i.numTasks}")
+            }
+          }
+        })
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += b.getCollectionTime)
+      s
+    }
     var total = 0.0
     qs.foreach { q =>
+      val g0 = gcMs
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
       total += s
-      println(f"[queryseq] $q%-24s $s%8.2f s")
+      println(f"[queryseq] $q%-24s $s%8.2f s  (driver gc ${(gcMs - g0) / 1000.0}%5.1f s)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       graft.operators.OpCaches.releaseAll()
     }
