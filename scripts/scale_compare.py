@@ -20,7 +20,9 @@ def cold(detail):
 
 
 def main():
-    base_f, scaled_f, ratio = sys.argv[1], sys.argv[2], float(sys.argv[3])
+    args = [a for a in sys.argv[1:] if a != "--markdown"]
+    markdown = "--markdown" in sys.argv
+    base_f, scaled_f, ratio = args[0], args[1], float(args[2])
     base, berr = cold(base_f)
     scaled, serr = cold(scaled_f)
     rows = []
@@ -31,6 +33,23 @@ def main():
             continue
         rows.append((s / b, q, b, s))
     rows.sort(reverse=True)
+    if markdown:
+        # the SCALE.md per-query ratio table (r15, verdict item 4):
+        # super-linear tails surface automatically at the top
+        print("| query | sf_base cold | sf_scaled cold | ratio | flag |")
+        print("|---|---|---|---|---|")
+        for r, q, b, s in rows:
+            flag = ""
+            if r == float("inf"):
+                flag = "ERR/missing"
+            elif r > 4:
+                flag = "**>4x at 10x data — explain or fix**"
+            elif r > ratio:
+                flag = "super-linear"
+            elif r > ratio * 0.7:
+                flag = "near-linear"
+            print(f"| {q} | {b} s | {s} s | {r:.2f}x | {flag} |")
+        return
     print(f"{'query':34s} {'base_s':>8s} {'scaled_s':>9s} {'ratio':>7s}  flag")
     for r, q, b, s in rows:
         flag = ""

@@ -33,6 +33,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietKnownNoise()
+    // SPARK_GRAFT_STAGES=1 (builder diagnostics only; the driver never
+    // sets it): per-stage wall/CPU/GC telemetry for stages over 2 s, to
+    // stderr — the r15 instrument that found the code-cache fill
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val ms = (for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b).getOrElse(0L)
+            if (ms > 2000) {
+              val m = i.taskMetrics
+              System.err.println(
+                f"[bench-stage ${i.stageId}%5d] ${ms / 1000.0}%7.1f s wall  " +
+                f"cpu ${m.executorCpuTime / 1e9}%8.1f  gc ${m.jvmGCTime / 1e3}%6.1f  " +
+                f"tasks=${i.numTasks}")
+            }
+          }
+        })
     // absorb session/JIT/codegen-compiler startup so it isn't attributed
     // to whichever query happens to run first. Purely generic engine
     // paths on synthetic/tiny data — no actual benchmark query (or its
@@ -134,6 +155,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip.contains(n) }
       .map { case (n, f) =>
+      if (sys.env.contains("SPARK_GRAFT_STAGES"))
+        System.err.println(s"[bench-query] $n")
       // r15: snapshot the once-per-JVM build meter around each run so
       // cold numbers split into query + amortized build (DerivedCache
       // parquet builds, driver-side model trains) — bench_detail gets

@@ -49,6 +49,15 @@ object QuerySeq {
       gcBeans.forEach(b => s += b.getCollectionTime)
       s
     }
+    def codeCacheMb: String = {
+      val b = new StringBuilder
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+        if (p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+          b ++= f"${p.getName.replace("CodeHeap '", "").replace("'", "")}=" +
+            f"${p.getUsage.getUsed / 1048576}%d/${p.getUsage.getMax / 1048576}%dM "
+      }
+      b.toString
+    }
     var total = 0.0
     qs.foreach { q =>
       val g0 = gcMs
@@ -57,7 +66,7 @@ object QuerySeq {
         .write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
       total += s
-      println(f"[queryseq] $q%-24s $s%8.2f s  (driver gc ${(gcMs - g0) / 1000.0}%5.1f s)")
+      println(f"[queryseq] $q%-24s $s%8.2f s  (driver gc ${(gcMs - g0) / 1000.0}%5.1f s; $codeCacheMb)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       graft.operators.OpCaches.releaseAll()
     }
