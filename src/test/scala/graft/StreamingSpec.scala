@@ -52,6 +52,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val back = spark.read.parquet(loc)
     assert(back.count() == 2)
     assert(back.select($"day").distinct().count() == 2)
+    // layout parity (r15): the BATCH conform+stamp pipeline on the same
+    // rows must produce the identical partition layout and rows — the
+    // strongest check a filesystem sink admits (its output is a layout,
+    // not a result table, hence no driver-query parity pin)
+    val loc2 = s"target/test-tmp/stream-etl-batch-${System.nanoTime()}"
+    val sameRows = Seq(
+      Event(1, Timestamp.valueOf("2024-02-01 10:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-02-02 11:00:00"), 2, "view", 2.0)).toDF()
+    PartitionedWriter.write(
+      Conform.injectDatePartitions(sameRows, sameRows("ts")), loc2)
+    def layout(path: String): (Set[String], Set[(Long, Int, Int, Int)]) = {
+      val d = spark.read.parquet(path)
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      (dirs, d.select($"event_id", $"year".cast("int"),
+        $"month".cast("int"), $"day".cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3))).toSet)
+    }
+    assert(layout(loc) == layout(loc2))
   }
 
   test("streaming exact dedup keeps first occurrence, drops later duplicates") {
@@ -154,6 +174,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     q.stop()
     assert(got.toSeq == Seq((1L, 100L, 50.0)))
+  }
+
+  test("stream-stream join equals the batch range join on real events (sorted replay)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parity pin (r15): the horizon is part of the JOIN PREDICATE, so
+    // the batch twin is the same range join on the static table — under
+    // event-time-ordered replay nothing is ever late, the watermark
+    // only frees state behind the frontier, and the streamed inner
+    // matches must equal the batch matches exactly.
+    val evs = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e =>
+        (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+          e.event_id)).toVector
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickPurchaseJoin(
+        clicks.toDF().filter($"event_type" === "view"),
+        purchases.toDF().filter($"event_type" === "purchase"),
+        horizon = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjpar").start()
+    evs.grouped(900).foreach { b =>
+      clicks.addData(b); purchases.addData(b); q.processAllAvailable()
+    }
+    val streamed = spark.sql("SELECT click_id, purchase_id FROM ssjpar")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"))
+    val want = v.join(p, $"user_id" === $"p_user" &&
+        $"click_ts" >= $"purchase_ts" &&
+        $"click_ts" < $"purchase_ts" + expr("INTERVAL 2 HOURS"))
+      .select($"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+    assert(want.nonEmpty)
   }
 
   test("streaming exact dedup equals the batch min-id keep set on real documents + planted duplicates") {
@@ -380,6 +445,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
     // user 7 enriched; user 9 (no dim row) kept with null tier
     assert(got.toSeq == Seq((1L, "gold"), (2L, null)))
+    // batch parity (r15): the zero-state projection IS the batch left
+    // join by construction — assert it literally on the same feed
+    val want = Seq(
+      Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 9, "click", 1.0))
+      .toDF().join(dim, $"user_id" === $"dim_user", "left")
+      .select($"event_id", $"tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got.toSeq == want)
   }
 
   test("streaming CDC upsert maintains a keyed parquet snapshot across batches") {
