@@ -2765,8 +2765,14 @@ object SparkEntry {
       // growth that spilled the fixed 32-partition close (80-170 s)
       // runs wide instead (~40-65 s measured at sf1), and sf10's
       // 4.1B-wedge disk wall engages the batched plan automatically.
+      // r15 second half: the MERGE-plan (edge-iterator over sorted
+      // adjacency arrays through the primitive intersect kernel) —
+      // no wedge table ever materializes, so the close-shuffle sizing
+      // question disappears; sf1 157 s (wedge) → ~25 s (merge). The
+      // wedge-join machinery (perNode/perNodeAdaptive, K-slices)
+      // stays for the scale tools and as the spec cross-check.
       val und = operators.CoPurchase.fullEdges(s, dir)
-      operators.Triangles.perNodeAdaptive(und)
+      operators.Triangles.perNodeMerge(und)
         .orderBy($"n_triangles".desc, $"node")
         .limit(50)
     }),

@@ -159,6 +159,45 @@ object Triangles {
     }
   }
 
+  /** Edge-iterator plan with merged adjacency intersections (r15) —
+    * the plan that ELIMINATES the wedge materialization entirely
+    * (Shun & Tangwongsan's merge-based exact counting, expressed
+    * relationally): per oriented edge (u, v), the third vertices of
+    * the triangles it closes are exactly N⁺(u) ∩ N⁺(v), computed by
+    * the primitive two-pointer merge kernel over SORTED out-neighbor
+    * arrays (plans.SetKernels.sortedIntersectLongs). Work is the same
+    * O(m^1.5) comparison bound as the wedge-join plan, but the
+    * comparisons are in-cache primitive longs instead of 600M-row
+    * shuffle+sort traffic — measured at sf1: 157 s (wedge plan, 1.8k s
+    * executor CPU in the close) → the merge plan's joins move only
+    * edge-sized tables (m rows + the node-sized adjacency arrays,
+    * out-degree ≤ O(√m) by orientation) and the only output-sized
+    * explode is the 3·T credit rows. Credits: at edge (u, v) with
+    * k = |N⁺(u) ∩ N⁺(v)| common vertices, u and v each participate in
+    * k triangles and each common w in one — summed per node, exactly
+    * [[perNode]]'s result (TrianglesSpec pins identity on random
+    * graphs and the real fixture). */
+  def perNodeMerge(und: DataFrame): DataFrame = {
+    val oriented = orient(und)
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tris = oriented.select(col("u"), col("v"))
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        graft.plans.SetKernels.sortedIntersectLongs(col("nu"), col("nv"))
+          .as("ws"))
+      .filter(size(col("ws")) > 0)
+    val perEdge = tris.select(col("u"), col("v"), col("ws"),
+      size(col("ws")).cast("long").as("k"))
+    perEdge.select(explode(array(col("u"), col("v"))).as("node"),
+        col("k").as("c"))
+      .unionAll(perEdge.select(explode(col("ws")).as("node"),
+        lit(1L).as("c")))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("n_triangles"))
+  }
+
   /** The self-sizing entry (the catalog lane): measures wedge volume on
     * the persisted oriented edges, then runs [[perNode]]'s machinery at
     * the [[choose]]-picked slice count and close-shuffle width. Cost of

@@ -38,6 +38,25 @@ object SetKernelOps {
     }
     c
   }
+
+  /** a ∩ b (values) over two long arrays sorted ascending. */
+  def sortedIntersectLongs(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { buf(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(buf, c))
+  }
 }
 
 /** size(a ∩ b) for UTF8-sorted string arrays — see [[SetKernelOps]]. */
@@ -68,9 +87,47 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** a ∩ b (values) over two long arrays sorted ascending — the
+  * edge-iterator triangle plan's inner loop: for an oriented edge
+  * (u, v), the common out-neighbors N⁺(u) ∩ N⁺(v) are exactly the
+  * third vertices of the triangles this edge closes, and over SORTED
+  * adjacency arrays the intersection is a primitive two-pointer merge
+  * (no hash set, no allocation beyond the result). */
+case class SortedIntersectLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_longs expects two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetKernelOps.sortedIntersectLongs(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SetKernelOps.sortedIntersectLongs($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetKernels {
   /** Column wrapper: size(a ∩ b) for UTF8-sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: a ∩ b (values) for ascending long arrays. */
+  def sortedIntersectLongs(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectLongs(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -39,6 +39,13 @@ object TriProbe {
       }
       graft.operators.OpCaches.releaseAll()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      time(s"merge r$round") {
+        graft.operators.Triangles.perNodeMerge(und)
+          .orderBy(col("n_triangles").desc, col("node")).limit(50)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.operators.OpCaches.releaseAll()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
   }

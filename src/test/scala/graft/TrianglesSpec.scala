@@ -75,6 +75,34 @@ class TrianglesSpec extends AnyFunSuite with SparkSpec {
     assert(plain == adaptive, s"adaptive diverged: ${plain.size} vs ${adaptive.size}")
   }
 
+  test("merge plan (edge-iterator kernel) identical to the wedge plan") {
+    import spark.implicits._
+    // r15: the production lane's plan — per-edge sorted-adjacency
+    // intersection — must equal the wedge-join plan everywhere
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 8 + rnd.nextInt(20)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a, b))
+      if (edges.nonEmpty) {
+        val und = sym(edges: _*)
+        val wedge = Triangles.perNode(und).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val merge = Triangles.perNodeMerge(und).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(wedge == merge, s"merge plan diverged on n=$n")
+      }
+    }
+    val real = PageRank.coOccurrenceEdges(
+      Tables.lineitem(spark, sf), $"l_orderkey", $"l_partkey", maxBasket = 64)
+    val wedge = Triangles.perNode(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merge = Triangles.perNodeMerge(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wedge == merge, s"real fixture: ${wedge.size} vs ${merge.size}")
+  }
+
   test("random graphs: always matches brute force (incl. ties, components)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
