@@ -935,11 +935,13 @@ object SparkEntry {
        |  FROM rk)
        |SELECT n_pos, n_neg,
        |  CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
-       |  round(CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
-       |    / (2.0 * n_pos * n_neg), 6) AS auc,
-       |  round((CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
-       |      - CAST(n_pos AS DOUBLE) * n_neg)
-       |    / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS gini_rank
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+       |    round(CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |      / (2.0 * n_pos * n_neg), 6) END AS auc,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+       |    round((CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |        - CAST(n_pos AS DOUBLE) * n_neg)
+       |      / (CAST(n_pos AS DOUBLE) * n_neg), 6) END AS gini_rank
        |FROM ag""".stripMargin
 
   /** q_pr_curve's oracle: the literal-replay scoring CTE, the distinct-p
@@ -4832,8 +4834,18 @@ object SparkEntry {
 
     "q_rolling_corr" -> ((s, dir) => {
       import s.implicits._
-      // Rolling 14-day Pearson correlation between the URGENT and LOW
-      // daily revenue series — the time-VARYING dependence statistic
+      // Rolling 14-OBSERVATION Pearson correlation between the URGENT
+      // and LOW daily revenue series. Window semantics (r16, per
+      // ADVICE): the window is the last 14 JOINT-observation rows —
+      // dates where BOTH priorities booked revenue (the inner join
+      // below drops one-sided days) — not 14 calendar days; on sparse
+      // series the window stretches across gaps, which is the standard
+      // "rolling correlation of paired observations" definition and
+      // exactly what the oracle replays. A calendar-day variant would
+      // need a complete date spine + a gap policy (fill-zero distorts
+      // the correlation; fill-forward fabricates dependence), so the
+      // joint-row form is the deliberate choice, not an accident.
+      // It is the time-VARYING dependence statistic
       // completing the series family (q_corr pins the static
       // correlation, q_autocorr the self-dependence, q_ewma/q_holt the
       // level): it shows WHEN two streams decouple, the regime change

@@ -37,18 +37,25 @@ object RankStats {
       .withColumn("cum", sum(col("t")).over(w))
       .withColumn("ar2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
     val u2 = (col("r2p") - d19(col("n_pos")) * d19(col("n_pos") + 1))
+    // single-class guard (r16 ADVICE): with n_pos=0 or n_neg=0 AUC is
+    // undefined — Spark's Divide would yield NULL while DuckDB's double
+    // division yields ±inf/NaN, so the guard makes the degenerate case
+    // an EXPLICIT NULL on both engines (the q_rolling_corr convention)
+    val degenerate = col("n_pos") === 0 || col("n_neg") === 0
     ranked.agg(
         sum(col("pos")).as("n_pos"),
         sum(col("t") - col("pos")).as("n_neg"),
         sum(d19(col("pos")) * d19(col("ar2"))).as("r2p"))
       .select(col("n_pos"), col("n_neg"),
         u2.cast(LongType).as("u2"),
-        round(u2.cast(DoubleType)
-          / (lit(2.0) * col("n_pos").cast(DoubleType)
-            * col("n_neg").cast(DoubleType)), 6).as("auc"),
-        round((u2.cast(DoubleType)
-          - col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))
-          / (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType)), 6)
-          .as("gini_rank"))
+        when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(round(u2.cast(DoubleType)
+            / (lit(2.0) * col("n_pos").cast(DoubleType)
+              * col("n_neg").cast(DoubleType)), 6)).as("auc"),
+        when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(round((u2.cast(DoubleType)
+            - col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))
+            / (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType)),
+            6)).as("gini_rank"))
   }
 }

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
 object SetKernelOps {
 
   /** |a ∩ b| over two string arrays sorted ascending in UTF8 binary
-    * order. Duplicate-free inputs assumed (token SETS). */
+    * order. Duplicate-free inputs assumed (token SETS); duplicated or
+    * unsorted inputs return wrong counts silently — the Column wrapper
+    * scaladoc states the contract. Null elements are REJECTED loudly
+    * (r16 ADVICE): string-array types usually carry containsNull=true
+    * whatever the data, so the type-check can't see it, and a bare
+    * getUTF8String on a null slot would NPE with no hint of cause. */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -31,7 +36,13 @@ object SetKernelOps {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val ua = a.getUTF8String(i)
+      val ub = b.getUTF8String(j)
+      if ((ua eq null) || (ub eq null))
+        throw new IllegalArgumentException(
+          "sorted_intersect_size: null array element — inputs must be " +
+          "null-free sorted token sets (see SetKernels scaladoc)")
+      val cmp = ua.compareTo(ub)
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -99,12 +110,17 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sorted_intersect_longs"
 
+  // containsNull=false REQUIRED (r16 ADVICE): getLong on a null slot
+  // returns garbage silently, so a nullable array type is rejected at
+  // analysis time rather than trusted. Both producers in the repo
+  // (sort_array ∘ collect_list) already emit containsNull=false.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_longs expects two array<bigint>, got $other")
+        "sorted_intersect_longs expects two array<bigint> with " +
+        s"containsNull=false (null slots read as garbage), got $other")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -121,12 +137,27 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
 }
 
 object SetKernels {
-  /** Column wrapper: size(a ∩ b) for UTF8-sorted string arrays. */
+  /** Column wrapper: size(a ∩ b) for UTF8-sorted string arrays.
+    *
+    * PRECONDITION (caller contract, not checked per row): both arrays
+    * must be DISTINCT elements sorted ascending in UTF8 binary order
+    * (`array_sort` over a set — the AllPairs shape). Unsorted or
+    * duplicated input silently under/over-counts vs array_intersect's
+    * set semantics. Null ELEMENTS throw IllegalArgumentException at
+    * eval (string array types carry containsNull=true regardless of
+    * data, so this can't be a type check). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Column wrapper: a ∩ b (values) for ascending long arrays. */
+  /** Column wrapper: a ∩ b (values) for ascending long arrays.
+    *
+    * PRECONDITION (caller contract, not checked per row): both arrays
+    * must be DISTINCT longs sorted ascending (sort_array ∘
+    * collect_list — the Triangles adjacency shape); unsorted or
+    * duplicated input silently returns wrong intersections. The
+    * array TYPE must carry containsNull=false — nullable long arrays
+    * are rejected at analysis time (null slots read as garbage). */
   def sortedIntersectLongs(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectLongs(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -37,8 +37,15 @@ object MinhashAuditProbe {
       r
     }
     val docsAll = graft.Tables.documents(spark, dir)
+    // ~2,500-doc sample: doc_pct is a PERCENTAGE applied via
+    // hashBucket < pct below, so kept docs ≈ n · pct / 100 =
+    // SampleDocs. (r16 ADVICE: the old bare `250000 div count(1)`
+    // read as a 250k-doc cap — the probe has always run on ~2.5k
+    // docs, which is the intent: stage-shape timing, not load.)
+    val SampleDocs = 2500L
     val pct = docsAll.agg(
-      expr("least(100, greatest(1, 250000 div count(1)))").as("doc_pct"))
+      expr(s"least(100, greatest(1, (${SampleDocs} * 100) div count(1)))")
+        .as("doc_pct"))
     val sh = docsAll.crossJoin(broadcast(pct))
       .filter(graft.operators.Sampling.hashBucket($"doc_id") < $"doc_pct")
       .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))

@@ -31,6 +31,20 @@ class RulesSeriesSpec extends AnyFunSuite with SparkSpec {
       == ((2L, 2L, 4L, 0.5, 0.0)))
   }
 
+  test("aucByMidrank: single-class input yields NULL auc/gini (r16 guard)") {
+    // n_neg = 0 and n_pos = 0 — AUC undefined; must be an explicit NULL
+    // on both engines (Spark's Divide → NULL, DuckDB doubles → ±inf/NaN
+    // without the matching CASE in lrAucOracle)
+    for (label <- Seq(0L, 1L)) {
+      val r = operators.RankStats
+        .aucByMidrank(Seq((10L, label), (20L, label)).toDF("s", "y"),
+          col("s"), col("y"))
+        .collect().head
+      assert(r.isNullAt(3) && r.isNullAt(4),
+        s"label=$label should give NULL auc/gini, got $r")
+    }
+  }
+
   test("assoc rules: exact support/confidence/lift on planted baskets") {
     // baskets 1:(10,20) 2:(10,20) 3:(10,30) 4:(20) → N=4, n10=3, n20=3;
     // only the 10↔20 pair reaches the n_co ≥ 2 floor, in both directions

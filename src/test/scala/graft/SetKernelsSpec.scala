@@ -30,4 +30,19 @@ class SetKernelsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(edge == Seq(0, 0, 0))
   }
+
+  test("null array elements are rejected loudly, not NPE'd (r16 guard)") {
+    val ex = intercept[Exception] {
+      Seq((Seq(null.asInstanceOf[String], "z"), Seq("a")))
+        .toDF("a", "b")
+        .select(plans.SetKernels.sortedIntersectSize($"a", $"b").as("k"))
+        .collect()
+    }
+    // the kernel's IllegalArgumentException may arrive wrapped in
+    // Spark's task-failure chain; the message must survive
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null array element")))
+  }
 }
