@@ -130,6 +130,12 @@ object Bench {
       // which is outside every timed window.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // r16: reclaim loop-checkpoint files too — nothing from a
+      // finished run is ever read again (each run builds fresh
+      // DataFrames), and 480 runs' accumulated generations otherwise
+      // share the local disk + page cache with every later run's
+      // shuffles (VERDICT r15's q_pagerank warm>cold suspect #1)
+      graft.operators.Ckpt.clearAll(spark)
       // Spark's ContextCleaner reclaims dead broadcasts/shuffles/RDD blocks
       // only when the JVM GCs their weak references. 126 query runs in one
       // JVM without explicit GC let that debris pile up, so late-running

@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // between-queries teardown (r16): nothing from a finished query
+      // is read again, so reclaim its loop-checkpoint files — 240
+      // queries in one JVM otherwise accumulate every iterative lane's
+      // generations on the disk the remaining queries shuffle on
+      operators.Ckpt.clearAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -89,8 +89,13 @@ object DedupClusters {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
+    // bounded retention for the label chain (Ckpt.Rotation): only the
+    // newest two generations are reachable; older files are deleted as
+    // rounds land. The `edges` base above is NOT rotated — `sym`'s
+    // persisted blocks recompute through those files.
+    val rot = new Ckpt.Rotation()
     while (iter < maxIter && !converged) {
-      val next = Ckpt.viaParquet(sym
+      val next = rot.next(sym
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -169,8 +174,11 @@ object DedupClusters {
     var prevSig = signature(edges)
     var iter = 0
     var converged = false
+    // bounded retention for the star chain (Ckpt.Rotation) — `base`
+    // stays un-rotated: `nodes`' persisted blocks recompute through it
+    val rot = new Ckpt.Rotation()
     while (iter < maxIter && !converged) {
-      val next = Ckpt.viaParquet(smallStar(largeStar(edges)),
+      val next = rot.next(smallStar(largeStar(edges)),
         Ckpt.partsFor(prevSig._1))
       val nextSig = signature(next)
       edges.unpersist()

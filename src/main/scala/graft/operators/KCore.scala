@@ -37,11 +37,15 @@ object KCore {
     var nEdges = e.count()
     var iter = 0
     var converged = nEdges == 0L
+    // bounded retention: each round's files supersede the
+    // grandparent's (chain loop — only the newest two generations are
+    // reachable; see Ckpt.Rotation)
+    val rot = new Ckpt.Rotation()
     while (iter < maxIter && !converged) {
       // survivors of this round: degree >= k within the current graph
       val alive = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("id"))
-      val next = Ckpt.viaParquet(e
+      val next = rot.next(e
         .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")), Ckpt.partsFor(nEdges))

@@ -55,12 +55,16 @@ object LabelProp {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var nLabels = 0L
+    // bounded retention (Ckpt.Rotation): chain loop — generations
+    // older than the newest two are unreachable and deleted as rounds
+    // land, so long runs don't strand one parquet per round
+    val rot = new Ckpt.Rotation()
     for (r <- 1 to rounds) {
       // parquet-round-trip truncation: each round materializes exactly
       // once onto reliable files, so the final labels never replay
       // against the released edge cache; node count is constant across
       // rounds, so round 1's metadata-only count sizes later writes
-      labels = Ckpt.viaParquet(adoptionRound(e, labels),
+      labels = rot.next(adoptionRound(e, labels),
         if (r == 1) 0 else Ckpt.partsFor(nLabels))
       if (r == 1) nLabels = labels.count()
     }

@@ -149,4 +149,44 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
     val after = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before)
   }
+
+  test("Ckpt.Rotation keeps the newest two generations, deletes older (r16)") {
+    import graft.operators.Ckpt
+    import spark.implicits._
+    def ckptChildren(): Set[String] =
+      spark.sparkContext.getCheckpointDir.map { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet
+        else Set.empty[String]
+      }.getOrElse(Set.empty)
+    val rot = new Ckpt.Rotation()
+    var frame = Ckpt.viaParquet((1L to 100L).toDF("v")) // un-rotated base
+    val baseChildren = ckptChildren()
+    for (i <- 1 to 5) {
+      frame = rot.next(frame.select(($"v" + 1).as("v")))
+      // newest two rotated generations + the base must be all that's left
+      assert((ckptChildren() -- baseChildren).size <= 2,
+        s"round $i left more than 2 rotated generations on disk")
+    }
+    // the chain still reads correctly from the surviving newest files
+    assert(frame.agg(sum($"v")).collect().head.getLong(0)
+      == (1L to 100L).map(_ + 5).sum)
+    // the un-rotated base survived the rotation
+    assert(baseChildren.subsetOf(ckptChildren()))
+  }
+
+  test("Ckpt.clearAll empties the checkpoint dir; later queries recheckpoint fine") {
+    import graft.operators.Ckpt
+    import spark.implicits._
+    Ckpt.viaParquet((1L to 10L).toDF("v"))
+    Ckpt.clearAll(spark)
+    val d = spark.sparkContext.getCheckpointDir.get
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(p).isEmpty, "clearAll must empty the dir")
+    // the dir itself survives and new truncations work
+    val again = Ckpt.viaParquet((1L to 10L).toDF("v"))
+    assert(again.count() == 10L)
+  }
 }
