@@ -2773,8 +2773,14 @@ object SparkEntry {
       // question disappears; sf1 157 s (wedge) → ~25 s (merge). The
       // wedge-join machinery (perNode/perNodeAdaptive, K-slices)
       // stays for the scale tools and as the spec cross-check.
-      val und = operators.CoPurchase.fullEdges(s, dir)
-      operators.Triangles.perNodeMerge(und)
+      // r16: the orientation and sorted-adjacency builds MATERIALIZE
+      // write-once next to the edge table (CoPurchase.orientedFull /
+      // triAdjacency — index-build work, metered in build_cold), so
+      // the lane itself is two keyed joins + the merge kernel over
+      // plain scans; spec-pinned identical to the inline plan.
+      val oriented = operators.CoPurchase.orientedFull(s, dir)
+      val adj = operators.CoPurchase.triAdjacency(s, dir)
+      operators.Triangles.perNodeMergeOn(oriented, adj)
         .orderBy($"n_triangles".desc, $"node")
         .limit(50)
     }),

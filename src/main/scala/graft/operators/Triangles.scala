@@ -75,7 +75,7 @@ object Triangles {
         case r => r.getLong(0)
       }
 
-  private def orient(und: DataFrame): DataFrame = {
+  private[graft] def orient(und: DataFrame): DataFrame = {
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // keep one direction per undirected edge: (deg, id)-smaller → larger
     und
@@ -178,9 +178,28 @@ object Triangles {
     * [[perNode]]'s result (TrianglesSpec pins identity on random
     * graphs and the real fixture). */
   def perNodeMerge(und: DataFrame): DataFrame = {
-    val oriented = orient(und)
-    val adj = oriented.groupBy(col("u"))
+    val oriented = orient(und).select(col("u"), col("v"))
+    perNodeMergeOn(oriented, adjacencyOf(oriented))
+  }
+
+  /** Sorted out-neighbor adjacency of an oriented (u, v) edge list —
+    * one row per source with its ascending neighbor array (out-degree
+    * ≤ O(√m) by orientation, so rows stay small). Split out (r16) so
+    * the co-purchase lane can MATERIALIZE it write-once
+    * (CoPurchase.triAdjacency): the orientation + this groupBy were
+    * the catalog lane's dominant repeated cost at sf1, and like any
+    * index they belong in a nightly build, not in every query. Longs
+    * round-trip parquet exactly and element order is preserved, so the
+    * materialized form is row-identical to the inline one. */
+  def adjacencyOf(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+
+  /** The merge plan over PRE-BUILT oriented edges + adjacency — the
+    * serving shape when both live as materialized tables. `oriented`
+    * must be the (u, v) rows [[orient]] produces; `adj` must be
+    * [[adjacencyOf]] of exactly those rows. */
+  def perNodeMergeOn(oriented: DataFrame, adj: DataFrame): DataFrame = {
     val tris = oriented.select(col("u"), col("v"))
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))

@@ -50,6 +50,35 @@ object SetKernelOps {
     c
   }
 
+  /** [[sortedIntersectLongs]] behind a null-slot pre-scan — the
+    * variant the expression compiles in when an INPUT TYPE is
+    * nullable (e.g. arrays read back from parquet: Spark marks all
+    * file-read columns nullable even when the writer's type was not).
+    * getLong on a null slot reads garbage silently, so nullable-typed
+    * inputs pay one cheap isNullAt pass that throws loudly instead;
+    * containsNull=false inputs keep the zero-check fast path. */
+  def sortedIntersectLongsChecked(a: ArrayData, b: ArrayData): ArrayData = {
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          "sorted_intersect_longs: null array element — inputs must be " +
+          "null-free sorted sets (see SetKernels scaladoc)")
+      i += 1
+    }
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_longs: null array element — inputs must be " +
+          "null-free sorted sets (see SetKernels scaladoc)")
+      j += 1
+    }
+    sortedIntersectLongs(a, b)
+  }
+
   /** a ∩ b (values) over two long arrays sorted ascending. */
   def sortedIntersectLongs(a: ArrayData, b: ArrayData): ArrayData = {
     val na = a.numElements()
@@ -110,26 +139,40 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sorted_intersect_longs"
 
-  // containsNull=false REQUIRED (r16 ADVICE): getLong on a null slot
-  // returns garbage silently, so a nullable array type is rejected at
-  // analysis time rather than trusted. Both producers in the repo
-  // (sort_array ∘ collect_list) already emit containsNull=false.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        "sorted_intersect_longs expects two array<bigint> with " +
-        s"containsNull=false (null slots read as garbage), got $other")
+        s"sorted_intersect_longs expects two array<bigint>, got $other")
     }
 
+  // null-slot safety decided from the STATIC type (r16 ADVICE): getLong
+  // on a null slot reads garbage silently, so nullable-typed inputs
+  // (every parquet-read array — Spark marks all file-read columns
+  // nullable) compile in a pre-scan that throws loudly on a null slot;
+  // containsNull=false producers (sort_array ∘ collect_list) keep the
+  // zero-check fast path. The choice is per-plan, not per-row.
+  private def needsNullScan: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
+  private def kernel: String =
+    if (needsNullScan) "sortedIntersectLongsChecked" else "sortedIntersectLongs"
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    SetKernelOps.sortedIntersectLongs(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (needsNullScan)
+      SetKernelOps.sortedIntersectLongsChecked(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SetKernelOps.sortedIntersectLongs(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.SetKernelOps.sortedIntersectLongs($a, $b);")
+      s"${ev.value} = graft.plans.SetKernelOps.$kernel($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectLongs =
@@ -155,9 +198,10 @@ object SetKernels {
     * PRECONDITION (caller contract, not checked per row): both arrays
     * must be DISTINCT longs sorted ascending (sort_array ∘
     * collect_list — the Triangles adjacency shape); unsorted or
-    * duplicated input silently returns wrong intersections. The
-    * array TYPE must carry containsNull=false — nullable long arrays
-    * are rejected at analysis time (null slots read as garbage). */
+    * duplicated input silently returns wrong intersections. Null
+    * ELEMENTS throw at eval; the check compiles in only when an input
+    * TYPE is nullable (parquet-read arrays) — containsNull=false
+    * producers keep the zero-check fast path. */
   def sortedIntersectLongs(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectLongs(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -267,6 +267,48 @@ object StreamOps {
     graft.operators.QualityLr.scoreRowLocal(
       docs, col(textCol), col(idCol), label, m)
 
+  /** Streaming ANN serving (r16) — the similarity-search family's
+    * streaming twin: arriving QUERY embeddings probe a frozen IVF
+    * index. The quantizer is trained offline
+    * ([[graft.operators.IvfAnn.train]]) and FROZEN — probe-cell
+    * assignment is the same codegen kernel over centroid literals the
+    * batch lane uses, evaluated map-side on the stream with ZERO
+    * streaming state (the [[qualityLrScore]] pattern); candidates come
+    * from the STATIC index side of a stream-static equi-join on the
+    * cell id, exactly how a serving tier holds a nightly-built index
+    * constant while queries flow.
+    *
+    * Per-query top-k runs inside foreachBatch: each query id arrives
+    * exactly ONCE and the index side is complete and static, so a
+    * query's top-k is entirely decided within its own micro-batch —
+    * batch-local ranking is exact, not approximate, and needs no
+    * cross-batch state or watermark. Each batch's ranked rows append
+    * to `outDir` as parquet (the serving log). Value-parity with the
+    * oracle-checked q_ann_ivf batch lane is pinned on the real
+    * embeddings table in StreamingSpec. Returns the started query. */
+  def annIvfServe(queries: DataFrame, index: DataFrame, outDir: String,
+                  k: Int, model: graft.operators.IvfAnn.Model,
+                  nProbe: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annIvfBatch(batch, index, outDir, k, model, nProbe)
+      }
+      .start()
+
+  /** One micro-batch of [[annIvfServe]] — package-visible so specs can
+    * drive batches directly (the mergeBatch convention). Delegates to
+    * the batch operator itself: the streaming lane must not re-state
+    * the search's semantics. */
+  private[graft] def annIvfBatch(batch: DataFrame, index: DataFrame,
+                                 outDir: String, k: Int,
+                                 model: graft.operators.IvfAnn.Model,
+                                 nProbe: Int): Unit = {
+    if (!batch.isEmpty) // idle micro-batches must not litter the log
+      graft.operators.IvfAnn.topK(batch, index, k, model, nProbe)
+        .write.mode("append").parquet(outDir)
+  }
+
   /** Watermarked stream-stream inner join: each click joins purchases of
     * the same user that happened within `horizon` BEFORE it — the
     * streaming twin of the batch q_range_join (RangeJoin.pointInInterval).

@@ -45,4 +45,26 @@ class SetKernelsSpec extends AnyFunSuite with SparkSpec {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("null array element")))
   }
+
+  test("long kernel: nullable-typed inputs take the checked path (r16)") {
+    // Option[Long] elements give ArrayType(LongType, containsNull=true)
+    // — the parquet-read shape. Null-free values must intersect exactly
+    // as the fast path; a genuine null slot must throw loudly.
+    val ok = Seq((Seq[Option[Long]](Some(1L), Some(3L), Some(7L)),
+        Seq[Option[Long]](Some(3L), Some(7L), Some(9L))))
+      .toDF("a", "b")
+      .select(plans.SetKernels.sortedIntersectLongs($"a", $"b").as("w"))
+      .collect().head.getSeq[Long](0)
+    assert(ok == Seq(3L, 7L))
+    val ex = intercept[Exception] {
+      Seq((Seq[Option[Long]](None, Some(5L)), Seq[Option[Long]](Some(5L))))
+        .toDF("a", "b")
+        .select(plans.SetKernels.sortedIntersectLongs($"a", $"b").as("w"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null array element")))
+  }
 }

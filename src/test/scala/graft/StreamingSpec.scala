@@ -893,6 +893,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"onlyBatch=${(want -- streamed).take(3)}")
   }
 
+  test("streaming IVF ANN serving equals the q_ann_ivf driver query on real embeddings") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // streaming twin of the similarity-search family (r16 — the 13th
+    // parity lane): the IVF quantizer is trained once over the batch
+    // corpus (bit-deterministic, so this retrain IS the model the
+    // batch lane cached) and frozen; the q_ann_ivf QUERY set then
+    // arrives as a stream in three micro-batches and probes the static
+    // index through the zero-state foreachBatch server. Each query id
+    // arrives exactly once and the index is static, so per-batch
+    // ranking is exact — the appended serving log must equal the batch
+    // query's top-k row for row regardless of batching.
+    val e = Tables.embeddings(spark, sf)
+    val m = operators.IvfAnn.train(e, "vec_id", "embedding", k = 16)
+    val feed = e.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toVector
+    val outDir = s"target/test-tmp/ann-serve-${System.nanoTime()}"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annIvfServe(
+      in.toDF().toDF("vec_id", "embedding"), e, outDir,
+      k = 5, m, nProbe = 4)
+    feed.grouped(4).foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed == want,
+      s"stream/batch diverge: onlyStream=${(streamed -- want).take(3)} " +
+        s"onlyBatch=${(want -- streamed).take(3)}")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(outDir))
+  }
+
   test("streaming DSIR scoring equals the q_dsir_weights driver query on real documents") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

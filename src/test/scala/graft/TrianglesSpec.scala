@@ -103,6 +103,32 @@ class TrianglesSpec extends AnyFunSuite with SparkSpec {
     assert(wedge == merge, s"real fixture: ${wedge.size} vs ${merge.size}")
   }
 
+  test("materialized oriented+adjacency (parquet round-trip) identical to inline merge plan") {
+    import spark.implicits._
+    // r16: the catalog lane serves from write-once parquet tables
+    // (CoPurchase.orientedFull/triAdjacency). The round-trip must be
+    // invisible. Spark types every parquet-read array nullable, so
+    // this path exercises the intersect kernel's CHECKED variant
+    // (null pre-scan compiled in from the static type) — results must
+    // still equal the inline plan's fast path exactly.
+    val real = PageRank.coOccurrenceEdges(
+      Tables.lineitem(spark, sf), $"l_orderkey", $"l_partkey", maxBasket = 64)
+    val orientedInline = Triangles.orient(real).select($"u", $"v")
+    val dir = java.nio.file.Files.createTempDirectory("tri_mat_").toString
+    orientedInline.write.mode("overwrite").parquet(s"$dir/oriented")
+    val oriented = spark.read.parquet(s"$dir/oriented")
+    Triangles.adjacencyOf(oriented)
+      .write.mode("overwrite").parquet(s"$dir/adj")
+    val adj = spark.read.parquet(s"$dir/adj")
+    val served = Triangles.perNodeMergeOn(oriented, adj).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inline = Triangles.perNodeMerge(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == inline,
+      s"materialized plan diverged: ${served.size} vs ${inline.size}")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
   test("random graphs: always matches brute force (incl. ties, components)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
