@@ -32,8 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs driver+executors in ONE JVM; 8g starves 32 task
-  // threads once a long run accumulates state (the box has 128 GiB)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // threads once a long run accumulates state (the box has 128 GiB).
+  // r16: 24g → 48g — the sf1 catalog's heavy lanes (triangle merge
+  // join, WAND rescore) GC-thrash a 240-query-old 24g heap (measured:
+  // 172 s task GC in one stage; the same plan in a fresh JVM runs
+  // 21 s with 5 s GC), and the broadcast-adjacency plan adds ~GB-scale
+  // hashed relations per execution. Half the box is still left for
+  // page cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // r15: a 240-query catalog generates thousands of codegen classes;
   // JDK 17's default 240 MB reserved code cache fills mid-run and the
   // sweeper starts flushing HOT generated methods, which then run

@@ -17,7 +17,7 @@ done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -XX:ReservedCodeCacheSize="${SPARK_CODE_CACHE:-1g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "$@"

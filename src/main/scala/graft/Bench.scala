@@ -48,9 +48,20 @@ object Bench {
     // SPARK_GRAFT_STAGES=1 additionally echoes buffered stages to
     // stderr live (the r15 instrument that found the code-cache fill).
     val stageEcho = sys.env.contains("SPARK_GRAFT_STAGES")
-    // (stageId, wallSec, cpuSec, gcSec, tasks) for stages > 2 s wall
-    val stageBuf =
-      new scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Double, Int)]
+    // Stage record for stages > 0.5 s wall (the r16a gate showed slow
+    // lanes made of MANY sub-2 s stages — a 2 s floor recorded nothing
+    // for exactly the lanes that needed explaining); every completed
+    // stage also folds into a running (count, wall-sum) so "death by
+    // many small stages" is visible even when no single stage crosses
+    // the floor. Columns split CPU-work from IO-wait from memory
+    // pressure (the r16 sf1 warm inversions showed BOTH signatures —
+    // q_pagerank 6× CPU-bound, the probe rerun run≫cpu IO-bound — so
+    // the record must carry run/spill/fetch-wait/write, not just cpu).
+    final case class St(id: Int, wall: Double, cpu: Double, run: Double,
+                        gc: Double, spillMb: Double, fetchWait: Double,
+                        write: Double, tasks: Int)
+    val stageBuf = new scala.collection.mutable.ArrayBuffer[St]
+    val stageAgg = new java.util.concurrent.atomic.AtomicLongArray(2) // count, wall-ms
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -59,26 +70,36 @@ object Bench {
           val ms = (for {
             a <- i.completionTime; b <- i.submissionTime
           } yield a - b).getOrElse(0L)
-          if (ms > 2000) {
+          stageAgg.incrementAndGet(0)
+          stageAgg.addAndGet(1, ms)
+          if (ms > 500) {
             val m = i.taskMetrics
-            stageBuf.synchronized {
-              stageBuf += ((i.stageId, ms / 1000.0, m.executorCpuTime / 1e9,
-                m.jvmGCTime / 1e3, i.numTasks))
-            }
-            if (stageEcho)
+            val st = St(i.stageId, ms / 1000.0, m.executorCpuTime / 1e9,
+              m.executorRunTime / 1e3, m.jvmGCTime / 1e3,
+              (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576.0,
+              m.shuffleReadMetrics.fetchWaitTime / 1e3,
+              m.shuffleWriteMetrics.writeTime / 1e9, i.numTasks)
+            stageBuf.synchronized { stageBuf += st }
+            if (stageEcho && ms > 2000)
               System.err.println(
-                f"[bench-stage ${i.stageId}%5d] ${ms / 1000.0}%7.1f s wall  " +
-                f"cpu ${m.executorCpuTime / 1e9}%8.1f  gc ${m.jvmGCTime / 1e3}%6.1f  " +
-                f"tasks=${i.numTasks}")
+                f"[bench-stage ${st.id}%5d] ${st.wall}%7.1f s wall  " +
+                f"cpu ${st.cpu}%8.1f  run ${st.run}%8.1f  gc ${st.gc}%6.1f  " +
+                f"spill ${st.spillMb}%7.0f MB  tasks=${st.tasks}")
           }
         }
       })
-    def snapStages(): Seq[(Int, Double, Double, Double, Int)] =
-      stageBuf.synchronized {
-        val s = stageBuf.sortBy(-_._2).take(20).toSeq
+    /** (top stages desc by wall, total stage count, total stage wall s)
+      * since the last snap. */
+    def snapStages(): (Seq[St], Long, Double) = {
+      val n = stageAgg.getAndSet(0, 0L)
+      val wall = stageAgg.getAndSet(1, 0L) / 1000.0
+      val s = stageBuf.synchronized {
+        val s = stageBuf.sortBy(-_.wall).take(20).toSeq
         stageBuf.clear()
         s
       }
+      (s, n, wall)
+    }
     /** (used MB, max MB) across the JIT code-heap pools — the r15
       * degradation mechanism, now measured at every sentinel point and
       * on every kept diagnostic. */
@@ -228,6 +249,12 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // lanes with a gate-degradation HISTORY (r13-r15 verdicts) always
+    // keep their telemetry, whatever the thresholds say — the judge's
+    // open questions are about exactly these, so their record rows
+    // must carry evidence even when healthy
+    val watchlist = Set("q_minhash_recall", "q_triangles", "q_pagerank",
+      "q_hits", "q_wand", "q_allpairs")
     // sentinel + code-cache snapshots at (early, mid, late) — see the
     // listener block above
     val sentinels = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -235,11 +262,13 @@ object Bench {
     def sentinelPoint(tag: String): Unit = {
       sentinels(tag) = sentinelRun()
       ccSnaps(tag) = codeCacheMb()
-      stageBuf.synchronized(stageBuf.clear()) // sentinel stages aren't query stages
+      snapStages() // discard — sentinel stages aren't query stages
+      ()
     }
     sentinelPoint("early")
-    // per-query diagnostics kept only for slow/inverted lanes (cap 12
-    // so one bad box day can't balloon the detail file)
+    // per-query diagnostics kept for slow/inverted lanes and the
+    // watchlist (cap 12 + watchlist so one bad box day can't balloon
+    // the detail file)
     val diagnostics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def t3(t: Double): String = f"$t%.3f"
     // deterministic run order (Map hash order changes whenever a query
@@ -266,12 +295,12 @@ object Bench {
       // the driver box — 2.7× INVERTED). JIT/codegen caches survive
       // cleanup(), which is what "warm" is meant to measure here.
       cleanup() // also drains the listener bus before the snapshot
-      val stagesCold = snapStages()
+      val (stagesCold, nStCold, wallStCold) = snapStages()
       val b1 = graft.operators.BuildMeter.seconds
       val warm = run(f)
       val bWarm = graft.operators.BuildMeter.seconds - b1
       cleanup()
-      val stagesWarm = snapStages()
+      val (stagesWarm, nStWarm, wallStWarm) = snapStages()
       // keep the telemetry when the run needs explaining: cold beyond
       // 3× the committed builder median (min floor 5 s), any run over
       // 60 s, or a warm>cold inversion (the enforced 1.2×+0.5 s bound)
@@ -280,16 +309,26 @@ object Bench {
         cold._1 > 60.0
       val inverted = cold._2.isEmpty && warm._2.isEmpty &&
         warm._1 > cold._1 * 1.2 + 0.5
-      if ((slowCold || inverted || warm._1 > 60.0) && diagnostics.size < 12) {
+      if ((slowCold || inverted || warm._1 > 60.0 || watchlist.contains(n))
+          && diagnostics.size < 12 + watchlist.size) {
         val (ccUsed, ccMax) = codeCacheMb()
-        def stagesJson(st: Seq[(Int, Double, Double, Double, Int)]): String =
-          st.map { case (id, wall, cpu, gc, tasks) =>
-            s"""[$id,${t3(wall)},${t3(cpu)},${t3(gc)},$tasks]"""
+        // [id, wall, cpu, run, gc, spill_mb, fetch_wait, write, tasks]
+        def stagesJson(st: Seq[St]): String =
+          st.map { s =>
+            s"""[${s.id},${t3(s.wall)},${t3(s.cpu)},${t3(s.run)},""" +
+            s"""${t3(s.gc)},${t3(s.spillMb)},${t3(s.fetchWait)},""" +
+            s"""${t3(s.write)},${s.tasks}]"""
           }.mkString("[", ",", "]")
         diagnostics(n) =
           s"""{"expected_median":${med.map(t3).getOrElse("null")}""" +
-          s""","why":"${if (slowCold) "slow_cold" else if (inverted) "warm_inversion" else "slow_warm"}"""" +
+          s""","why":"${
+            if (slowCold) "slow_cold"
+            else if (inverted) "warm_inversion"
+            else if (warm._1 > 60.0) "slow_warm"
+            else "watchlist"}"""" +
           s""","code_cache_mb":[${t3(ccUsed)},${t3(ccMax)}]""" +
+          s""","n_stages":[$nStCold,$nStWarm]""" +
+          s""","stage_wall_sum":[${t3(wallStCold)},${t3(wallStWarm)}]""" +
           s""","stages_cold":${stagesJson(stagesCold)}""" +
           s""","stages_warm":${stagesJson(stagesWarm)}}"""
         System.err.println(s"[bench] DIAGNOSTIC kept for $n " +

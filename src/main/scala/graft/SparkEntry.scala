@@ -2778,9 +2778,14 @@ object SparkEntry {
       // triAdjacency — index-build work, metered in build_cold), so
       // the lane itself is two keyed joins + the merge kernel over
       // plain scans; spec-pinned identical to the inline plan.
+      // perNodeMergeAuto broadcasts the adjacency while it fits
+      // executor memory (one metadata-only count decides) — the joins
+      // become hash probes and the Σ(d⁺u+d⁺v) array payload (10.6 GB
+      // at sf1, GraphStatsProbe) never shuffles; past the bound the
+      // shuffle plan engages, same rows.
       val oriented = operators.CoPurchase.orientedFull(s, dir)
       val adj = operators.CoPurchase.triAdjacency(s, dir)
-      operators.Triangles.perNodeMergeOn(oriented, adj)
+      operators.Triangles.perNodeMergeAuto(oriented, adj)
         .orderBy($"n_triangles".desc, $"node")
         .limit(50)
     }),

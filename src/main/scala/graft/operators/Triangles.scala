@@ -195,14 +195,40 @@ object Triangles {
     oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
 
+  /** Adjacency-element bound under which [[perNodeMergeAuto]]
+    * broadcasts the adjacency instead of shuffling it through the two
+    * joins. WHY THIS IS THE LEVER (r16, measured): the merge plan's
+    * dominant cost is not the intersections — it is the JOINS carrying
+    * a full neighbor array on every edge row: Σ_(u,v) (d⁺u + d⁺v)
+    * longs of shuffle payload (GraphStatsProbe: 1.33 B longs ≈ 10.6 GB
+    * at sf1 for 411 M comparisons — the 80 s close stage). The
+    * adjacency TABLE is tiny by comparison (one row per node,
+    * Σd⁺ = m elements — 12 M at sf1), so while it fits executor
+    * memory, broadcasting it turns both joins into build-free hash
+    * probes and the array payload never moves. 50 M longs ≈ 400 MB
+    * raw ≈ low-GB hashed — beyond that (sf10+: 120 M), the shuffle
+    * plan engages automatically, same result. */
+  val broadcastableAdjElems: Long = 50000000L
+
+  /** [[perNodeMergeOn]] with the broadcast decision taken from the
+    * oriented edge count (= total adjacency elements): one
+    * metadata-only count on the materialized parquet. */
+  def perNodeMergeAuto(oriented: DataFrame, adj: DataFrame): DataFrame =
+    perNodeMergeOn(oriented, adj,
+      broadcastAdj = oriented.count() <= broadcastableAdjElems)
+
   /** The merge plan over PRE-BUILT oriented edges + adjacency — the
     * serving shape when both live as materialized tables. `oriented`
     * must be the (u, v) rows [[orient]] produces; `adj` must be
-    * [[adjacencyOf]] of exactly those rows. */
-  def perNodeMergeOn(oriented: DataFrame, adj: DataFrame): DataFrame = {
+    * [[adjacencyOf]] of exactly those rows. `broadcastAdj` picks the
+    * broadcast-probe physical shape (see [[broadcastableAdjElems]]);
+    * results are identical either way (spec-pinned). */
+  def perNodeMergeOn(oriented: DataFrame, adj: DataFrame,
+                     broadcastAdj: Boolean = false): DataFrame = {
+    val hint = (df: DataFrame) => if (broadcastAdj) broadcast(df) else df
     val tris = oriented.select(col("u"), col("v"))
-      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .join(hint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(hint(adj.select(col("u").as("v"), col("nbrs").as("nv"))), Seq("v"))
       .select(col("u"), col("v"),
         graft.plans.SetKernels.sortedIntersectLongs(col("nu"), col("nv"))
           .as("ws"))

@@ -50,33 +50,37 @@ object SetKernelOps {
     c
   }
 
-  /** [[sortedIntersectLongs]] behind a null-slot pre-scan — the
+  /** [[sortedIntersectLongs]] with null checks on VISITED slots — the
     * variant the expression compiles in when an INPUT TYPE is
     * nullable (e.g. arrays read back from parquet: Spark marks all
     * file-read columns nullable even when the writer's type was not).
-    * getLong on a null slot reads garbage silently, so nullable-typed
-    * inputs pay one cheap isNullAt pass that throws loudly instead;
-    * containsNull=false inputs keep the zero-check fast path. */
+    * getLong on a null slot reads garbage silently, so each visited
+    * slot is isNullAt-checked before its read and throws loudly;
+    * containsNull=false inputs keep the zero-check fast path. The
+    * check rides the merge's own walk (r16: a first cut pre-scanned
+    * BOTH full arrays per call — measured as a multiple of the whole
+    * triangle-lane cost at sf1, because the merge visits each pair of
+    * adjacency arrays once per EDGE). */
   def sortedIntersectLongsChecked(a: ArrayData, b: ArrayData): ArrayData = {
-    var i = 0
     val na = a.numElements()
-    while (i < na) {
-      if (a.isNullAt(i))
-        throw new IllegalArgumentException(
-          "sorted_intersect_longs: null array element — inputs must be " +
-          "null-free sorted sets (see SetKernels scaladoc)")
-      i += 1
-    }
-    var j = 0
     val nb = b.numElements()
-    while (j < nb) {
-      if (b.isNullAt(j))
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
         throw new IllegalArgumentException(
           "sorted_intersect_longs: null array element — inputs must be " +
           "null-free sorted sets (see SetKernels scaladoc)")
-      j += 1
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { buf(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
     }
-    sortedIntersectLongs(a, b)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(buf, c))
   }
 
   /** a ∩ b (values) over two long arrays sorted ascending. */

@@ -126,6 +126,13 @@ class TrianglesSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(served == inline,
       s"materialized plan diverged: ${served.size} vs ${inline.size}")
+    // the broadcast-probe shape (the catalog lane under
+    // perNodeMergeAuto while adjacency fits memory) — identical rows
+    val broadcasted = Triangles.perNodeMergeOn(oriented, adj,
+        broadcastAdj = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(broadcasted == inline,
+      s"broadcast plan diverged: ${broadcasted.size} vs ${inline.size}")
     graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
   }
 
