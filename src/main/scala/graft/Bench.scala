@@ -130,9 +130,9 @@ object Bench {
         .agg(count(lit(1))).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // committed builder-bracket cold medians (post-code-cache-fix r15
-    // passes d/e/f) — the "3× median" trigger only applies at the SF
-    // they were measured at
+    // committed builder-bracket cold medians (the post-code-cache-fix
+    // r15 passes d/e/f + the serialized r16 passes a/c) — the "3×
+    // median" trigger only applies at the SF they were measured at
     val expected: Map[String, Double] =
       if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) {
         try {
