@@ -14,8 +14,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+exec java $ADD_OPENS ${EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
+  -Dspark.sql.codegen.cache.maxEntries=4096 \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -XX:ReservedCodeCacheSize="${SPARK_CODE_CACHE:-1g}" \

@@ -19,6 +19,12 @@ object QuerySeq {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 32 MB scan splits (r17, measured A/B - see Bench): builder
+      // brackets must measure the same scan fan-out the gate runs
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      // static conf: the 100-entry default codegen cache recompiles
+      // stage-rich lanes every execution (r17; see build.sbt)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .appName("graft-queryseq")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

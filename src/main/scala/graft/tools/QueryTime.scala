@@ -27,10 +27,23 @@ object QueryTime {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt)
       .config("spark.ui.enabled", "false")
+      // 32 MB scan splits (r17, measured A/B - see Bench): builder
+      // brackets must measure the same scan fan-out the gate runs
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      // static conf: the 100-entry default codegen cache recompiles
+      // stage-rich lanes every execution (r17; see build.sbt)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .appName("graft-querytime")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (i <- 1 to n) {
+      // r17: per-run compilation deltas (HotSpot JIT ms; whole-stage-
+      // codegen compile count = codegen-cache misses) — the direct test
+      // of "is a repeat execution recompiling its plans?" (VERDICT r16
+      // ask 2: q_minhash_recall's warm run repeated the heavy-CPU
+      // signature a first-execution-JIT story can't explain)
+      val jit0 = graft.Sentinel.jitMs()
+      val cg0 = graft.Sentinel.codegenStats()._1
       val t0 = System.nanoTime()
       val df0 = graft.SparkEntry.queries(q)(spark, dir)
       val df = if (nosort) {
@@ -44,8 +57,12 @@ object QueryTime {
         }
       } else df0
       df.write.format("noop").mode("overwrite").save()
-      println(f"querytime: $q run$i ${(System.nanoTime() - t0) / 1e9}%.3f s" +
-        (if (nosort) " (nosort)" else ""))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val jitD = graft.Sentinel.jitMs() - jit0
+      val cgD = graft.Sentinel.codegenStats()._1 - cg0
+      println(f"querytime: $q run$i $dt%.3f s" +
+        (if (nosort) " (nosort)" else "") +
+        s"  jit_ms=$jitD codegen_compiles=$cgD")
       // Bench-style teardown so runs are independent: drop cached plans
       // AND persisted/localCheckpoint'd RDDs a query pinned while built.
       spark.catalog.clearCache()
