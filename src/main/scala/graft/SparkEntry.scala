@@ -2745,11 +2745,14 @@ object SparkEntry {
       // join+agg rounds in exact integer micro-units, so the ranks are
       // bit-identical to the oracle's unrolled-SQL replay (float
       // PageRank never hash-matches across engines); top-100 via
-      // TakeOrderedAndProject, never a global sort. Edges come from the
-      // write-once materialized derivation (operators.CoPurchase) that
-      // all graph queries share — row-identical to the inline form.
-      val edges = operators.CoPurchase.fullEdges(s, dir)
-      operators.PageRank.ranks(edges, iterations = 5)
+      // TakeOrderedAndProject, never a global sort. r17: the query now
+      // serves from the write-once materialized TRANSITION table
+      // (edges ⋈ out-degrees, operators.CoPurchase.transitionFull) —
+      // the degree derivation is index-build work, metered in
+      // build_cold, and every iteration starts from a plain scan.
+      // Bit-identical ranks (PageRankSpec pins the two forms equal).
+      val trans = operators.CoPurchase.transitionFull(s, dir)
+      operators.PageRank.ranksFromTransitions(trans, iterations = 5)
         .orderBy($"rank_micro".desc, $"node")
         .limit(100)
         .select($"node", $"rank_micro")
@@ -5417,10 +5420,11 @@ object SparkEntry {
       // "related items" form recommenders run, complementing
       // q_cooccur_recs' direct co-counts with multi-hop structure.
       // Integer micro-units + floor division keep every iteration
-      // bit-identical to the oracle's unrolled-CTE replay. Shared
-      // materialized edge table (operators.CoPurchase).
-      val edges = operators.CoPurchase.fullEdges(s, dir)
-      operators.PageRank.personalized(edges, seedMod = 97, iterations = 5)
+      // bit-identical to the oracle's unrolled-CTE replay. r17: serves
+      // from the shared materialized TRANSITION table (see q_pagerank).
+      val trans = operators.CoPurchase.transitionFull(s, dir)
+      operators.PageRank.personalizedFromTransitions(trans, seedMod = 97,
+        iterations = 5)
         .orderBy($"rank_micro".desc, $"node")
         .limit(50)
         .select($"node", $"rank_micro")

@@ -56,6 +56,82 @@ object PageRank {
       .select(col("src"), col("dst"))
       .distinct()
 
+  /** (src, dst, outdeg) transition rows of an edge set — the
+    * loop-invariant edge⋈degree join the power iterations consume,
+    * split out so it can be MATERIALIZED write-once next to the edge
+    * table (CoPurchase.transitionFull; r17, VERDICT r16 ask 6): the
+    * pagerank and ppr lanes re-derived the degree table and re-joined
+    * it inside every query execution (23.6 s / 17.9 s cold at sf1),
+    * which is index-build work, not query work. outdeg here is the
+    * same groupBy-count [[ranks]] computed inline, so the arithmetic
+    * downstream is bit-identical. */
+  def transitionsOf(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg"))
+  }
+
+  /** The node/out-degree table recovered from transition rows with one
+    * row-local distinct (each (src, outdeg) pair repeats outdeg times).
+    * Persisted via OpCaches: it seeds the iteration AND supplies the
+    * node count. */
+  private def degFromTransitions(trans: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    OpCaches.track(
+      trans.select(col("src"), col("outdeg")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** One damped power iteration over transition rows — the shared loop
+    * body of [[ranksFromTransitions]] and
+    * [[personalizedFromTransitions]] (and, through them, arithmetic-
+    * identical to the inline [[ranks]]/[[personalized]] loops). */
+  private def iterate(trans: DataFrame, r0: DataFrame, iterations: Int)
+                     (damp: Column => Column): DataFrame = {
+    var r = r0
+    for (_ <- 1 to iterations) {
+      val contrib = trans
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("c"))
+      r = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (damp(col("node")) + expr("(85 * s) div 100")).as("rank_micro"))
+    }
+    r
+  }
+
+  /** [[ranks]] over PRE-BUILT (src, dst, outdeg) transition rows — the
+    * serving shape when the transition table lives materialized
+    * (CoPurchase.transitionFull): every iteration starts from a plain
+    * scan (join ranks, aggregate), no degree derivation inside the
+    * query. Same integer micro-units and floor divisions as [[ranks]],
+    * so the ranks are bit-identical (PageRankSpec pins it). */
+  def ranksFromTransitions(trans: DataFrame, iterations: Int): DataFrame = {
+    val deg = degFromTransitions(trans)
+    val n = deg.count() // every node has out-edges (symmetric graph)
+    val init = lit(TotalMass / n)
+    val base = lit(15L * (TotalMass / n) / 100L)
+    val r0 = deg.select(col("src").as("node"), init.as("rank_micro"))
+    iterate(trans, r0, iterations)(_ => base)
+  }
+
+  /** [[personalized]] over PRE-BUILT transition rows — bit-identical
+    * ranks (PageRankSpec pins it). */
+  def personalizedFromTransitions(trans: DataFrame, seedMod: Long,
+                                  iterations: Int): DataFrame = {
+    val deg = degFromTransitions(trans)
+    val nSeeds = deg.filter(col("src") % seedMod === 0).count()
+    require(nSeeds > 0, s"no seeds: no node is 0 mod $seedMod")
+    val init = lit(TotalMass / nSeeds)
+    val base = lit(15L * (TotalMass / nSeeds) / 100L)
+    def seedCase(node: Column, v: Column): Column =
+      when(node % seedMod === 0, v).otherwise(lit(0L))
+    val r0 = deg.select(col("src").as("node"),
+      seedCase(col("src"), init).as("rank_micro"))
+    iterate(trans, r0, iterations)(node => seedCase(node, base))
+  }
+
   /** Personalized PageRank: teleport mass returns only to the SEED set
     * (nodes ≡ 0 mod `seedMod` — a predicate the SQL oracle replays
     * verbatim), so rank concentrates around the seeds — the

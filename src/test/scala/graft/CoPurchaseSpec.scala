@@ -44,6 +44,21 @@ class CoPurchaseSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(mat).nonEmpty)
   }
 
+  test("materialized transition table equals the inline derivation") {
+    // (src, dst, outdeg) rows — longs round-trip parquet exactly, so
+    // the materialized form must be SET-identical to transitionsOf over
+    // the inline edge derivation (r17)
+    val inline = operators.PageRank.transitionsOf(
+      operators.PageRank.coOccurrenceEdges(
+        Tables.lineitem(spark, sf), col("l_orderkey"), col("l_partkey"),
+        maxBasket = operators.CoPurchase.FullCap))
+    val mat = operators.CoPurchase.transitionFull(spark, sf)
+    def t3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t3(mat) == t3(inline))
+    assert(t3(mat).nonEmpty)
+  }
+
   test("incremental edge refresh equals the full rebuild (merged == recomputed)") {
     // Split the fact by ORDER KEY so the delta carries complete new
     // baskets — the append-only fact-delta contract. The refreshed

@@ -83,6 +83,30 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(r(1L) == r(2L))
   }
 
+  test("transition-table form is bit-identical to the inline form") {
+    import spark.implicits._
+    // the serving shape (pre-built src/dst/outdeg rows, r17) must
+    // reproduce the inline loop's EXACT integer ranks — same floor
+    // divisions on the same outdeg values — for both the global and
+    // the personalized lane
+    val e = PageRank.coOccurrenceEdges(
+      Tables.lineitem(spark, sf), $"l_orderkey", $"l_partkey", maxBasket = 64)
+    val trans = PageRank.transitionsOf(e)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inlineRanks = m(PageRank.ranks(e, iterations = 3))
+    graft.operators.OpCaches.releaseAll()
+    val transRanks = m(PageRank.ranksFromTransitions(trans, iterations = 3))
+    graft.operators.OpCaches.releaseAll()
+    assert(transRanks == inlineRanks)
+    val inlinePpr = m(PageRank.personalized(e, seedMod = 97, iterations = 3))
+    graft.operators.OpCaches.releaseAll()
+    val transPpr =
+      m(PageRank.personalizedFromTransitions(trans, seedMod = 97, iterations = 3))
+    graft.operators.OpCaches.releaseAll()
+    assert(transPpr == inlinePpr)
+  }
+
   test("personalized is deterministic under repartitioning") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
