@@ -81,6 +81,60 @@ object HybridSearch {
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
   }
 
+  /** One PERSISTED impact-ranked postings table + broadcast query-term
+    * probe set for a multi-depth champion audit (r17). Before this,
+    * q_bm25_pruned's seven sub-lanes (full + three depths + three
+    * certificates) each re-derived the corpus weight pass and only
+    * AQE exchange reuse deduplicated them — and stage reuse is a RACE:
+    * identical exchanges materializing concurrently can both miss the
+    * stage cache, re-executing the whole champion pass inline
+    * (measured at sf1: 6.1 s with every reuse hit, 79–99 s with
+    * misses, same code, same data — the run-to-run bimodality the
+    * retrieval lanes have shown since r15). A persisted table cannot
+    * lose that race. Tracked via OpCaches for the caller's teardown. */
+  def impactAuditParts(tf: DataFrame, k1: Double = 1.2, b: Double = 0.75)
+      : (DataFrame, DataFrame) = {
+    val ranked = OpCaches.track(championsRanked(tf, k1, b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qTerms = broadcast(tf.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term")))
+    (ranked, qTerms)
+  }
+
+  /** Full (unpruned) BM25 top-k from the shared ranked postings —
+    * identical weight algebra and output to [[bm25RetrieveFromTf]]
+    * (weights are query-independent; HybridSearchSpec pins equality),
+    * but served from the one persisted derivation. */
+  def bm25RetrieveFromRanked(ranked: DataFrame, qTerms: DataFrame,
+                             k: Int): DataFrame = {
+    val scored = ranked.select(col("term"), col("doc_id"), col("w"))
+      .join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** [[bm25RetrieveImpactFromTf]] from the shared ranked postings. */
+  def bm25RetrieveImpactFromRanked(ranked: DataFrame, qTerms: DataFrame,
+                                   k: Int, m: Int): DataFrame = {
+    val champions = ranked.filter(col("rn") <= m)
+      .select(col("term"), col("doc_id"), col("w"))
+    val scored = champions.join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
   /** Impact-ordered pruned BM25 retrieval — the 100 TB lexical-lane
     * shape named in this file's scaladoc, now implemented: per term keep
     * only the top-`m` postings by BM25 weight (a CHAMPION LIST — the
@@ -102,19 +156,9 @@ object HybridSearch {
     * [[bm25RetrieveFromTf]]. */
   def bm25RetrieveImpactFromTf(tf: DataFrame, k: Int, m: Int,
                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val champions = championsRanked(tf, k1, b).filter(col("rn") <= m)
-      .select(col("term"), col("doc_id"), col("w"))
     val qTerms = broadcast(tf.filter(col("is_q"))
       .select(col("doc_id").as("query_id"), col("term")))
-    val scored = champions.join(qTerms, "term")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("lex_rank", row_number().over(w).cast(LongType))
-      .filter(col("lex_rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    bm25RetrieveImpactFromRanked(championsRanked(tf, k1, b), qTerms, k, m)
   }
 
   /** MaxScore-style EXACTNESS CERTIFICATE for the champion-pruned
@@ -136,11 +180,16 @@ object HybridSearch {
     * Emits one row per query: (query_id, n_candidates, certified). */
   def impactCertificates(tf: DataFrame, k: Int, m: Int,
                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val ranked = championsRanked(tf, k1, b)
-    val champions = ranked.filter(col("rn") <= m)
-      .select(col("term"), col("doc_id"), col("w"))
     val qTerms = broadcast(tf.filter(col("is_q"))
       .select(col("doc_id").as("query_id"), col("term")))
+    impactCertificatesFromRanked(championsRanked(tf, k1, b), qTerms, k, m)
+  }
+
+  /** [[impactCertificates]] from the shared ranked postings. */
+  def impactCertificatesFromRanked(ranked: DataFrame, qTerms: DataFrame,
+                                   k: Int, m: Int): DataFrame = {
+    val champions = ranked.filter(col("rn") <= m)
+      .select(col("term"), col("doc_id"), col("w"))
     val zero = lit(0).cast(DecimalType(18, 6))
     // per-(query, term) miss bound; a term whose list is complete hides 0
     val qub = qTerms

@@ -113,6 +113,27 @@ class HybridSearchSpec extends AnyFunSuite with SparkSpec {
     assert(pruned == full, "certified top-k set differs from the full index")
   }
 
+  test("shared-ranked (persisted) forms are row-identical to the per-call forms") {
+    import spark.implicits._
+    // r17: q_bm25_pruned serves all sub-lanes from ONE persisted
+    // champion derivation (impactAuditParts) — every FromRanked form
+    // must reproduce its per-call counterpart exactly
+    val dt = graft.operators.DocTerms.table(spark, sf)
+      .withColumn("is_q", $"doc_id" < 8)
+    val (ranked, qT) = HybridSearch.impactAuditParts(dt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(HybridSearch.bm25RetrieveFromRanked(ranked, qT, k = 10)) ==
+      rows(HybridSearch.bm25RetrieveFromTf(dt, k = 10)))
+    Seq(32, 600).foreach { m =>
+      assert(rows(HybridSearch.bm25RetrieveImpactFromRanked(ranked, qT, 10, m)) ==
+        rows(HybridSearch.bm25RetrieveImpactFromTf(dt, 10, m)), s"impact m=$m")
+      assert(rows(HybridSearch.impactCertificatesFromRanked(ranked, qT, 10, m)) ==
+        rows(HybridSearch.impactCertificates(dt, 10, m)), s"cert m=$m")
+    }
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("impact certificate: complete champion lists certify every query vacuously") {
     import spark.implicits._
     val dt = graft.operators.DocTerms.table(spark, sf)
