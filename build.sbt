@@ -61,4 +61,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // level; ~100-200 MB worst-case heap for cached sources on the 48 g
   // heap.
   "-Dspark.sql.codegen.cache.maxEntries=4096",
+  // r17, same investigation: Spark embeds the per-query codegen stage
+  // ID in the generated CLASS NAME (spark.sql.codegen.useIdInClassName,
+  // default true), and AQE materializes stages in a nondeterministic
+  // order, so identical plans get renumbered between runs - every
+  // renumbered fragment is a codegen-cache MISS even with the larger
+  // cache (measured: q_bm25_pruned recompiled 46-112 classes per
+  // repeat run; with the id out of the class name, 0-2). The id is
+  // cosmetic (debug stack traces); correctness is unaffected.
+  "-Dspark.sql.codegen.useIdInClassName=false",
 )

@@ -17,6 +17,7 @@ done
 exec java $ADD_OPENS ${EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.codegen.cache.maxEntries=4096 \
+  -Dspark.sql.codegen.useIdInClassName=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -XX:ReservedCodeCacheSize="${SPARK_CODE_CACHE:-1g}" \

@@ -30,6 +30,9 @@ object FanoutAB {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // keep codegen class names stable across AQE stage renumbering
+      // so repeat executions hit the codegen cache (r17; see build.sbt)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .appName("graft-fanout-ab")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

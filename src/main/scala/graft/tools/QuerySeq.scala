@@ -25,6 +25,9 @@ object QuerySeq {
       // static conf: the 100-entry default codegen cache recompiles
       // stage-rich lanes every execution (r17; see build.sbt)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // keep codegen class names stable across AQE stage renumbering
+      // so repeat executions hit the codegen cache (r17; see build.sbt)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .appName("graft-queryseq")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

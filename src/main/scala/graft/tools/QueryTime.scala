@@ -33,9 +33,37 @@ object QueryTime {
       // static conf: the 100-entry default codegen cache recompiles
       // stage-rich lanes every execution (r17; see build.sbt)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // keep codegen class names stable across AQE stage renumbering
+      // so repeat executions hit the codegen cache (r17; see build.sbt)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .appName("graft-querytime")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PLANDUMP=<dir>: write every execution's FINAL
+    // (post-AQE) physical plan to <dir>/plan-<seq>.txt — the diff
+    // harness for run-to-run plan instability (r17: lanes recompiling
+    // codegen on every run must be flapping their physical plans;
+    // diffing a fast run's dump against a slow run's names the flip).
+    sys.env.get("SPARK_GRAFT_PLANDUMP").foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      val seq = new java.util.concurrent.atomic.AtomicInteger()
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val i = seq.incrementAndGet()
+            try java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$dir/plan-$i.txt"),
+              qe.explainString(
+                org.apache.spark.sql.execution.ExtendedMode))
+            catch { case _: Throwable => () }
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
     for (i <- 1 to n) {
       // r17: per-run compilation deltas (HotSpot JIT ms; whole-stage-
       // codegen compile count = codegen-cache misses) — the direct test
@@ -44,6 +72,7 @@ object QueryTime {
       // signature a first-execution-JIT story can't explain)
       val jit0 = graft.Sentinel.jitMs()
       val cg0 = graft.Sentinel.codegenStats()._1
+      val b0 = graft.operators.BuildMeter.seconds
       val t0 = System.nanoTime()
       val df0 = graft.SparkEntry.queries(q)(spark, dir)
       val df = if (nosort) {
@@ -60,7 +89,8 @@ object QueryTime {
       val dt = (System.nanoTime() - t0) / 1e9
       val jitD = graft.Sentinel.jitMs() - jit0
       val cgD = graft.Sentinel.codegenStats()._1 - cg0
-      println(f"querytime: $q run$i $dt%.3f s" +
+      val bD = graft.operators.BuildMeter.seconds - b0
+      println(f"querytime: $q run$i $dt%.3f s (build $bD%.3f)" +
         (if (nosort) " (nosort)" else "") +
         s"  jit_ms=$jitD codegen_compiles=$cgD")
       // Bench-style teardown so runs are independent: drop cached plans
