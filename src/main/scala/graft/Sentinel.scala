@@ -94,7 +94,11 @@ object Sentinel {
   /** Cumulative HotSpot JIT compilation milliseconds (monotonic;
     * per-run delta = JIT work done DURING that run — the direct test of
     * the "first-execution JIT warmup" story the r16 traces could only
-    * infer from CPU shape). */
+    * infer from CPU shape). Returns -1 when the JVM does not support
+    * compilation-time monitoring — callers MUST pass the sentinel
+    * through (diagnostics emit null), never fold it into a zero delta:
+    * "no JIT meter" and "no JIT work" are different facts (r18,
+    * ADVICE). [[jitDeltaJson]] is the shared delta formatter. */
   def jitMs(): Long = {
     val b = java.lang.management.ManagementFactory.getCompilationMXBean
     if (b != null && b.isCompilationTimeMonitoringSupported)
@@ -102,16 +106,22 @@ object Sentinel {
     else -1L
   }
 
-  /** Cumulative (whole-stage-codegen compile count, generated source
-    * bytes) from Spark's CodegenMetrics. A compile is a codegen-cache
-    * MISS — a warm run whose delta is nonzero is recompiling its plans,
-    * which is the r16 open hypothesis for q_minhash_recall's repeated
-    * warm CPU signature. */
-  def codegenStats(): (Long, Long) = {
-    val m = org.apache.spark.metrics.source.CodegenMetrics
-    val src = m.METRIC_SOURCE_CODE_SIZE
-    // Histogram exposes no running sum; count × mean reconstructs it
-    (m.METRIC_COMPILATION_TIME.getCount,
-     math.round(src.getSnapshot.getMean * src.getCount))
-  }
+  /** JSON value for a (before, after) [[jitMs]] pair: the delta, or the
+    * literal `null` when either read came from an unsupported JVM —
+    * the r18 ADVICE fix (a silent 0 was indistinguishable from "no JIT
+    * work" in exactly the diagnostics that lean on this meter). */
+  def jitDeltaJson(before: Long, after: Long): String =
+    if (before < 0 || after < 0) "null" else (after - before).toString
+
+  /** Cumulative whole-stage-codegen compile COUNT from Spark's
+    * CodegenMetrics. A compile is a codegen-cache MISS — a warm run
+    * whose delta is nonzero is recompiling its plans (the r17
+    * q_minhash_recall mechanism). r18 (ADVICE): the old second element
+    * (generated-source bytes as snapshot-mean × count) was dropped —
+    * Codahale's exponentially-decaying reservoir makes that product a
+    * recent-values estimate, not the running sum its doc claimed, and
+    * no caller ever consumed it. */
+  def codegenCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
 }

@@ -1334,6 +1334,141 @@ object SparkEntry {
     }.mkString(" OR ")
   }
 
+  /** q_minhash_recall's doc-sample budget: pct = least(100, greatest(1,
+    * budget div n)) — ~2,500 docs at any corpus size (see the lane's
+    * scale-bound note). The pre-warm runs the same plan at budget/11. */
+  private val minhashAuditSampleBudget = 250000L
+
+  /** The q_minhash_recall plan body, parameterized by the deterministic
+    * doc-sample budget so the once-per-JVM pre-warm below can run the
+    * IDENTICAL plan shape on a ~1/11 slice. Returns (result, pinned
+    * frames): the two persisted intermediates are handed back so the
+    * pre-warm can release its own slice's blocks (the real lane leaves
+    * release to the harness teardown, as before). All plan logic is
+    * unchanged from r17 — only the 250000 literal became a parameter
+    * (it reaches codegen solely through the 1-row pct aggregate, so
+    * every downstream generated class is byte-identical between the
+    * pre-warm slice and the real run). */
+  private def minhashRecallPlan(s: SparkSession, dir: String,
+      sampleBudget: Long): (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    val mrDocsAll = Tables.documents(s, dir)
+    val mrPct = mrDocsAll.agg(
+      expr(s"least(100, greatest(1, $sampleBudget div count(1)))").as("doc_pct"))
+    // the distinct (doc, shingle) table feeds THREE subtrees (the
+    // signature aggregation, the shingle-df ordering, the truth sets)
+    // — persist it so the explode+distinct shuffle runs once (the
+    // bench/seq harnesses unpersist all persistent RDDs per query)
+    val sh = mrDocsAll.crossJoin(broadcast(mrPct))
+      .filter(operators.Sampling.hashBucket($"doc_id") < $"doc_pct")
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .select($"doc_id",
+        explode(operators.Dedup.wordShinglesOf($"toks", 2)).as("sh0"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 16 md5s per (doc, shingle) row make the signature aggregation
+    // scan-heavy — it feeds exactly one consumer (the exploded band
+    // table below), so it is NOT persisted; the band table is
+    val mh = sh.groupBy($"doc_id")
+      .agg(minhashAuditSparkMins.head, minhashAuditSparkMins.tail: _*)
+    // exact truth via the verified PPJoin machinery (prefix + length +
+    // positional filters, recall 1.0 pinned by AllPairsSpec) over the
+    // SHINGLE domain — the engine audits one of its approximations
+    // with another of its exact operators, instead of a naive
+    // quadratic self-join; the >= 0.5 boundary is exact in doubles
+    // (d = 2i), identical to the oracle's integer 3·i >= n_a+n_b
+    val shDf = sh.groupBy($"sh0").agg(count(lit(1)).as("df"))
+    val shingleSets = sh.join(shDf, "sh0")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh0"))).as("ord"))
+      .select($"doc_id", expr("transform(ord, x -> x.sh0)").as("tokens"),
+        size($"ord").as("sz"))
+    val truth = operators.AllPairs
+      .jaccardJoinFromSets(shingleSets, threshold = 0.5)
+      .select($"id_a", $"id_b")
+    // ALL three banding configs ride ONE self-join: every (lane, band)
+    // bucket row goes into a single table keyed (lane, band, bk), the
+    // equi-join matches within lane+band+bucket, and a single
+    // (id_a, id_b) aggregation folds lane membership into three flag
+    // columns. r13 ran 3 joins + 3 distincts + 3 full-outers here; at
+    // this data size the audit was STAGE-COUNT-bound, not data-bound,
+    // so fusing the lanes is the honest win (values unchanged — the
+    // oracle's three per-lane CTEs replay the same sets). r15: the
+    // 14 (lane, band) rows expand via ONE row-local explode over the
+    // signature row instead of a 14-subtree union re-reading a cached
+    // mh 14 times — the union form made the lane's wall time hostage
+    // to cache residency (measured 24–142 s run-to-run at sf0.1; the
+    // exploded form reads signatures once), and the small exploded
+    // table (14 rows/doc) is what persists for the self-join's two
+    // sides.
+    val bandRows = Seq(2, 4, 8).flatMap { bands =>
+      val r = minhashAuditH / bands
+      (0 until bands).map { j =>
+        val key = concat_ws("|",
+          ((j * r) until ((j + 1) * r)).map(i => col(s"m$i").cast(StringType)): _*)
+        struct(lit(bands).as("lane"), lit(j).as("band"), key.as("bk"))
+      }
+    }
+    val allBands = mh
+      .select($"doc_id", explode(array(bandRows: _*)).as("b"))
+      .select($"doc_id", $"b.lane".as("lane"), $"b.band".as("band"),
+        $"b.bk".as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candFlags = allBands.as("x")
+      .join(allBands.as("y"),
+        col("x.lane") === col("y.lane") && col("x.band") === col("y.band") &&
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lane").as("lane"),
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .groupBy($"id_a", $"id_b")
+      .agg(max(when($"lane" === 2, 1L)).as("c2"),
+        max(when($"lane" === 4, 1L)).as("c4"),
+        max(when($"lane" === 8, 1L)).as("c8"))
+    val flagged = truth.withColumn("t", lit(1L))
+      .join(candFlags, Seq("id_a", "id_b"), "full_outer")
+    def both(c: String) = sum(when($"t" === 1L && col(c) === 1L, 1L).otherwise(0L))
+    val res = flagged.agg(
+        sum($"t").as("nt"), sum($"c2").as("nc2"), sum($"c4").as("nc4"),
+        sum($"c8").as("nc8"), both("c2").as("nd2"), both("c4").as("nd4"),
+        both("c8").as("nd8"))
+      .select(expr(
+        "stack(3, 2L, nt, nc2, nd2, 4L, nt, nc4, nd4, 8L, nt, nc8, nd8)" +
+          " as (bands, n_true, n_candidates, n_detected)"))
+      .select($"bands", $"n_true", $"n_candidates", $"n_detected",
+        // explicit zero guards: on a degenerate corpus (no true pairs /
+        // no candidates) Spark's `div` yields NULL while DuckDB's `//`
+        // raises — the CASE makes both engines return NULL in kind
+        expr("CASE WHEN n_true = 0 THEN NULL" +
+          " ELSE (1000000 * n_detected) div n_true END").as("recall_ppm"),
+        expr("CASE WHEN n_candidates = 0 THEN NULL" +
+          " ELSE (1000000 * n_detected) div n_candidates END")
+          .as("precision_ppm"))
+      .orderBy($"bands")
+    (res, Seq(sh, allBands))
+  }
+
+  /** Once-per-JVM JIT pre-warm of the minhash audit's generated classes
+    * (r18; VERDICT r17 ask 1 — the catalog's stage-richest lane, 92
+    * generated classes, paid 115.3 s on the r17 driver gate with 2,278 s
+    * of summed INTERPRETED cpu in one stage before reading 6.4 s warm /
+    * 5.8 s re-run). Exactly the PageRank.prewarmIteration /
+    * Triangles.prewarmMerge mechanism, pointed at the lane that
+    * motivated it: the classes are plan-shape-derived, not data-derived
+    * (and AQE-numbering-stable since useIdInClassName=false), so one
+    * execution of the SAME plan with the doc-sample budget divided by 11
+    * (~230 docs at sf0.1 — the banded self-joins are O(slice²), trivial)
+    * compiles and HotSpot-promotes every class before the real audit
+    * touches the full ~2,500-doc sample. Charged to BuildMeter: it is
+    * once-per-JVM warm-up work, exactly like a DerivedCache build. */
+  private val minhashRecallPrewarmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def prewarmMinhashRecall(s: SparkSession, dir: String): Unit =
+    if (!minhashRecallPrewarmed.getAndSet(true)) operators.BuildMeter.time {
+      val (df, pinned) = minhashRecallPlan(s, dir, minhashAuditSampleBudget / 11)
+      df.write.format("noop").mode("overwrite").save()
+      pinned.foreach(_.unpersist(blocking = false))
+    }
+
   /** q_interleave's oracle: the same lcm/weight strides as VALUES
     * literals, the same two-window derivation — all-integer virtual
     * time, so the merged order replays exactly. */
@@ -2563,7 +2698,6 @@ object SparkEntry {
     }),
 
     "q_minhash_recall" -> ((s, dir) => {
-      import s.implicits._
       // The S-curve audit for minhash-LSH dedup — q_ann_recall's
       // discipline applied to the dedup lane: with H=16 md5-derived
       // minhashes over the word-2-shingle domain, band the signature
@@ -2591,98 +2725,11 @@ object SparkEntry {
       // exact doc subset with a WHERE clause; at the driver's
       // correctness SF (0.01, 500 docs) pct = 100 and the audit still
       // covers the whole corpus.
-      val mrDocsAll = Tables.documents(s, dir)
-      val mrPct = mrDocsAll.agg(
-        expr("least(100, greatest(1, 250000 div count(1)))").as("doc_pct"))
-      // the distinct (doc, shingle) table feeds THREE subtrees (the
-      // signature aggregation, the shingle-df ordering, the truth sets)
-      // — persist it so the explode+distinct shuffle runs once (the
-      // bench/seq harnesses unpersist all persistent RDDs per query)
-      val sh = mrDocsAll.crossJoin(broadcast(mrPct))
-        .filter(operators.Sampling.hashBucket($"doc_id") < $"doc_pct")
-        .select($"doc_id", TextFns.tokens($"text").as("toks"))
-        .select($"doc_id",
-          explode(operators.Dedup.wordShinglesOf($"toks", 2)).as("sh0"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 16 md5s per (doc, shingle) row make the signature aggregation
-      // scan-heavy — it feeds exactly one consumer (the exploded band
-      // table below), so it is NOT persisted; the band table is
-      val mh = sh.groupBy($"doc_id")
-        .agg(minhashAuditSparkMins.head, minhashAuditSparkMins.tail: _*)
-      // exact truth via the verified PPJoin machinery (prefix + length +
-      // positional filters, recall 1.0 pinned by AllPairsSpec) over the
-      // SHINGLE domain — the engine audits one of its approximations
-      // with another of its exact operators, instead of a naive
-      // quadratic self-join; the >= 0.5 boundary is exact in doubles
-      // (d = 2i), identical to the oracle's integer 3·i >= n_a+n_b
-      val shDf = sh.groupBy($"sh0").agg(count(lit(1)).as("df"))
-      val shingleSets = sh.join(shDf, "sh0")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"df", $"sh0"))).as("ord"))
-        .select($"doc_id", expr("transform(ord, x -> x.sh0)").as("tokens"),
-          size($"ord").as("sz"))
-      val truth = operators.AllPairs
-        .jaccardJoinFromSets(shingleSets, threshold = 0.5)
-        .select($"id_a", $"id_b")
-      // ALL three banding configs ride ONE self-join: every (lane, band)
-      // bucket row goes into a single table keyed (lane, band, bk), the
-      // equi-join matches within lane+band+bucket, and a single
-      // (id_a, id_b) aggregation folds lane membership into three flag
-      // columns. r13 ran 3 joins + 3 distincts + 3 full-outers here; at
-      // this data size the audit was STAGE-COUNT-bound, not data-bound,
-      // so fusing the lanes is the honest win (values unchanged — the
-      // oracle's three per-lane CTEs replay the same sets). r15: the
-      // 14 (lane, band) rows expand via ONE row-local explode over the
-      // signature row instead of a 14-subtree union re-reading a cached
-      // mh 14 times — the union form made the lane's wall time hostage
-      // to cache residency (measured 24–142 s run-to-run at sf0.1; the
-      // exploded form reads signatures once), and the small exploded
-      // table (14 rows/doc) is what persists for the self-join's two
-      // sides.
-      val bandRows = Seq(2, 4, 8).flatMap { bands =>
-        val r = minhashAuditH / bands
-        (0 until bands).map { j =>
-          val key = concat_ws("|",
-            ((j * r) until ((j + 1) * r)).map(i => col(s"m$i").cast(StringType)): _*)
-          struct(lit(bands).as("lane"), lit(j).as("band"), key.as("bk"))
-        }
-      }
-      val allBands = mh
-        .select($"doc_id", explode(array(bandRows: _*)).as("b"))
-        .select($"doc_id", $"b.lane".as("lane"), $"b.band".as("band"),
-          $"b.bk".as("bk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val candFlags = allBands.as("x")
-        .join(allBands.as("y"),
-          col("x.lane") === col("y.lane") && col("x.band") === col("y.band") &&
-            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.lane").as("lane"),
-          col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .groupBy($"id_a", $"id_b")
-        .agg(max(when($"lane" === 2, 1L)).as("c2"),
-          max(when($"lane" === 4, 1L)).as("c4"),
-          max(when($"lane" === 8, 1L)).as("c8"))
-      val flagged = truth.withColumn("t", lit(1L))
-        .join(candFlags, Seq("id_a", "id_b"), "full_outer")
-      def both(c: String) = sum(when($"t" === 1L && col(c) === 1L, 1L).otherwise(0L))
-      flagged.agg(
-          sum($"t").as("nt"), sum($"c2").as("nc2"), sum($"c4").as("nc4"),
-          sum($"c8").as("nc8"), both("c2").as("nd2"), both("c4").as("nd4"),
-          both("c8").as("nd8"))
-        .select(expr(
-          "stack(3, 2L, nt, nc2, nd2, 4L, nt, nc4, nd4, 8L, nt, nc8, nd8)" +
-            " as (bands, n_true, n_candidates, n_detected)"))
-        .select($"bands", $"n_true", $"n_candidates", $"n_detected",
-          // explicit zero guards: on a degenerate corpus (no true pairs /
-          // no candidates) Spark's `div` yields NULL while DuckDB's `//`
-          // raises — the CASE makes both engines return NULL in kind
-          expr("CASE WHEN n_true = 0 THEN NULL" +
-            " ELSE (1000000 * n_detected) div n_true END").as("recall_ppm"),
-          expr("CASE WHEN n_candidates = 0 THEN NULL" +
-            " ELSE (1000000 * n_detected) div n_candidates END")
-            .as("precision_ppm"))
-        .orderBy($"bands")
+      // r18: the plan body lives in minhashRecallPlan (unchanged
+      // semantics), behind the once-per-JVM JIT pre-warm — see
+      // prewarmMinhashRecall's note for the mechanism and numbers.
+      prewarmMinhashRecall(s, dir)
+      minhashRecallPlan(s, dir, minhashAuditSampleBudget)._1
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
@@ -3624,21 +3671,29 @@ object SparkEntry {
           explode(operators.IvfAnn.probeCells($"embedding", m128, 10))
             .as("cell"))
         .join(cellOfS, Seq("cell")).filter($"vec_id" =!= $"qid")
+      // r18 (VERDICT r17 ask 4 — the q_bm25_pruned lesson applied): the
+      // ivf_t and spilled candidate-pair derivations each feed TWO cost
+      // rows (ivf_t + pq_rerank share `cand`'s probe geometry; ivf_s +
+      // ivf_s8 share `candS`'s by construction). Pin the shared 1-row
+      // aggregate explicitly instead of relying on AQE exchange reuse —
+      // reuse is an optimization, not a contract; without the pin each
+      // reference re-runs the full probe join over the corpus (2× the
+      // dominant scan at any scale).
+      val candCost = cand.agg(count(lit(1)).as("n_scored"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candSCost = candS.agg(count(lit(1)).as("n_scored"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val costs = Seq(
         ncorp.crossJoin(broadcast(tot))
           .select(lit("brute").as("lane"),
             ($"n_queries" * ($"n_corpus" - 1)).as("n_scored")),
-        cand.agg(count(lit(1)).as("n_scored"))
-          .select(lit("ivf_t").as("lane"), $"n_scored"),
-        candS.agg(count(lit(1)).as("n_scored"))
-          .select(lit("ivf_s").as("lane"), $"n_scored"),
+        candCost.select(lit("ivf_t").as("lane"), $"n_scored"),
+        candSCost.select(lit("ivf_s").as("lane"), $"n_scored"),
         // ivf_s8 scans the SAME spilled pair-visits (in code domain)
-        candS.agg(count(lit(1)).as("n_scored"))
-          .select(lit("ivf_s8").as("lane"), $"n_scored"),
+        candSCost.select(lit("ivf_s8").as("lane"), $"n_scored"),
         lshCand.agg(count(lit(1)).as("n_scored"))
           .select(lit("lsh_t").as("lane"), $"n_scored"),
-        cand.agg(count(lit(1)).as("n_scored"))
-          .select(lit("pq_rerank").as("lane"), $"n_scored"))
+        candCost.select(lit("pq_rerank").as("lane"), $"n_scored"))
         .reduce(_.unionByName(_))
       val hits = (
         brute.agg(count(lit(1)).as("n_hits"))
@@ -6954,9 +7009,16 @@ object SparkEntry {
         .withColumn("rn", row_number().over(wd).cast(LongType))
         .select($"rn", (($"rn" - 1) % 7).cast(IntegerType).as("idx"),
           ($"cents".cast(DoubleType) / lit(100.0)).as("x"))
+      // r18 (VERDICT r17 ask 4): `collected` — the one-row sorted
+      // history derived from the full orders aggregation — feeds all
+      // THREE model folds below. Pin it explicitly: without the persist
+      // each report() re-runs the orders scan + daily rollup + global
+      // sort (3× the dominant cost at scale), reachable only through
+      // AQE exchange reuse, which is an optimization, not a contract.
       val collected = seq0
         .agg(sort_array(collect_list(struct($"rn", $"idx", $"x"))).as("h"),
           count(lit(1)).as("n_days"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val accT = DecimalType(34, 6)
       val termT = DecimalType(22, 6)
       val zero = lit(0).cast(accT)

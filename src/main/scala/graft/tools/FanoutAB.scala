@@ -29,6 +29,9 @@ object FanoutAB {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r18 (ADVICE): match Bench/Verify's 8g headroom (triangle lane's
+      // broadcast-adjacency collect) so A/Bs stay config-identical
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       // keep codegen class names stable across AQE stage renumbering
       // so repeat executions hit the codegen cache (r17; see build.sbt)

@@ -19,6 +19,9 @@ object QuerySeq {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r18 (ADVICE): match Bench/Verify's 8g headroom (triangle lane's
+      // broadcast-adjacency collect) so brackets stay config-identical
+      .config("spark.driver.maxResultSize", "8g")
       // 32 MB scan splits (r17, measured A/B - see Bench): builder
       // brackets must measure the same scan fan-out the gate runs
       .config("spark.sql.files.maxPartitionBytes", "33554432")

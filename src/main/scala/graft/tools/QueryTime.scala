@@ -27,6 +27,11 @@ object QueryTime {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt)
       .config("spark.ui.enabled", "false")
+      // r18 (ADVICE): Bench/Verify carry 8g headroom for the triangle
+      // lane's broadcast-adjacency collects near the 50 M-element bound
+      // — brackets must run config-identical to the gate or the same
+      // lane could abort (or pick the shuffle plan) only here
+      .config("spark.driver.maxResultSize", "8g")
       // 32 MB scan splits (r17, measured A/B - see Bench): builder
       // brackets must measure the same scan fan-out the gate runs
       .config("spark.sql.files.maxPartitionBytes", "33554432")
@@ -71,7 +76,7 @@ object QueryTime {
       // ask 2: q_minhash_recall's warm run repeated the heavy-CPU
       // signature a first-execution-JIT story can't explain)
       val jit0 = graft.Sentinel.jitMs()
-      val cg0 = graft.Sentinel.codegenStats()._1
+      val cg0 = graft.Sentinel.codegenCompiles()
       val b0 = graft.operators.BuildMeter.seconds
       val t0 = System.nanoTime()
       val df0 = graft.SparkEntry.queries(q)(spark, dir)
@@ -87,8 +92,10 @@ object QueryTime {
       } else df0
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      val jitD = graft.Sentinel.jitMs() - jit0
-      val cgD = graft.Sentinel.codegenStats()._1 - cg0
+      // jit_ms reads "null" on a JVM without compilation-time
+      // monitoring (r18, ADVICE — a silent 0 would read as "no JIT work")
+      val jitD = graft.Sentinel.jitDeltaJson(jit0, graft.Sentinel.jitMs())
+      val cgD = graft.Sentinel.codegenCompiles() - cg0
       val bD = graft.operators.BuildMeter.seconds - b0
       println(f"querytime: $q run$i $dt%.3f s (build $bD%.3f)" +
         (if (nosort) " (nosort)" else "") +
