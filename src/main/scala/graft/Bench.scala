@@ -474,8 +474,14 @@ object Bench {
       // run errored, and a deterministically failing lane would spend a
       // rerun slot on a guaranteed second failure; a failure's record is
       // the errors map, not a timing re-run.
+      // r18b: watchlist lanes are exempt from the 6-slot cap (bounded by
+      // the watchlist's own size) — the first r18 bracket filled all six
+      // slots with alphabetically-early box-phase transients and left
+      // q_wand, the one flagged WATCHLIST lane, without the re-run
+      // sample that would have classified it.
       if ((slowCold || inverted) && cold._2.isEmpty && warm._2.isEmpty &&
-          cold._1 <= 240.0 && rerunQueue.size < 6)
+          cold._1 <= 240.0 &&
+          (rerunQueue.size < 6 || watchlist.contains(n)))
         rerunQueue(n) = f
       (n, cold, warm, bCold, bWarm)
     }
@@ -573,9 +579,13 @@ object Bench {
         t >= 0 && m.med.map(x => t <= 1.5 * x + 0.5).getOrElse(t <= m.cold / 3)
       if (m.why == "watchlist") "healthy"
       else {
+        // r18b: the JIT signature must also EXPLAIN the cold wall (≥15%
+        // of it) — the first r18 bracket labeled a 40 s box-phase cold
+        // "first-exec-jit" off a 4.4 s jit delta that was real but minor
         val jitSig =
           m.jitCold.exists(jc => jc >= 2000 &&
-            jc >= 2 * math.max(m.jitWarm.getOrElse(0L), 1L)) ||
+            jc >= 2 * math.max(m.jitWarm.getOrElse(0L), 1L) &&
+            jc >= (0.15 * m.cold * 1000).toLong) ||
           (m.cgCold >= 10 && m.cgCold >= 4 * math.max(m.cgWarm, 1L))
         if (healthy(m.warm) && jitSig) "first-exec-jit"
         else if (healthy(m.warm) || rerunMap.get(n).exists(healthy)) "box-phase"

@@ -79,8 +79,19 @@ object QuerySeq {
       val s = (System.nanoTime() - t0) / 1e9
       total += s
       println(f"[queryseq] $q%-24s $s%8.2f s  (driver gc ${(gcMs - g0) / 1000.0}%5.1f s; $codeCacheMb)")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // full Bench-order teardown (r18): the first sf10 watchlist sweep
+      // ran 14 heavy queries in one JVM with only unpersist+releaseAll —
+      // iterative lanes' checkpoint generations and dead broadcast/
+      // shuffle debris accumulated until the tail lanes measured the
+      // debris, not themselves (q_wand's second run read 2.5× its
+      // first). Same sequence as Bench.cleanup(): release caches,
+      // unpersist, reclaim loop-checkpoint files, one explicit GC so the
+      // ContextCleaner's weak refs actually fire.
+      spark.catalog.clearCache()
       graft.operators.OpCaches.releaseAll()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      graft.operators.Ckpt.clearAll(spark)
+      System.gc()
     }
     println(f"[queryseq] TOTAL ${total}%.2f s")
     spark.stop()
