@@ -1461,9 +1461,18 @@ object SparkEntry {
     * touches the full ~2,500-doc sample. Charged to BuildMeter: it is
     * once-per-JVM warm-up work, exactly like a DerivedCache build. */
   private val minhashRecallPrewarmed =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def prewarmMinhashRecall(s: SparkSession, dir: String): Unit =
-    if (!minhashRecallPrewarmed.getAndSet(true)) operators.BuildMeter.time {
+    // r18b: keyed per DATA DIR, not per JVM — Bench's catalog-level
+    // pre-warm runs every lane against the tiny sf0.001 sibling first,
+    // and a per-JVM flag let that pass CONSUME the pre-warm: the timed
+    // sf0.1 cold run then executed the full ~2,500-doc sample on
+    // HotSpot state trained only on ~50 docs (measured: cold 40.3 s /
+    // warm 17.8 s vs the 8.5 s median). Per-dir keying restores the
+    // 1-in-11 real-data slice before the first full run on EACH dir
+    // (still metered in BuildMeter; still once per dir per JVM).
+    if (minhashRecallPrewarmed.add(
+        new java.io.File(dir).getCanonicalPath)) operators.BuildMeter.time {
       val (df, pinned) = minhashRecallPlan(s, dir, minhashAuditSampleBudget / 11)
       df.write.format("noop").mode("overwrite").save()
       pinned.foreach(_.unpersist(blocking = false))
@@ -6738,15 +6747,21 @@ object SparkEntry {
       // recomputing the lineage costs more than the saved rows — the
       // square form measured faster (5.1 s vs 7.4 s at sf0.1)
       val e = Tables.embeddings(s, dir)
-      val cells = e.select(posexplode(expr(
-          "flatten(transform(sequence(0, 63), i -> " +
-            "transform(sequence(0, 63), j -> " +
-            "CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) " +
-            "* CAST(element_at(embedding, j + 1) AS DOUBLE) " +
-            "* 1000000000.0 + 0.5) AS BIGINT))))"))
-          .as(Seq("k", "li")))
-        .groupBy($"k")
-        .agg(sum($"li").as("sli"), count(lit(1)).as("n"))
+      // r18 (guide §1.2 per-task work, §2.3 aggregate before shuffling):
+      // the Gram sums come from plans.GramAgg — one primitive
+      // multiply-accumulate loop per row into a long[4096] partition
+      // buffer — instead of the posexplode shape it replaces, which
+      // allocated two nested `transform` arrays per row and pushed
+      // 4096 exploded rows each (8.2M rows at sf0.1) through the
+      // hash-agg path, and did so ONCE PER REFERENCE of the covariance
+      // subtree (five: w1, matvec ×3, λ). Cell sums and n are
+      // bit-identical by GramAgg's exactness contract (PcaGramSpec
+      // pins agg-vs-explode equality, nulls and short arrays
+      // included); the n>0 guard restores the explode shape's
+      // empty-input behavior (zero rows, not 4096 null cells).
+      val cells = e.agg(plans.Gram.sums64($"embedding").as("gs"))
+        .select(posexplode($"gs.sums").as(Seq("k", "sli")), $"gs.n".as("n"))
+        .where($"n" > 0L)
         .select(expr("k div 64").as("i"), ($"k" % 64).as("j"),
           ($"sli".cast(DoubleType) / lit(1000000000.0)).as("g"), $"n")
       val mu = e.select(posexplode(expr(
@@ -6763,6 +6778,12 @@ object SparkEntry {
       // Long sum (|ci·vj| ≤ 1e16, ×64 terms < 2^63); only the L2 norm
       // (IEEE sqrt — the Wilson convention) and the final unit-vector
       // re-grid touch doubles, identically on both engines.
+      // r18: pinning cov/v3 was TRIED and reverted — the InMemoryScan
+      // codegen the pins introduce misses the codegen cache on repeat
+      // runs (33 recompiles/run measured), costing more than the
+      // recomputed 4096-cell subtree now that GramAgg makes each
+      // recompute ~milliseconds. Recomputation of tiny frames beats
+      // cache machinery here.
       val cov = cells
         .join(mu.select($"pos".as("i"), $"sx".as("sxi")), "i")
         .join(mu.select($"pos".as("j"), $"sx".as("sxj")), "j")
