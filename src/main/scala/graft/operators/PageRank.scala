@@ -81,6 +81,28 @@ object PageRank {
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Transition rows pinned HASH-PARTITIONED AND SORTED by src (r18,
+    * guide §2.4 "remove shuffles outright"): the composed
+    * N-iteration plan otherwise carries one FULL Exchange + Sort of
+    * the transition table PER ITERATION (plan audit at sf1: five
+    * `Scan parquet → Exchange(src) → Sort(src)` subtrees, zero
+    * ReusedExchange in the initial plan — exchange reuse is an AQE
+    * race, not a contract, the r17 lesson). One repartition +
+    * sortWithinPartitions + persist gives every iteration's
+    * sort-merge join a build side that needs NO exchange and NO sort
+    * (InMemoryRelation preserves both partitioning and ordering), so
+    * per-iteration movement drops to the small ranks side + the
+    * map-side-combined contribution aggregation. Measured sf10
+    * (QueryTime, settled runs): 142.3 s → see SCALE.md r18 table.
+    * Values unchanged — partitioning never affects the exact integer
+    * arithmetic (PageRankSpec pins the forms equal). */
+  private def pinnedBySrc(trans: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    OpCaches.track(
+      trans.repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** One damped power iteration over transition rows — the shared loop
     * body of [[ranksFromTransitions]] and
     * [[personalizedFromTransitions]] (and, through them, arithmetic-
@@ -116,12 +138,18 @@ object PageRank {
   private val iterPrewarmed = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def prewarmIteration(trans: DataFrame): Unit =
     if (!iterPrewarmed.getAndSet(true)) BuildMeter.time {
-      val slice = trans.filter(col("src") % 11 === 0)
+      // the slice rides pinnedBySrc too (r18): the real loop now joins
+      // against an InMemoryTableScan, and a pre-warm over a parquet
+      // scan would compile the WRONG generated classes for the hot
+      // join stages
+      val slice = pinnedBySrc(trans.filter(col("src") % 11 === 0))
       val deg = slice.select(col("src"), col("outdeg")).distinct()
       val r0 = deg.select(col("src").as("node"),
         lit(TotalMass / 1000L).as("rank_micro"))
       iterate(slice, r0, 1)(_ => lit(0L))
         .write.format("noop").mode("overwrite").save()
+      slice.unpersist(blocking = false)
+      OpCaches.untrack(slice)
     }
 
   /** [[ranks]] over PRE-BUILT (src, dst, outdeg) transition rows — the
@@ -132,12 +160,13 @@ object PageRank {
     * so the ranks are bit-identical (PageRankSpec pins it). */
   def ranksFromTransitions(trans: DataFrame, iterations: Int): DataFrame = {
     prewarmIteration(trans)
-    val deg = degFromTransitions(trans)
+    val transP = pinnedBySrc(trans)
+    val deg = degFromTransitions(transP)
     val n = deg.count() // every node has out-edges (symmetric graph)
     val init = lit(TotalMass / n)
     val base = lit(15L * (TotalMass / n) / 100L)
     val r0 = deg.select(col("src").as("node"), init.as("rank_micro"))
-    iterate(trans, r0, iterations)(_ => base)
+    iterate(transP, r0, iterations)(_ => base)
   }
 
   /** [[personalized]] over PRE-BUILT transition rows — bit-identical
@@ -145,7 +174,8 @@ object PageRank {
   def personalizedFromTransitions(trans: DataFrame, seedMod: Long,
                                   iterations: Int): DataFrame = {
     prewarmIteration(trans)
-    val deg = degFromTransitions(trans)
+    val transP = pinnedBySrc(trans)
+    val deg = degFromTransitions(transP)
     val nSeeds = deg.filter(col("src") % seedMod === 0).count()
     require(nSeeds > 0, s"no seeds: no node is 0 mod $seedMod")
     val init = lit(TotalMass / nSeeds)
@@ -154,7 +184,7 @@ object PageRank {
       when(node % seedMod === 0, v).otherwise(lit(0L))
     val r0 = deg.select(col("src").as("node"),
       seedCase(col("src"), init).as("rank_micro"))
-    iterate(trans, r0, iterations)(node => seedCase(node, base))
+    iterate(transP, r0, iterations)(node => seedCase(node, base))
   }
 
   /** Personalized PageRank: teleport mass returns only to the SEED set
