@@ -4372,14 +4372,18 @@ object SparkEntry {
       // honest answer; the deepest lane covers the corpus and anchors
       // the audit at exactness.
       val dt = operators.DocTerms.table(s, dir).withColumn("is_q", $"doc_id" < 8)
-      // r17: ONE persisted champion derivation feeds all seven
-      // sub-lanes (full + 3 depths + 3 certificates). The previous
-      // shape re-derived the corpus weight pass per sub-lane and left
-      // deduplication to AQE exchange reuse, which is a materialization
-      // RACE — lost races re-ran the pass inline (measured: 6 s vs
-      // 99 s run-to-run at sf1, same code and data). Values unchanged
-      // (weights are query-independent; the oracle keeps hash-checking).
-      val (ranked, qT) = operators.HybridSearch.impactAuditParts(dt)
+      // r17: ONE champion derivation feeds all seven sub-lanes (full +
+      // 3 depths + 3 certificates) — re-deriving per sub-lane left
+      // deduplication to AQE exchange reuse, a materialization RACE
+      // (measured: 6 s vs 99 s run-to-run at sf1, same code and data).
+      // r19: the derivation is now the MATERIALIZED per-dir champions
+      // table (HybridSearch.rankedTable — one BuildMeter-metered
+      // parquet build shared with q_wand/q_bmw) instead of a per-lane
+      // persist. Values unchanged (weights are query-independent; the
+      // oracle keeps hash-checking).
+      val ranked = operators.HybridSearch.rankedTable(s, dir)
+      val qT = broadcast(dt.filter($"is_q")
+        .select($"doc_id".as("query_id"), $"term"))
       val full = operators.HybridSearch.bm25RetrieveFromRanked(ranked, qT, k = 10)
         .select($"query_id", $"doc_id", $"lex_rank".as("full_rank"))
       val qdf = dt.filter($"is_q").select($"doc_id".as("query_id"), $"term")
@@ -4421,7 +4425,11 @@ object SparkEntry {
       // per query. See HybridSearch.maxScoreAudit's scaladoc for the
       // bound's proof shape.
       val dt = operators.DocTerms.table(s, dir).withColumn("is_q", $"doc_id" < 8)
-      operators.HybridSearch.maxScoreAudit(dt, k = 10, mSeed = 64)
+      // r19: the index side serves from the materialized per-dir
+      // champions table (shared with q_bm25_pruned/q_bmw) — the weight
+      // pass no longer rebuilds inline per lane.
+      operators.HybridSearch.maxScoreAuditFromRanked(
+        operators.HybridSearch.rankedTable(s, dir), dt, k = 10, mSeed = 64)
     }),
 
     "q_bmw" -> ((s, dir) => {
@@ -4436,7 +4444,10 @@ object SparkEntry {
       // lane, block-pruning ratio reported (see
       // HybridSearch.blockMaxAudit's bound proof).
       val dt = operators.DocTerms.table(s, dir).withColumn("is_q", $"doc_id" < 8)
-      operators.HybridSearch.blockMaxAudit(dt, k = 10, mSeed = 64,
+      // r19: served from the shared materialized champions table, like
+      // q_wand above.
+      operators.HybridSearch.blockMaxAuditFromRanked(
+        operators.HybridSearch.rankedTable(s, dir), dt, k = 10, mSeed = 64,
         blockSize = 64)
     }),
 

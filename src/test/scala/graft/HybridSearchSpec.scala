@@ -134,6 +134,32 @@ class HybridSearchSpec extends AnyFunSuite with SparkSpec {
     graft.operators.OpCaches.releaseAll()
   }
 
+  test("materialized champions table serves every retrieval lane row-identically") {
+    import spark.implicits._
+    // r19: q_bm25_pruned/q_wand/q_bmw serve their index side from ONE
+    // DerivedCache parquet table (HybridSearch.rankedTable). Pin (a)
+    // the table itself row-identical to the inline champion derivation
+    // (decimal weights and ranks survive the parquet round-trip), and
+    // (b) each audit's FromRanked form over the materialized table
+    // identical to its inline-tf counterpart.
+    val dt = graft.operators.DocTerms.table(spark, sf)
+      .withColumn("is_q", $"doc_id" < 8)
+    val mat = HybridSearch.rankedTable(spark, sf)
+    val (inlineRanked, qT) = HybridSearch.impactAuditParts(dt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(mat) == rows(inlineRanked), "materialized != inline champions")
+    assert(rows(HybridSearch.bm25RetrieveFromRanked(mat, qT, k = 10)) ==
+      rows(HybridSearch.bm25RetrieveFromRanked(inlineRanked, qT, k = 10)))
+    assert(rows(HybridSearch.maxScoreAuditFromRanked(mat, dt, k = 10, mSeed = 64)) ==
+      rows(HybridSearch.maxScoreAudit(dt, k = 10, mSeed = 64)), "maxScore")
+    assert(rows(HybridSearch.blockMaxAuditFromRanked(mat, dt, k = 10,
+        mSeed = 64, blockSize = 64)) ==
+      rows(HybridSearch.blockMaxAudit(dt, k = 10, mSeed = 64,
+        blockSize = 64)), "blockMax")
+    graft.operators.OpCaches.releaseAll()
+  }
+
   test("impact certificate: complete champion lists certify every query vacuously") {
     import spark.implicits._
     val dt = graft.operators.DocTerms.table(spark, sf)
