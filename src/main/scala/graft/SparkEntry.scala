@@ -3838,9 +3838,14 @@ object SparkEntry {
       // DECIMAL(38,0) products (DuckDB sums to HUGEINT — same exact
       // integers) and ONE double division, round-6.
       val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val tf = Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFns.tokens($"text")).as("token"))
-        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      // r19: the per-(doc, token) counts ARE the materialized doc-term
+      // table's rows (DocTerms.of is the same tokenize + groupBy;
+      // DocTermsSpec pins the equivalence) — read the parquet instead
+      // of re-tokenizing the corpus (measured 1.7 s vs the 1.0 s
+      // median, both brackets; the tokenize+explode shuffle was the
+      // difference)
+      val tf = operators.DocTerms.table(s, dir)
+        .select($"doc_id", $"term".as("token"), $"tf".as("c"))
       tf.groupBy($"token")
         .agg(count(lit(1)).as("df"), sum($"c").as("tf_sum"),
           sum($"c" * $"c").as("tf_sq"))
@@ -4381,10 +4386,14 @@ object SparkEntry {
       // parquet build shared with q_wand/q_bmw) instead of a per-lane
       // persist. Values unchanged (weights are query-independent; the
       // oracle keeps hash-checking).
-      val ranked = operators.HybridSearch.rankedTable(s, dir)
+      val ranked = operators.HybridSearch.rankedTablePinned(s, dir)
       val qT = broadcast(dt.filter($"is_q")
         .select($"doc_id".as("query_id"), $"term"))
-      val full = operators.HybridSearch.bm25RetrieveFromRanked(ranked, qT, k = 10)
+      // pinned: all three depth lanes join against the one full lane
+      // (the r19 small-frame rule: pin the tiny shared DERIVED frames,
+      // not the big index)
+      val full = operators.HybridSearch
+        .bm25RetrieveFromRankedPinned(ranked, qT, k = 10)
         .select($"query_id", $"doc_id", $"lex_rank".as("full_rank"))
       val qdf = dt.filter($"is_q").select($"doc_id".as("query_id"), $"term")
         .join(dt.groupBy($"term").agg(count(lit(1)).as("df")), "term")

@@ -104,6 +104,11 @@ object HybridSearch {
       championsRanked(DocTerms.table(s, dir), k1 = 1.2, b = 0.75)
     }
 
+  /** [[rankedTable]] pinned for an execution that consumes it through
+    * several sub-lanes (q_bm25_pruned's seven) — see [[pinScan]]. */
+  def rankedTablePinned(s: SparkSession, dir: String): DataFrame =
+    pinScan(rankedTable(s, dir))
+
   /** One PERSISTED impact-ranked postings table + broadcast query-term
     * probe set for a multi-depth champion audit (r17). Before this,
     * q_bm25_pruned's seven sub-lanes (full + three depths + three
@@ -141,6 +146,16 @@ object HybridSearch {
       .filter(col("lex_rank") <= k)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
   }
+
+  /** [[bm25RetrieveFromRanked]] PINNED (persisted + OpCaches-tracked):
+    * for callers that join several pruned lanes against the one full
+    * lane — k·|queries| rows, but re-deriving it per reference re-runs
+    * the full-index score join (the r19 small-frame rule: pin the tiny
+    * shared derived frames, not the big index). */
+  def bm25RetrieveFromRankedPinned(ranked: DataFrame, qTerms: DataFrame,
+                                   k: Int): DataFrame =
+    OpCaches.track(bm25RetrieveFromRanked(ranked, qTerms, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** [[bm25RetrieveImpactFromTf]] from the shared ranked postings. */
   def bm25RetrieveImpactFromRanked(ranked: DataFrame, qTerms: DataFrame,
@@ -309,6 +324,16 @@ object HybridSearch {
 
   private def maxScorePartsFrom(ranked: DataFrame, tf: DataFrame,
                                 k: Int, mSeed: Int): MsParts = {
+    // τ and the candidate set are consumed by 2–3 downstream subtrees
+    // each. When `ranked` was a per-lane persist, re-deriving them per
+    // reference was cheap memory reads; served from the materialized
+    // parquet table, each re-derivation would re-run the seed join +
+    // window from the scan (measured at sf1: q_wand settled 9.3 s →
+    // 41 s on the unpinned first cut of r19). Pin the SMALL frames
+    // instead of the whole postings table: τ is ≤ |queries| rows, the
+    // candidate set is the bounded essential-list union — tiny
+    // persists, once-per-execution subtrees, no InMemoryTableScan of
+    // the big index anywhere.
     val weights = ranked.select(col("term"), col("doc_id"), col("w"))
     val ub = ranked.filter(col("rn") === 1)
       .select(col("term"), col("w").as("ub"))
@@ -322,9 +347,10 @@ object HybridSearch {
       .agg(sum(col("w")).as("sscore"))
     val seedW = Window.partitionBy(col("query_id"))
       .orderBy(col("sscore").desc, col("doc_id"))
-    val tau = seed.withColumn("srn", row_number().over(seedW))
+    val tau = OpCaches.track(seed.withColumn("srn", row_number().over(seedW))
       .filter(col("srn") === k)
       .select(col("query_id"), col("sscore").as("tau"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 2. essential/non-essential split on inclusive ub prefix sums
     val psW = Window.partitionBy(col("query_id"))
       .orderBy(col("ub").asc, col("term").asc)
@@ -336,9 +362,10 @@ object HybridSearch {
     val essTerms = lbl.filter(col("essential"))
       .select(col("query_id"), col("term"))
     // 3. candidates from essential postings only
-    val cands = weights.join(essTerms, "term")
+    val cands = OpCaches.track(weights.join(essTerms, "term")
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     MsParts(ranked, weights, dfreq, qTerms, tau, lbl, cands)
   }
 
@@ -348,21 +375,40 @@ object HybridSearch {
 
   /** [[maxScoreAudit]] served from a prebuilt impact-ranked postings
     * table (the materialized [[rankedTable]]) — identical algebra and
-    * output, no inline weight pass and no persist (WandSpec pins
-    * equality with the tf form). `tf` still supplies the broadcast
-    * probe set and per-term df. */
+    * output, no inline weight pass (WandSpec pins equality with the tf
+    * form). `tf` still supplies the broadcast probe set and per-term
+    * df. The scan is pinned once per execution ([[pinScan]]): the
+    * parts feed 4–5 subtrees, and at sf10 five disk scans of the
+    * postings table cost more than one scan + cached reads (measured:
+    * q_bmw settled 128 s scan-per-subtree vs 76 s from the r18
+    * in-memory frame; the pin recovers the cached-read shape while
+    * keeping the weight-pass compute in the write-once build). */
   def maxScoreAuditFromRanked(ranked: DataFrame, tf: DataFrame,
-                              k: Int, mSeed: Int): DataFrame =
-    maxScoreAuditBody(maxScorePartsFrom(ranked, tf, k, mSeed), k, mSeed)
+                              k: Int, mSeed: Int): DataFrame = {
+    val r = pinScan(ranked)
+    maxScoreAuditBody(maxScorePartsFrom(r, tf, k, mSeed), k, mSeed)
+  }
+
+  /** Pin a derived-table scan for an execution that reads it several
+    * times: plain persist with lineage KEPT (the KCore discipline —
+    * the upstream is a deterministic parquet scan, so evicted blocks
+    * recompute by re-reading), OpCaches-tracked for the caller's
+    * teardown. */
+  private def pinScan(ranked: DataFrame): DataFrame =
+    OpCaches.track(ranked
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def maxScoreAuditBody(p: MsParts, k: Int, mSeed: Int): DataFrame = {
     val weights = p.weights; val dfreq = p.dfreq; val qTerms = p.qTerms
     val tau = p.tau; val lbl = p.lbl; val cands = p.cands
     // 4. bounded exact rescore: candidates × query terms, probed against
     // the index on (term, doc) — join order written so the probe stays
-    // |candidates|·|q|, never the full postings
-    val rescore = cands.join(qTerms, Seq("query_id"))
+    // |candidates|·|q|, never the full postings. Pinned: the scored
+    // pass and the audit's touched-postings count both consume it
+    // (bounded rows — matched probe pairs only).
+    val rescore = OpCaches.track(cands.join(qTerms, Seq("query_id"))
       .join(weights, Seq("term", "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wscore = rescore.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
     val rankW = Window.partitionBy(col("query_id"))
@@ -450,11 +496,14 @@ object HybridSearch {
 
   /** [[blockMaxAudit]] served from a prebuilt impact-ranked postings
     * table (the materialized [[rankedTable]]) — identical algebra and
-    * output, no inline weight pass and no persist (WandSpec pins
-    * equality with the tf form). */
+    * output, no inline weight pass; the scan is pinned once per
+    * execution (see [[maxScoreAuditFromRanked]]). WandSpec pins
+    * equality with the tf form. */
   def blockMaxAuditFromRanked(ranked: DataFrame, tf: DataFrame, k: Int,
-                              mSeed: Int, blockSize: Int): DataFrame =
-    blockMaxAuditBody(maxScorePartsFrom(ranked, tf, k, mSeed), k, blockSize)
+                              mSeed: Int, blockSize: Int): DataFrame = {
+    val r = pinScan(ranked)
+    blockMaxAuditBody(maxScorePartsFrom(r, tf, k, mSeed), k, blockSize)
+  }
 
   private def blockMaxAuditBody(p: MsParts, k: Int,
                                 blockSize: Int): DataFrame = {
@@ -473,10 +522,12 @@ object HybridSearch {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("bub")).as("bound"))
     // keep: bound ≥ τ (strictly-below can never reach the top-k); a
-    // query with no τ keeps everything
-    val keep = bound.join(tau, Seq("query_id"), "left")
+    // query with no τ keeps everything. Pinned: the exact rescore and
+    // the audit's survivor count both consume it (bounded rows).
+    val keep = OpCaches.track(bound.join(tau, Seq("query_id"), "left")
       .filter(col("tau").isNull || col("bound") >= col("tau"))
       .select(col("query_id"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rescore = keep.join(qTerms, Seq("query_id"))
       .join(weights, Seq("term", "doc_id"))
     val wscore = rescore.groupBy(col("query_id"), col("doc_id"))
